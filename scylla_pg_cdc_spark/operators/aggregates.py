@@ -1,0 +1,355 @@
+"""Aggregation operators.
+
+Reference parity (SURVEY.md §2A A1-A13):
+- A1 group-by multi-agg: daily_order_summary MV (`docker/postgres/init.sql:195-206`)
+- A2 join + group-by product sales (`init.sql:211-224`)
+- A4 conditional aggregation / success rates (`init.sql:510-539`)
+- A5/A6 distribution + duplicate detection (`src/reconciliation/differ.py:516-546`)
+- A7 match-percentage accuracy (`differ.py:615-641`, `init.sql:412-434`)
+- A9 histogram bucketed counts (`src/monitoring/metrics.py:45-50`)
+- A10 percentiles (`scripts/measure-latency.sh:208-216`)
+- rollup/grouping-sets generalize the reference's UNION-ALL-of-summaries
+  (`init.sql:479-488`)
+
+Money policy: exact integer-cents aggregation (see functions.money) so
+results are order-independent — required both for the DuckDB oracle and
+for reproducible runs at 100 TB where partial-aggregation order is
+nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.functions.money import cents, pct_units
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+
+@query(
+    "q_agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+               AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+               * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) / 1000000.0
+               AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / COUNT(*) / 100.0
+               AS avg_price,
+           SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) * 1.0 / COUNT(*) / 100.0
+               AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary (A1). All sums are exact integer
+    units (cents / cent*pct / cent*pct*pct) so partial aggregation is
+    order-independent; presentation divisions happen once per group."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2002-09-02").cast("timestamp")
+    )
+    ep = cents("l_extendedprice")
+    disc = pct_units("l_discount")
+    tax = pct_units("l_tax")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        (F.sum(ep) / F.lit(100.0)).alias("sum_base_price"),
+        (F.sum(ep * (100 - disc)) / F.lit(10000.0)).alias("sum_disc_price"),
+        (F.sum(ep * (100 - disc) * (100 + tax)) / F.lit(1000000.0)).alias("sum_charge"),
+        (F.sum("l_quantity") / n).alias("avg_qty"),
+        (F.sum(ep) / n / F.lit(100.0)).alias("avg_price"),
+        (F.sum(disc) * F.lit(1.0) / n / F.lit(100.0)).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_daily_orders",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_amount,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / COUNT(*) / 100.0
+               AS avg_amount,
+           MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS min_amount,
+           MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS max_amount
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m-%d'), o_orderstatus
+    """,
+)
+def q_agg_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily_order_summary materialized view
+    (`init.sql:195-206`): COUNT/SUM/AVG/MIN/MAX(total_amount) by
+    DATE(order_date), status (A1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    tc = cents("o_totalprice")
+    n = F.count(F.lit(1))
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderstatus",
+        )
+        .agg(
+            n.alias("n_orders"),
+            (F.sum(tc) / F.lit(100.0)).alias("total_amount"),
+            (F.sum(tc) / n / F.lit(100.0)).alias("avg_amount"),
+            (F.min(tc) / F.lit(100.0)).alias("min_amount"),
+            (F.max(tc) / F.lit(100.0)).alias("max_amount"),
+        )
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           COUNT(*) AS n_total,
+           100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 / COUNT(*) AS finished_pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — the repair success-rate pattern
+    SUM(CASE WHEN..)/COUNT(*) (A4, `data-model.md:598-606`,
+    `init.sql:510-539`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    n_f = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return orders.groupBy("o_orderpriority").agg(
+        n_f.alias("n_finished"),
+        n.alias("n_total"),
+        (F.lit(100.0) * n_f / n).alias("finished_pct"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (A6-adjacent; unique key counting)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_agg_dupes",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_agg_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate detection: key -> count, keep count>1 (A6,
+    `differ.py:516-546`)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(*) AS n_customers,
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS acctbal_total
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) — generalizes the reference's
+    UNION-ALL-of-summaries emulation (`init.sql:479-488`)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(cents("c_acctbal")) / F.lit(100.0)).alias("acctbal_total"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "acctbal_total",
+        )
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_amount
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status),(priority),()) (U1-analog)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_gs_view"
+    )
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE)
+                   AS total_amount
+        FROM orders_gs_view
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CASE WHEN value < 25 THEN '00_lt25'
+                WHEN value < 50 THEN '01_25_50'
+                WHEN value < 100 THEN '02_50_100'
+                WHEN value < 200 THEN '03_100_200'
+                ELSE '04_ge200' END AS bucket,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram with explicit bucket bounds (A9,
+    `src/monitoring/metrics.py:45-50`,
+    `src/utils/metrics_collector.py:387-399`)."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 25, "00_lt25")
+        .when(F.col("value") < 50, "01_25_50")
+        .when(F.col("value") < 100, "02_50_100")
+        .when(F.col("value") < 200, "03_100_200")
+        .otherwise("04_ge200")
+    )
+    return events.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q_agg_accuracy",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey,
+               o_totalprice + CASE WHEN o_orderkey % 53 = 0 THEN 1.11 ELSE 0 END
+                   AS t_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT COUNT(*) AS source_rows,
+           SUM(CASE WHEN ABS(s.o_totalprice - t.t_totalprice) < 0.01
+                    THEN 1 ELSE 0 END) AS matched_rows,
+           100.0 * SUM(CASE WHEN ABS(s.o_totalprice - t.t_totalprice) < 0.01
+                            THEN 1 ELSE 0 END) / COUNT(*) AS accuracy_pct,
+           CASE WHEN 100.0 * SUM(CASE WHEN ABS(s.o_totalprice - t.t_totalprice) < 0.01
+                                      THEN 1 ELSE 0 END) / COUNT(*) >= 95.0
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM orders s LEFT JOIN target t ON s.o_orderkey = t.o_orderkey
+    """,
+)
+def q_agg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation accuracy scalar: match % between source and a
+    deterministically perturbed target under ABS(delta)<0.01 with
+    PASS/FAIL (A7+A3; `init.sql:412-434`, `differ.py:615-641`,
+    accuracy thresholds `src/monitoring/alerts.py:114,127`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 53 == 0, 1.11).otherwise(0.0)
+        ).alias("t_totalprice"),
+    )
+    joined = orders.alias("s").join(target.alias("t"), on="o_orderkey", how="left")
+    matched = F.sum(
+        F.when(
+            F.abs(F.col("s.o_totalprice") - F.col("t.t_totalprice")) < 0.01, 1
+        ).otherwise(0)
+    )
+    total = F.count(F.lit(1))
+    pct = F.lit(100.0) * matched / total
+    return joined.agg(
+        total.alias("source_rows"),
+        matched.alias("matched_rows"),
+        pct.alias("accuracy_pct"),
+        F.when(pct >= 95.0, "PASS").otherwise("FAIL").alias("status"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 2) AS p50,
+           ROUND(quantile_cont(value, 0.95), 2) AS p95,
+           ROUND(quantile_cont(value, 0.99), 2) AS p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 (A10, `scripts/measure-latency.sh:208-216`).
+    Exact `percentile` (linear interpolation) matches DuckDB's
+    quantile_cont; at 100 TB swap to percentile_approx — declared
+    q_agg_approx_distinct shows the sketch path."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 2).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("q_agg_approx_distinct", oracle=None)  # approx != oracle-exact
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (A10-adjacent): the 100 TB
+    path for cardinality metrics (rows-only check; approx by nature)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )

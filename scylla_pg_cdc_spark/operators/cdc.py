@@ -1,0 +1,310 @@
+"""CDC materialization operators (batch faces of the streaming layer).
+
+This is the heart of the reference: change events with INSERT/UPDATE/
+DELETE semantics applied to target tables as upsert + delete
+(`docker/kafka-connect/connectors/postgres-sink.json:22-24`,
+`specs/001-scylla-pg-cdc/data-model.md:16-103`). Deletes are rewritten
+to rows carrying a ``__deleted`` marker (`postgres-sink.json:39-41`,
+`docker/postgres/init.sql:30`), ordering per key comes from the Kafka
+key-hash partitioning guarantee (`data-model.md:372-381`), and replays
+are absorbed by upsert idempotency (`data-model.md:497-502`).
+
+The synthetic ``events`` table plays the change stream: ``user_id`` is
+the primary key, ``ts`` the commit timestamp, and ``event_type='error'``
+a delete tombstone. Every operator here is a pure DataFrame transform,
+so the exact same builder runs under ``spark.readStream`` +
+``foreachBatch`` (see ``scylla_pg_cdc_spark.streaming``) — batch
+oracles verify semantics, streaming smoke verifies execution.
+
+Scale: compaction is ONE shuffle by key (window or groupBy); tumbling/
+sliding windows are hash aggregations on (bucket, key) — both scale
+linearly with executors at 100 TB, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+TOMBSTONE_TYPE = "error"
+
+
+def as_change_stream(events: DataFrame) -> DataFrame:
+    """Normalize `events` into the reference's change-event envelope
+    (`data-model.md:16-85`): key, op, after-image, commit ts."""
+    return events.select(
+        F.col("event_id"),
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == TOMBSTONE_TYPE, "DELETE")
+        .otherwise("UPSERT")
+        .alias("op"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        F.unix_millis("ts").alias("commit_ms"),
+    )
+
+
+def compact_latest(change: DataFrame, keep_deleted: bool = False) -> DataFrame:
+    """Upsert compaction (S7/W1): last write wins per key ordered by
+    (commit_ms, event_id). Tombstones remove the key unless
+    ``keep_deleted`` (delete-rewrite mode, S8)."""
+    w = Window.partitionBy("key").orderBy(
+        F.col("commit_ms").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        change.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("__deleted", F.col("op") == "DELETE")
+    )
+    if keep_deleted:
+        return latest
+    return latest.filter(~F.col("__deleted")).drop("__deleted")
+
+
+@query(
+    "q_cdc_upsert_compact",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts_ms
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               epoch_ms(ts) AS ts_ms,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert + delete materialization (S7, W1): latest row per key;
+    keys whose latest change is a tombstone disappear from the target
+    (the sink's `delete.enabled=true` behavior)."""
+    events = load_table(spark, sf_dir, "events")
+    state = compact_latest(as_change_stream(events))
+    return state.select(
+        F.col("key").alias("user_id"),
+        "event_id",
+        "event_type",
+        "value",
+        F.col("commit_ms").alias("ts_ms"),
+    )
+
+
+@query(
+    "q_cdc_delete_rewrite",
+    oracle="""
+    SELECT user_id, event_id, ts_ms,
+           (event_type = 'error') AS __deleted
+    FROM (
+        SELECT user_id, event_id, event_type,
+               epoch_ms(ts) AS ts_ms,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_cdc_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-as-tombstone rewrite (S8): latest state per key with the
+    `__deleted` marker column instead of physical deletion
+    (`postgres-sink.json:39-41`, `init.sql:30`)."""
+    events = load_table(spark, sf_dir, "events")
+    state = compact_latest(as_change_stream(events), keep_deleted=True)
+    return state.select(
+        F.col("key").alias("user_id"),
+        "event_id",
+        F.col("commit_ms").alias("ts_ms"),
+        "__deleted",
+    )
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregation (T6; per-interval throughput
+    sampling `scripts/benchmark.sh:167-211`). Batch face of
+    groupBy(window(ts, '1 day')); the streaming face runs the same
+    expression with a watermark."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "value_sum"
+            ),
+        )
+    )
+
+
+@query("q_stream_sliding", oracle=None)  # window() struct is Spark-specific
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate (T5; `rate(x[5m])` alerts
+    `src/monitoring/alerts.py:79,92`): 2-day windows sliding 1 day.
+    Rows-only check: each event lands in 2 windows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 days", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                    ) > 1800000 OR LAG(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                    ) IS NULL
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_id, ts_ms,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_ms) AS session_start_ms,
+           MAX(ts_ms) AS session_end_ms
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via lag + running sum —
+    the classic batch equivalent of session_window; deterministic and
+    one shuffle by user."""
+    events = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_ms = events.withColumn("ts_ms", F.unix_millis("ts"))
+    flagged = with_ms.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ms").over(order_w).isNull()
+            | ((F.col("ts_ms") - F.lag("ts_ms").over(order_w)) > 1800000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(run_w))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    WITH doubled AS (
+        SELECT * FROM events
+        UNION ALL
+        SELECT * FROM events WHERE event_id % 10 = 0
+    )
+    SELECT DISTINCT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+    FROM doubled
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay deduplication (T10): a deterministically doubled stream
+    deduplicated on event_id — the batch face of
+    dropDuplicatesWithinWatermark; upsert idempotency absorbs replays
+    in the reference (`data-model.md:497-502`). Duplicate rows are
+    identical, so dropDuplicates' arbitrary pick is value-deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    doubled = events.unionByName(events.filter(F.col("event_id") % 10 == 0))
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_millis("ts").alias("ts_ms"),
+            "value",
+        )
+    )
+
+
+@query(
+    "q_stream_dlq_split",
+    oracle="""
+    SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+                  OR value < 1.0
+                THEN 'dlq' ELSE 'main' END AS branch,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing (S9/T8): a deterministic poison predicate
+    splits the stream into main/DLQ branches, per-branch counts
+    (`errors.deadletterqueue.*` `postgres-sink.json:98-103`, DLQ schema
+    `data-model.md:169-208`)."""
+    events = load_table(spark, sf_dir, "events")
+    poison = (F.get_json_object("props", "$.k").cast("long") > 90) | (
+        F.col("value") < 1.0
+    )
+    return (
+        events.withColumn("branch", F.when(poison, "dlq").otherwise("main"))
+        .groupBy("branch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def cdc_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end pipeline (SURVEY.md §2B): change stream ->
+    upsert/delete compaction -> join customer dims (broadcast) ->
+    per-segment aggregate. Mirrors S7+W1+J8+A1 in one plan."""
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    state = compact_latest(as_change_stream(events))
+    joined = state.join(
+        F.broadcast(cust), state.key == cust.c_custkey, "inner"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_live_users"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+            "value_sum"
+        ),
+        F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / F.count(F.lit(1))
+                / F.lit(100.0), 2).alias("value_avg"),
+    )

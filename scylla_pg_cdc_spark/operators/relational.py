@@ -1,0 +1,430 @@
+"""Scans, projections, filters, joins and set operations.
+
+Reference parity (SURVEY.md §2A):
+- S5/S6 table scans with projection/limit (`scripts/reconcile.py:258-326`)
+- P1-P9 stream transforms: projection/rename/flatten/filter chains
+  (`docker/kafka-connect/connectors/postgres-sink.json:37-115`)
+- J1-J9 joins: the reconciliation engine's hash-index build + anti/inner
+  joins (`src/reconciliation/differ.py:32-127,548-584`), warehouse FK
+  equi-joins (`docker/postgres/init.sql:211-224`)
+- U1-U3 set ops (`init.sql:479-488`, `differ.py:111,332-334`)
+
+Scale posture: all joins are plain equi-joins that Catalyst plans as
+broadcast (dims) or sort-merge/shuffled-hash (fact-fact) with AQE; the
+anti/semi joins here replace the reference's in-memory ``dict`` key
+indexes, which could never exceed one node's RAM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.functions.money import cents, dollars, pct_units
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey AS order_id,
+           l_linenumber AS line_no,
+           l_returnflag AS flag,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename over a full scan (S5, P2, P3). Column pruning
+    reaches the parquet reader: ReadSchema lists only 5 columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        cents("l_extendedprice").alias("price_cents"),
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive range predicates (P9, TPC-H Q6 selection shape).
+    All four predicates push down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("qty"),
+            pct_units("l_discount").alias("disc_pct"),
+        )
+    )
+
+
+@query(
+    "q_filter_like_in",
+    oracle="""
+    SELECT 'part' AS src, p_partkey AS id, p_name AS name
+    FROM part
+    WHERE p_name LIKE '%bolt%' OR p_brand IN ('Brand#1', 'Brand#2')
+    UNION ALL
+    SELECT 'order' AS src, o_orderkey AS id, o_orderpriority AS name
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def q_filter_like_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / IN predicates (P9, F1) over part and orders, labeled
+    UNION ALL (validation_summary shape, `init.sql:479-488`)."""
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    parts = part.filter(
+        F.col("p_name").like("%bolt%") | F.col("p_brand").isin("Brand#1", "Brand#2")
+    ).select(
+        F.lit("part").alias("src"),
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+    )
+    urgent = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(
+        F.lit("order").alias("src"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("name"),
+    )
+    return parts.unionByName(urgent)
+
+
+@query(
+    "q_limit_offset_topk",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer
+    ORDER BY acctbal_cents DESC, c_custkey
+    LIMIT 20 OFFSET 5
+    """,
+)
+def q_limit_offset_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column total-order sort + OFFSET/LIMIT top-k (O1-O3;
+    reference pagination `reconcile.py:279-280,316-317`). The unique
+    c_custkey tiebreak makes the page deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_name",
+            cents("c_acctbal").alias("acctbal_cents"),
+        )
+        .orderBy(F.col("acctbal_cents").desc(), F.col("c_custkey"))
+        .offset(5)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer equi inner join (J8)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            cents("o_totalprice").alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "q_join_left_agg",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS order_count,
+           COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0) AS total_cents
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer LEFT JOIN orders + per-customer count/sum with null->0
+    (J8+A2; product-sales summary shape, `init.sql:211-224`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)).alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_items,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0
+               AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join, TPC-H Q5 shape (J8). region/nation/customer are
+    broadcast (dims); orders⋈lineitem is the only shuffled join.
+    Revenue is exact integer units summed in LongType, divided once."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue_units = cents("l_extendedprice") * (100 - pct_units("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(revenue_units) / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with >=1 order — left_semi (U3 key intersection,
+    `differ.py:111`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — left_anti, the reconciliation
+    'missing' class (J2, `differ.py:32-59`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_composite",
+    oracle="""
+    WITH grp AS (
+        SELECT l_orderkey, l_returnflag,
+               CAST(SUM(l_quantity) AS BIGINT) AS grp_qty,
+               COUNT(*) AS grp_cnt
+        FROM lineitem GROUP BY l_orderkey, l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, g.grp_qty, g.grp_cnt
+    FROM lineitem l
+    JOIN grp g ON l.l_orderkey = g.l_orderkey AND l.l_returnflag = g.l_returnflag
+    """,
+)
+def q_join_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key equi join (J6, `differ.py:706-727`): lineitem
+    joined back to its per-(orderkey, returnflag) aggregate on both key
+    columns. The groupBy and the join share the same hash partitioning,
+    so AQE reuses one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.sum("l_quantity").cast("long").alias("grp_qty"),
+        F.count(F.lit(1)).alias("grp_cnt"),
+    )
+    return li.join(grp, on=["l_orderkey", "l_returnflag"], how="inner").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "grp_qty", "grp_cnt"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation ⋈ region with an explicit broadcast hint (J8). The result
+    is identical to a plain join; the hint pins BroadcastHashJoin so no
+    shuffle ever occurs regardless of statistics."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber,
+           date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+               AS ship_delay_days
+    FROM orders o
+    JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join + non-equi residual predicate (theta join; the
+    reference's join + non-equi filter validation SQL shape). The
+    equi key keeps it a hash join; the interval predicate is applied
+    as a post-join filter, not a nested loop."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "inner",
+    )
+    return joined.select(
+        "o_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias(
+            "ship_delay_days"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT 'open' AS segment, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT 'done' AS segment, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled UNION ALL (U1; validation_summary shape,
+    `init.sql:479-488`)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def seg(label: str, status: str) -> DataFrame:
+        return orders.filter(F.col("o_orderstatus") == status).select(
+            F.lit(label).alias("segment"),
+            "o_orderkey",
+            cents("o_totalprice").alias("total_cents"),
+        )
+
+    return seg("open", "O").unionByName(seg("done", "F"))
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key intersection (U3, `differ.py:111,334`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key set-difference (U2, `differ.py:332-334`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.subtract(b)

@@ -1,0 +1,170 @@
+"""Window-function operators.
+
+The reference has no SQL window functions, but several behaviors are
+window-shaped (SURVEY.md §2A W1-W5): upsert "last write wins by commit
+timestamp" compaction (`postgres-sink.json:22-24`, ordering guarantee
+`data-model.md:372-381`), write-gap analysis (`docs/CDC_LAG.md:47-54`),
+running stock levels (`docker/scylla/init.cql:93-96`), top-N
+discrepancy ranking (`data-model.md:587-595`).
+
+Determinism note: the reference relies on Kafka per-key ordering for
+deterministic upserts; here every window ORDER BY carries a unique
+tiebreak (event_id / linenumber), and event-time ordering uses
+epoch-millis on both engines so DuckDB's ns precision vs Spark's us
+parquet truncation can never reorder ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.functions.money import cents
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+
+@query(
+    "q_window_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts_ms, value
+    FROM (
+        SELECT user_id, event_id, event_type,
+               epoch_ms(ts) AS ts_ms, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest state per key — the upsert compaction core (W1/S7):
+    row_number over (partition by key order by ts desc) = 1. One shuffle
+    by key; at 100 TB this is the canonical one-pass compaction."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("ts_ms", F.unix_millis("ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts_ms", "value")
+    )
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_name,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           CAST(DENSE_RANK() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC, c_custkey
+           ) AS BIGINT) AS bal_rank
+    FROM customer
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking within partition (W4; top-discrepancy ordering,
+    `data-model.md:587-595`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("acctbal_cents").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_name",
+        cents("c_acctbal").alias("acctbal_cents"),
+    ).withColumn("bal_rank", F.dense_rank().over(w).cast("long"))
+
+
+@query(
+    "q_window_lag_gap",
+    oracle="""
+    SELECT user_id, event_id, gap_ms
+    FROM (
+        SELECT user_id, event_id,
+               epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS gap_ms
+        FROM events
+    ) WHERE gap_ms IS NOT NULL
+    """,
+)
+def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per key via lag (W2; successive-write gap
+    analysis, `docs/CDC_LAG.md:47-54`)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return (
+        events.withColumn("ts_ms", F.unix_millis("ts"))
+        .withColumn("gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w))
+        .filter(F.col("gap_ms").isNotNull())
+        .select("user_id", "event_id", "gap_ms")
+    )
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(SUM(l_quantity) OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_qty
+    FROM lineitem
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per key (W3; running stock level chains,
+    `init.cql:93-96,182-189`). (l_orderkey, l_linenumber) is NOT unique
+    in the synthetic data, so the ORDER BY carries the full unique key
+    (linenumber, partkey, suppkey) for a deterministic frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.sum("l_quantity").over(w).cast("long").alias("running_qty"),
+    )
+
+
+@query(
+    "q_window_moving_avg",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           AVG(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS mov_avg_price
+    FROM lineitem
+    """,
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a bounded row frame (W5 frame spec); full
+    unique-key ORDER BY for frame determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        (F.avg(cents("l_extendedprice")).over(w) / F.lit(100.0)).alias(
+            "mov_avg_price"
+        ),
+    )

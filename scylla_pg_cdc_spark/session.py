@@ -1,0 +1,53 @@
+"""SparkSession factory with the engine's scale posture baked in.
+
+The reference pipeline tunes throughput via connector batch/queue knobs
+(`docker/kafka-connect/connectors/scylla-source.json:29-31`,
+`postgres-sink.json:31,107`). In Spark those map to session-level
+configuration: AQE for runtime re-planning (skew joins, coalesced
+shuffle partitions), a shuffle-partition count sized to the test
+machine, Arrow for any pandas exchange, and UTC session time so
+timestamp semantics match the reference's "naive timestamps are UTC"
+rule (`src/reconciliation/comparer.py:214-218`).
+
+At 100 TB these same knobs scale by configuration only:
+``spark.sql.shuffle.partitions`` rises to ~2-4x total cores,
+``maxPartitionBytes`` stays at 128-256 MB so scan tasks stay bounded,
+and AQE handles skew without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
+
+
+def get_session(app_name: str = "scylla-pg-cdc-spark") -> SparkSession:
+    """Build (or fetch) a local session configured for the engine."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    return configure(spark)

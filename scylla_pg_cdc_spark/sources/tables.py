@@ -1,0 +1,62 @@
+"""Batch table loaders over the driver's synthetic parquet tables.
+
+Mirrors the reference's table scans (`scripts/reconcile.py:258-326`:
+``SELECT * FROM t LIMIT n OFFSET m``) — except we never paginate by
+hand: Spark's parquet source gives partitioned scans, predicate
+pushdown, and column pruning for free, so a "scan" here is just
+``spark.read.parquet`` and the downstream ``select``/``filter`` reach
+the scan node via Catalyst (verify with ``PushedFilters`` in
+``df.explain``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always broadcast in joins
+# (reference joins 5-row dims, `docker/scylla/init.cql:121-150`).
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; session tz forced to UTC first so all
+    timestamp rendering matches the oracle.
+
+    ns-precision parquet timestamps (events.ts) are illegal for Spark's
+    vectorized reader, so they are read as raw int64 nanoseconds
+    (``nanosAsLong``) and floored to microseconds with integer `div`
+    (double division would lose sub-us precision at 1.7e18 ns
+    magnitudes and could flip ms boundaries vs the DuckDB oracle).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql queries."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,117 @@
+"""Local differential checker mimicking the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over
+the same parquet tables, then compares row count, column names, and an
+order-insensitive value comparison (sorted rows, exact equality after
+light normalization). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+from scylla_pg_cdc_spark.registry import load_all  # noqa: E402
+from scylla_pg_cdc_spark.session import get_session  # noqa: E402
+from scylla_pg_cdc_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+
+def _norm_cell(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        # round-trip through repr at 12 significant digits to absorb
+        # float32->float64 printing noise while catching real drift
+        return ("f", f"{v:.12g}")
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_norm_cell(x) for x in v))
+    return ("s", str(v))
+
+
+def _norm_rows(rows):
+    return sorted(tuple(_norm_cell(c) for c in row) for row in rows)
+
+
+def check(sf_dir: str, only: list[str] | None = None) -> int:
+    specs = load_all()
+    spark = get_session("oracle-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = 0
+    names = only or sorted(specs)
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            spark_cols = [c.lower() for c in sdf.columns]
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if spec.oracle is None:
+            ok = len(spark_rows) > 0
+            print(
+                f"{'ok   ' if ok else 'FAIL '} {name}: rows-only "
+                f"({len(spark_rows)} rows, {time.time()-t0:.1f}s)"
+            )
+            failures += 0 if ok else 1
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            duck_cols = [d[0].lower() for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+
+        problems = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"cols spark={spark_cols} duck={duck_cols}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not problems:
+            # align duck columns to spark order
+            idx = [duck_cols.index(c) for c in spark_cols]
+            duck_aligned = [tuple(row[i] for i in idx) for row in duck_rows]
+            a, b = _norm_rows(spark_rows), _norm_rows(duck_aligned)
+            if a != b:
+                diff_i = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+                problems.append(
+                    f"values differ at sorted row {diff_i}:\n"
+                    f"    spark={a[diff_i]}\n    duck ={b[diff_i]}"
+                )
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"ok    {name}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return failures
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a] or None
+    raise SystemExit(1 if check(sf_dir, only) else 0)
