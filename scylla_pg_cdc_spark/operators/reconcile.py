@@ -1,1 +1,377 @@
-"""Placeholder — filled in a later milestone."""
+"""Distributed reconciliation engine.
+
+Spark-first rebuild of the reference's crown jewel — the keyed diff of
+two datasets into missing/extra/mismatch classes with repair-action
+generation (`src/reconciliation/differ.py`, `comparer.py`,
+`repairer.py`, driven by `scripts/reconcile.py:328-488`).
+
+The reference builds Python ``dict`` key indexes (`differ.py:548-584`)
+and set-subtracts key sets (`:54,:81,:111`) — bounded by one process's
+RAM and CPU. Here the entire classification is ONE full-outer shuffle
+join plus a codegen'd projection (SURVEY.md §3.2 rebuild plan):
+
+    full_outer(src, tgt, keys)
+      -> when(tgt.key.isNull(), 'missing')
+        .when(src.key.isNull(), 'extra')
+        .when(~row_equal(...),  'mismatch')
+        .otherwise('match')
+
+At 100 TB: the join shuffles both sides once by key hash; AQE handles
+skewed keys; a resumable run partitions by key range (pass a
+``filter`` predicate — the analog of the reference's checkpointed
+batch loop, `reconcile.py:100-188`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.functions.comparisons import (
+    DEFAULT_FLOAT_TOL,
+    differing_fields,
+    row_equal,
+)
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Library API (used by tests and by the checkable queries below)
+# ---------------------------------------------------------------------------
+
+
+def diff_datasets(
+    source: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    ignore_fields: tuple[str, ...] = (),
+    float_tol: float = DEFAULT_FLOAT_TOL,
+) -> DataFrame:
+    """Full-outer diff classification (J5, `differ.py:176-213`).
+
+    Returns one row per key present in either side with columns:
+    ``keys..., diff_type in {missing, extra, mismatch, match},
+    diff_fields array<string>``.
+
+    - ``missing``: key in source, absent in target (`differ.py:32-59`)
+    - ``extra``: key in target, absent in source (`differ.py:61-86`)
+    - ``mismatch``: key in both, any compared field differs under the
+      tolerant-equality matrix (`differ.py:88-127`)
+    - ignore_fields mirrors the comparer's exclusion list
+      (`comparer.py:74-80`, CLI --ignore-fields `reconcile.py:624`)
+    """
+    compare_cols = [
+        c
+        for c in source.columns
+        if c in set(target.columns) and c not in keys and c not in set(ignore_fields)
+    ]
+    s = source.alias("src")
+    t = target.alias("tgt")
+    cond = None
+    for k in keys:
+        c = F.col(f"src.{k}").eqNullSafe(F.col(f"tgt.{k}"))
+        cond = c if cond is None else cond & c
+    joined = s.join(t, cond, "full_outer")
+
+    src_absent = F.col(f"src.{keys[0]}").isNull()
+    tgt_absent = F.col(f"tgt.{keys[0]}").isNull()
+    equal = row_equal("src", "tgt", source.schema, compare_cols, float_tol)
+    diffs = differing_fields("src", "tgt", source.schema, compare_cols, float_tol)
+
+    key_cols = [
+        F.coalesce(F.col(f"src.{k}"), F.col(f"tgt.{k}")).alias(k) for k in keys
+    ]
+    return joined.select(
+        *key_cols,
+        F.when(tgt_absent, "missing")
+        .when(src_absent, "extra")
+        .when(~equal, "mismatch")
+        .otherwise("match")
+        .alias("diff_type"),
+        F.when(
+            ~src_absent & ~tgt_absent, diffs
+        ).otherwise(F.array().cast("array<string>")).alias("diff_fields"),
+    )
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """Per-class counts (A8, `differ.py:475-514`; distribution query
+    `data-model.md:587-595`)."""
+    return diff.groupBy("diff_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def match_percentage(diff: DataFrame) -> DataFrame:
+    """Match %% = (source_rows - missing - mismatch)/source_rows*100
+    (A7, `differ.py:615-641`)."""
+    src_rows = F.sum(F.when(F.col("diff_type") != "extra", 1).otherwise(0))
+    bad = F.sum(F.when(F.col("diff_type").isin("missing", "mismatch"), 1).otherwise(0))
+    return diff.agg(
+        src_rows.alias("source_rows"),
+        bad.alias("discrepant_rows"),
+        (F.lit(100.0) * (src_rows - bad) / src_rows).alias("match_pct"),
+    )
+
+
+def find_duplicates(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Duplicate keys: groupBy(key).count > 1 (A6, `differ.py:516-546`)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+
+
+def schema_diff(source: DataFrame, target: DataFrame) -> tuple[list, list, list]:
+    """Column-set diff (A12, `differ.py:643-683`): driver-side, like
+    the reference — schemas are metadata, not data."""
+    s, t = set(source.columns), set(target.columns)
+    return sorted(s - t), sorted(t - s), sorted(s & t)
+
+
+def generate_repair_actions(
+    diff: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    table_name: str,
+) -> DataFrame:
+    """Repair-action generation (D3, `repairer.py:70-145`): DELETE for
+    extra, INSERT for missing, UPDATE for mismatch, in DELETE(1) ->
+    INSERT(2) -> UPDATE(3) priority order (`repairer.py:97-121`).
+
+    SQL text is built with concat/format expressions — the distributed
+    analog of `repairer.py:242-430` — values quoted with '' doubling
+    (`repairer.py:514-516`). INSERT/UPDATE actions join back to the
+    source row to render values; DELETE needs only the key.
+    """
+    key = keys[0]
+    non_keys = [c for c in source.columns if c not in keys]
+
+    def quote(col):
+        return F.concat(
+            F.lit("'"),
+            F.regexp_replace(col.cast("string"), "'", "''"),
+            F.lit("'"),
+        )
+
+    src_with_key = source.select(
+        *[F.col(k) for k in keys], *[F.col(c) for c in non_keys]
+    )
+    joined = diff.filter(F.col("diff_type") != "match").join(
+        src_with_key, on=keys, how="left"
+    )
+
+    insert_cols = ", ".join(keys + non_keys)
+    insert_vals = F.concat_ws(
+        ", ", *[quote(F.col(c)) for c in keys + non_keys]
+    )
+    set_clause = F.concat_ws(
+        ", ",
+        *[F.concat(F.lit(f"{c} = "), quote(F.col(c))) for c in non_keys],
+    )
+    where_clause = F.concat(F.lit(f"{key} = "), quote(F.col(key)))
+
+    sql = (
+        F.when(
+            F.col("diff_type") == "extra",
+            F.concat(F.lit(f"DELETE FROM {table_name} WHERE "), where_clause),
+        )
+        .when(
+            F.col("diff_type") == "missing",
+            F.concat(
+                F.lit(f"INSERT INTO {table_name} ({insert_cols}) VALUES ("),
+                insert_vals,
+                F.lit(")"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(f"UPDATE {table_name} SET "),
+                set_clause,
+                F.lit(" WHERE "),
+                where_clause,
+            )
+        )
+    )
+    action_type = (
+        F.when(F.col("diff_type") == "extra", "DELETE")
+        .when(F.col("diff_type") == "missing", "INSERT")
+        .otherwise("UPDATE")
+    )
+    priority = (
+        F.when(F.col("diff_type") == "extra", 1)
+        .when(F.col("diff_type") == "missing", 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return joined.select(
+        action_type.alias("action_type"),
+        *[F.col(k) for k in keys],
+        priority.alias("priority"),
+        sql.alias("repair_sql"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic perturbed target for the checkable queries
+# ---------------------------------------------------------------------------
+# source = orders; target drops keys %97==0 (missing), perturbs
+# o_totalprice for %53==0 and o_orderpriority for %41==0 (mismatch),
+# and adds key+10000000 clones of %89==0 rows (extra).
+
+_TARGET_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + CASE WHEN o_orderkey % 53 = 0 THEN 1.11 ELSE 0 END
+               AS o_totalprice,
+           o_orderdate,
+           CASE WHEN o_orderkey % 41 = 0 THEN 'X-PERTURBED'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 89 = 0
+"""
+
+
+def _perturbed_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 53 == 0, 1.11).otherwise(0.0)
+        ).alias("o_totalprice"),
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 41 == 0, "X-PERTURBED")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    extra = orders.filter(F.col("o_orderkey") % 89 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return kept.unionByName(extra)
+
+
+@query(
+    "q_reconcile_diff",
+    oracle=f"""
+    WITH target AS ({_TARGET_SQL})
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN t.o_orderkey IS NULL THEN 'missing'
+                WHEN s.o_orderkey IS NULL THEN 'extra'
+                WHEN NOT (s.o_custkey IS NOT DISTINCT FROM t.o_custkey)
+                  OR NOT (s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus)
+                  OR NOT (ABS(s.o_totalprice - t.o_totalprice) < 0.0001)
+                  OR NOT (s.o_orderdate IS NOT DISTINCT FROM t.o_orderdate)
+                  OR NOT (s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority)
+                THEN 'mismatch'
+                ELSE 'match' END AS diff_type
+    FROM orders s FULL OUTER JOIN target t ON s.o_orderkey = t.o_orderkey
+    WHERE t.o_orderkey IS NULL OR s.o_orderkey IS NULL
+       OR NOT (s.o_custkey IS NOT DISTINCT FROM t.o_custkey)
+       OR NOT (s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus)
+       OR NOT (ABS(s.o_totalprice - t.o_totalprice) < 0.0001)
+       OR NOT (s.o_orderdate IS NOT DISTINCT FROM t.o_orderdate)
+       OR NOT (s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority)
+    """,
+)
+def q_reconcile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer diff classification (J2+J3+J4+J5) of orders vs a
+    deterministically perturbed copy: all discrepancy rows with their
+    class."""
+    orders = load_table(spark, sf_dir, "orders")
+    diff = diff_datasets(
+        orders, _perturbed_target(spark, sf_dir), keys=["o_orderkey"]
+    )
+    return diff.filter(F.col("diff_type") != "match").select(
+        "o_orderkey", "diff_type"
+    )
+
+
+@query(
+    "q_reconcile_fielddiff",
+    oracle=f"""
+    WITH target AS ({_TARGET_SQL})
+    SELECT s.o_orderkey,
+           concat_ws(',',
+               CASE WHEN NOT (s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority)
+                    THEN 'o_orderpriority' END,
+               CASE WHEN NOT (ABS(s.o_totalprice - t.o_totalprice) < 0.0001)
+                    THEN 'o_totalprice' END
+           ) AS diff_fields
+    FROM orders s JOIN target t ON s.o_orderkey = t.o_orderkey
+    WHERE NOT (ABS(s.o_totalprice - t.o_totalprice) < 0.0001)
+       OR NOT (s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority)
+    """,
+)
+def q_reconcile_fielddiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level diff detail (J7, `differ.py:129-174`): mismatch rows
+    with the sorted list of differing fields (comma-joined for
+    cross-engine hashing)."""
+    orders = load_table(spark, sf_dir, "orders")
+    diff = diff_datasets(
+        orders, _perturbed_target(spark, sf_dir), keys=["o_orderkey"]
+    )
+    return diff.filter(F.col("diff_type") == "mismatch").select(
+        "o_orderkey",
+        F.array_join(F.col("diff_fields"), ",").alias("diff_fields"),
+    )
+
+
+@query(
+    "q_repair_actions",
+    oracle=f"""
+    WITH target AS ({_TARGET_SQL})
+    SELECT CASE WHEN s.o_orderkey IS NULL THEN 'DELETE'
+                WHEN t.o_orderkey IS NULL THEN 'INSERT'
+                ELSE 'UPDATE' END AS action_type,
+           COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NULL THEN 1
+                WHEN t.o_orderkey IS NULL THEN 2
+                ELSE 3 END AS priority
+    FROM orders s FULL OUTER JOIN target t ON s.o_orderkey = t.o_orderkey
+    WHERE t.o_orderkey IS NULL OR s.o_orderkey IS NULL
+       OR NOT (ABS(s.o_totalprice - t.o_totalprice) < 0.0001)
+       OR NOT (s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority)
+    """,
+)
+def q_repair_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair actions from the diff classes in DELETE -> INSERT ->
+    UPDATE priority order (D3, `repairer.py:70-145`). The rendered SQL
+    text column is engine-specific, so the checked projection carries
+    (action_type, key, priority); the library function
+    ``generate_repair_actions`` adds ``repair_sql``."""
+    orders = load_table(spark, sf_dir, "orders")
+    diff = diff_datasets(
+        orders, _perturbed_target(spark, sf_dir), keys=["o_orderkey"]
+    )
+    actions = generate_repair_actions(diff, orders, ["o_orderkey"], "orders")
+    return actions.select(
+        "action_type",
+        "o_orderkey",
+        F.col("priority").cast("long").alias("priority"),
+    )
+
+
+@query(
+    "q_schema_diff",
+    oracle="""
+    SELECT 'o_orderstatus,o_totalprice' AS only_in_source,
+           'o_orderdate,o_orderpriority' AS only_in_target,
+           'o_custkey,o_orderkey' AS common
+    """,
+)
+def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema diff of two projections (A12, `differ.py:643-683`):
+    driver-side column-set algebra emitted as a 1-row DataFrame."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    b = orders.select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+    only_s, only_t, common = schema_diff(a, b)
+    return spark.createDataFrame(
+        [(",".join(only_s), ",".join(only_t), ",".join(common))],
+        "only_in_source string, only_in_target string, common string",
+    )

@@ -1,0 +1,139 @@
+"""Unit tests for the reconciliation engine — ports the reference's
+differ/comparer edge-case matrix (SURVEY.md §5: composite keys, nulls,
+duplicates, float tolerance, ignore-fields; `tests/unit/test_differ.py`,
+`test_comparer.py` in the reference)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.operators.reconcile import (
+    diff_datasets,
+    diff_summary,
+    find_duplicates,
+    generate_repair_actions,
+    match_percentage,
+    schema_diff,
+)
+
+SCHEMA = "id long, name string, amount double, note string"
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0, None),
+            (2, "b", 20.0, "x"),
+            (3, "c", 30.0, "y"),
+            (4, "d", 40.0, None),
+        ],
+        SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def tgt(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0, None),          # match (null == null)
+            (2, "b", 20.00009, "x"),       # match under 1e-4 tolerance
+            (3, "c", 31.0, "y"),           # mismatch (amount)
+            # id 4 absent -> missing
+            (5, "e", 50.0, None),          # extra
+        ],
+        SCHEMA,
+    )
+
+
+def classes(diff):
+    return {r["id"]: r["diff_type"] for r in diff.collect()}
+
+
+def test_diff_classification(spark, src, tgt):
+    d = classes(diff_datasets(src, tgt, ["id"]))
+    assert d == {1: "match", 2: "match", 3: "mismatch", 4: "missing", 5: "extra"}
+
+
+def test_float_tolerance_boundary(spark, src, tgt):
+    # tighten tolerance so 2 becomes a mismatch
+    d = classes(diff_datasets(src, tgt, ["id"], float_tol=1e-6))
+    assert d[2] == "mismatch"
+
+
+def test_null_vs_value_is_mismatch(spark):
+    s = spark.createDataFrame([(1, "a", 1.0, "v")], SCHEMA)
+    t = spark.createDataFrame([(1, "a", 1.0, None)], SCHEMA)
+    assert classes(diff_datasets(s, t, ["id"]))[1] == "mismatch"
+
+
+def test_ignore_fields(spark, src, tgt):
+    d = classes(diff_datasets(src, tgt, ["id"], ignore_fields=("amount",)))
+    assert d[3] == "match"
+
+
+def test_diff_fields_detail(spark, src, tgt):
+    rows = {
+        r["id"]: list(r["diff_fields"])
+        for r in diff_datasets(src, tgt, ["id"]).collect()
+    }
+    assert rows[3] == ["amount"]
+    assert rows[1] == []
+    assert rows[4] == []  # missing rows carry no field diff
+
+
+def test_composite_keys(spark):
+    s = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b")], "k1 long, k2 long, v string"
+    )
+    t = spark.createDataFrame(
+        [(1, 1, "a"), (1, 3, "c")], "k1 long, k2 long, v string"
+    )
+    d = diff_datasets(s, t, ["k1", "k2"])
+    got = {(r["k1"], r["k2"]): r["diff_type"] for r in d.collect()}
+    assert got == {(1, 1): "match", (1, 2): "missing", (1, 3): "extra"}
+
+
+def test_summary_and_match_pct(spark, src, tgt):
+    diff = diff_datasets(src, tgt, ["id"])
+    summary = {r["diff_type"]: r["n"] for r in diff_summary(diff).collect()}
+    assert summary == {"match": 2, "mismatch": 1, "missing": 1, "extra": 1}
+    pct = match_percentage(diff).collect()[0]
+    assert pct["source_rows"] == 4
+    assert pct["discrepant_rows"] == 2
+    assert abs(pct["match_pct"] - 50.0) < 1e-9
+
+
+def test_find_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id long, v string"
+    )
+    dups = find_duplicates(df, ["id"]).collect()
+    assert len(dups) == 1 and dups[0]["id"] == 1 and dups[0]["n"] == 2
+
+
+def test_schema_diff():
+    pass  # exercised via q_schema_diff oracle test
+
+
+def test_repair_actions_priority_and_sql(spark, src, tgt):
+    diff = diff_datasets(src, tgt, ["id"])
+    actions = generate_repair_actions(diff, src, ["id"], "mytable").collect()
+    by_type = {r["action_type"]: r for r in actions}
+    assert by_type["DELETE"]["priority"] == 1 and by_type["DELETE"]["id"] == 5
+    assert by_type["INSERT"]["priority"] == 2 and by_type["INSERT"]["id"] == 4
+    assert by_type["UPDATE"]["priority"] == 3 and by_type["UPDATE"]["id"] == 3
+    assert by_type["DELETE"]["repair_sql"] == "DELETE FROM mytable WHERE id = '5'"
+    assert by_type["INSERT"]["repair_sql"].startswith(
+        "INSERT INTO mytable (id, name, amount, note) VALUES ("
+    )
+    assert "UPDATE mytable SET " in by_type["UPDATE"]["repair_sql"]
+
+
+def test_repair_sql_escapes_quotes(spark):
+    s = spark.createDataFrame([(1, "o'brien", 1.0, None)], SCHEMA)
+    t = spark.createDataFrame([], SCHEMA)
+    diff = diff_datasets(s, t, ["id"])
+    sql = generate_repair_actions(diff, s, ["id"], "t").collect()[0]["repair_sql"]
+    assert "o''brien" in sql  # '' doubling, repairer.py:514-516
