@@ -1,1 +1,412 @@
-"""Placeholder — filled in a later milestone."""
+"""Text-analysis / dedup operators for large-scale training-data
+pipelines (BASELINE.json north star; beyond the reference surface).
+
+Everything here is built from JVM-side expressions (split/explode/
+md5/higher-order array functions) — no Python UDFs in any hot path, so
+the plans are whole-stage-codegen end to end and scale linearly:
+
+- exact dedup: hash-groupBy on md5(text) — one shuffle
+- MinHash: shingle -> k independent md5-keyed min-hashes -> banded LSH
+  buckets -> candidate pairs via bucket self-join (the classic
+  MMDS ch.3 construction). Min over md5 *hex strings* keeps the
+  signature engine-portable (lexicographic min is total-ordered and
+  identical everywhere).
+- n-gram Jaccard: shingle explode + self-join + overlap counting
+- language ID: stopword-hit scoring via higher-order filter()
+- quality scoring: length/punct/stopword ratio expressions
+- fingerprinting: md5 over normalized prefix + length
+
+At 100 TB: the shingle explode multiplies rows ~|doc| times — bound it
+with distinct-per-doc shingles (we do) and band-bucket joins instead of
+all-pairs; the candidate-pair join is the only quadratic-risk step and
+is bounded per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+_TOKENIZE = "split(text, ' ')"
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    WITH tokens AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+        SELECT lang, term, COUNT(*) AS n FROM tokens GROUP BY lang, term
+    ), ranked AS (
+        SELECT lang, term, n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+        FROM counts
+    )
+    SELECT lang, term, n, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + top-5 terms per language: split/explode/groupBy/
+    window — the canonical term-frequency pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    counts = tokens.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "n", "rnk")
+    )
+
+
+@query(
+    "q_text_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keeping the smallest doc_id per
+    group — one hash-shuffle; the 100 TB-safe baseline dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           SUM(n_chars) * 1.0 / COUNT(*) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
+    FROM documents GROUP BY source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics (doc counts, char/word totals)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return docs.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum("n_chars") * F.lit(1.0) / n).alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_words"),
+    )
+
+
+def _stopword_hits(lang: str):
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(
+        f"size(filter({_TOKENIZE}, t -> t IN ({lst})))"
+    ).cast("long")
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS actual_lang,
+               {" , ".join(
+                   "len(list_filter(string_split(text, ' '), "
+                   f"t -> t IN ({', '.join(repr(w) for w in ws)}))) AS score_{lang}"
+                   for lang, ws in STOPWORDS.items()
+               )}
+        FROM documents
+    )
+    SELECT doc_id, actual_lang,
+           CASE WHEN score_en >= score_es AND score_en >= score_de
+                     AND score_en >= score_fr AND score_en >= score_zh
+                     AND score_en > 0 THEN 'en'
+                WHEN score_es >= score_de AND score_es >= score_fr
+                     AND score_es >= score_zh AND score_es > 0 THEN 'es'
+                WHEN score_de >= score_fr AND score_de >= score_zh
+                     AND score_de > 0 THEN 'de'
+                WHEN score_fr >= score_zh AND score_fr > 0 THEN 'fr'
+                WHEN score_zh > 0 THEN 'zh'
+                ELSE 'unknown' END AS predicted_lang,
+           CAST(score_en AS BIGINT) AS score_en
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID heuristic: per-language token-set
+    scores via higher-order filter(), argmax with a fixed precedence
+    (en>es>de>fr>zh) for determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {lang: _stopword_hits(lang) for lang in STOPWORDS}
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in STOPWORDS],
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in STOPWORDS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"])
+            & (s["en"] >= s["zh"]) & (s["en"] > 0),
+            "en",
+        )
+        .when(
+            (s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"])
+            & (s["es"] > 0),
+            "es",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["zh"]) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["zh"]) & (s["fr"] > 0), "fr")
+        .when(s["zh"] > 0, "zh")
+        .otherwise("unknown")
+    )
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        predicted.alias("predicted_lang"),
+        F.col("score_en").alias("score_en"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           length(text) * 1.0 / len(string_split(text, ' ')) AS avg_word_len,
+           CAST(length(regexp_replace(text, '[^.,!?]', '', 'g')) AS BIGINT)
+               AS n_punct,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+               AS n_stopwords,
+           CASE WHEN len(string_split(text, ' ')) >= 50
+                 AND len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to'))) > 0
+                THEN 'good' ELSE 'low' END AS quality_class
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio features
+    + a deterministic classification — all codegen expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_stop = _stopword_hits("en")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_words.cast("long").alias("n_words"),
+        (F.length("text") * F.lit(1.0) / n_words).alias("avg_word_len"),
+        F.length(F.regexp_replace("text", r"[^.,!?]", "")).cast("long").alias(
+            "n_punct"
+        ),
+        n_stop.alias("n_stopwords"),
+        F.when((n_words >= 50) & (n_stop > 0), "good")
+        .otherwise("low")
+        .alias("quality_class"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(CONCAT(CAST(length(text) AS VARCHAR), ':',
+                      substring(lower(text), 1, 64))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap document fingerprint: md5 over (length, normalized
+    64-char prefix) — the constant-cost sketch used before full-hash
+    dedup at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.length("text").cast("string"),
+                F.lit(":"),
+                F.substring(F.lower(F.col("text")), 1, 64),
+            )
+        ).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 signatures each
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per doc (explode bounded by distinct)."""
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= k)  # sequence(0, n<0) would count down
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {k}), "
+                    f"i -> concat_ws(' ', slice(toks, i + 1, {k})))"
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """k independent min-hashes per doc: min over md5(i || shingle)
+    hex strings (engine-portable total order)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidates."""
+    n_bands = N_HASHES // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+@query("q_text_minhash_dedup", oracle=None)  # banded-LSH construction
+def q_text_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle -> minhash signature ->
+    band buckets -> bucket self-join. Rows-only: emits per-doc signature
+    + candidate count so the result is non-empty even on a dup-free
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(docs))
+    pairs = lsh_candidate_pairs(sigs)
+    pair_counts = (
+        pairs.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    return (
+        sigs.join(pair_counts, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("sig0").alias("minhash0"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        )
+    )
+
+
+@query(
+    "q_text_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        ) WHERE length(shingle) > 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), ovl AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT o.doc_a, o.doc_b, o.n_common,
+           o.n_common * 1.0 / (sa.n + sb.n - o.n_common) AS jaccard
+    FROM ovl o
+    JOIN sizes sa ON o.doc_a = sa.doc_id
+    JOIN sizes sb ON o.doc_b = sb.doc_id
+    WHERE o.n_common * 1.0 / (sa.n + sb.n - o.n_common) > 0.2
+    """,
+)
+def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (3-token shingles, J>0.2):
+    shingle self-join + overlap/union counting. The exact verifier for
+    what MinHash approximates; bounded by shared-shingle pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    overlaps = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        overlaps.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") > 0.2)

@@ -1,0 +1,122 @@
+"""End-to-end Structured Streaming tests: the same CDC semantics the
+batch oracles verify, executed under readStream + availableNow
+(SURVEY.md §7 phase 5: 't1 smoke runs the same pipeline with
+readStream')."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.operators.cdc import q_cdc_upsert_compact
+from scylla_pg_cdc_spark.operators.cdc import q_stream_dlq_split
+from scylla_pg_cdc_spark.streaming.pipeline import (
+    compact_partial_updates,
+    latest_state,
+    run_upsert_pipeline,
+    run_windowed_rates,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def work_dir():
+    d = tempfile.mkdtemp(prefix="cdc_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, work_dir):
+    return run_upsert_pipeline(spark, SF_SMALL, work_dir)
+
+
+def test_stream_state_matches_batch_compaction(spark, pipeline_out):
+    """Streaming upsert materialization == batch oracle-checked
+    compaction (minus the rows the DLQ branch diverted)."""
+    stream_live = {
+        r["key"]: (r["event_id"], r["event_type"])
+        for r in latest_state(spark, pipeline_out["state"]).collect()
+    }
+    # batch equivalent with the DLQ predicate applied first
+    from scylla_pg_cdc_spark.operators.cdc import as_change_stream, compact_latest
+    from scylla_pg_cdc_spark.sources.tables import load_table
+    from scylla_pg_cdc_spark.streaming.pipeline import poison_predicate
+
+    events = load_table(spark, SF_SMALL, "events").filter(~poison_predicate())
+    batch_live = {
+        r["key"]: (r["event_id"], r["event_type"])
+        for r in compact_latest(as_change_stream(events)).collect()
+    }
+    assert stream_live == batch_live
+    assert len(stream_live) > 0
+
+
+def test_stream_dlq_counts_match_batch_predicate(spark, pipeline_out):
+    dlq = spark.read.parquet(pipeline_out["dlq"])
+    batch = {
+        r["branch"]: r["n"]
+        for r in q_stream_dlq_split(spark, SF_SMALL).collect()
+    }
+    assert dlq.count() == batch["dlq"]
+    assert set(dlq.columns) >= {"event_id", "key", "error_context", "epoch_id"}
+
+
+def test_stream_exactly_once_on_restart(spark, pipeline_out, work_dir):
+    """Re-running with the same checkpoint must not duplicate state —
+    the checkpoint already consumed the source (T9)."""
+    before = latest_state(spark, pipeline_out["state"]).count()
+    run_upsert_pipeline(spark, SF_SMALL, work_dir)
+    after = latest_state(spark, pipeline_out["state"]).count()
+    assert before == after
+
+
+def test_windowed_rates_match_batch(spark, work_dir):
+    rates = run_windowed_rates(spark, SF_SMALL, work_dir)
+    got = {(r["day"], r["event_type"]): r["n"] for r in rates.collect()}
+    from scylla_pg_cdc_spark.operators.cdc import q_stream_tumbling
+
+    want = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in q_stream_tumbling(spark, SF_SMALL).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_partial_update_null_preserving_merge(spark):
+    """handle-partial-updates.sql semantics: NULL in a later partial
+    update must NOT clobber an earlier value; last non-null wins per
+    column independently."""
+    rows = [
+        (1, 100, 10, "alice", "a@x.com"),
+        (2, 100, 20, None, "a2@x.com"),   # partial: name omitted
+        (3, 100, 30, "alice2", None),     # partial: email omitted
+        (4, 200, 10, None, "b@x.com"),    # key 200: name never set
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, key long, commit_ms long, name string, email string"
+    )
+    out = {
+        r["key"]: (r["name"], r["email"])
+        for r in compact_partial_updates(df, "key", ["name", "email"]).collect()
+    }
+    assert out[100] == ("alice2", "a2@x.com")
+    assert out[200] == (None, "b@x.com")
+
+
+def test_plain_last_row_wins_would_differ(spark):
+    """Documents why last() ignorenulls matters: the naive compaction
+    clobbers name for key 100."""
+    from scylla_pg_cdc_spark.operators.cdc import compact_latest  # noqa: F401
+    rows = [
+        (1, 100, 10, "alice", "a@x.com"),
+        (2, 100, 20, None, "a2@x.com"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, key long, commit_ms long, name string, email string"
+    )
+    merged = compact_partial_updates(df, "key", ["name", "email"]).collect()[0]
+    assert merged["name"] == "alice"  # preserved, not clobbered to None
