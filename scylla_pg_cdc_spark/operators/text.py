@@ -293,21 +293,27 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 
 def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidates."""
+    """Banded LSH: docs sharing any band bucket become candidates.
+
+    Bands come from ONE explode over an inline array — a per-band
+    union would re-execute the whole shingle+minhash pipeline once per
+    band (4x the shuffles at any scale)."""
     n_bands = N_HASHES // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"sig{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"sig{b * band_size + j}") for j in range(band_size)],
+                )
+            ).alias("bucket"),
         )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -377,12 +383,18 @@ def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (3-token shingles, J>0.2):
     shingle self-join + overlap/union counting. The exact verifier for
     what MinHash approximates; bounded by shared-shingle pairs."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, k=3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # per-doc shingle-set size attached to every shingle row via a
+    # window (one shuffle by doc) — carrying it through the join beats
+    # two extra join-back shuffles against a sizes table
+    sh = shingles(docs, k=3).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     a = sh.alias("a")
     b = sh.alias("b")
-    overlaps = (
+    jac = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -391,13 +403,11 @@ def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = (
-        overlaps.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -405,8 +415,93 @@ def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("n_common")
                 * F.lit(1.0)
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).alias("jaccard"),
         )
     )
     return jac.filter(F.col("jaccard") > 0.2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash + BPE-ish token counting
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _hexdigit_parity_sql(i: int, engine: str) -> str:
+    """1-bit hash of a token for simhash bit i: parity of the first
+    hex nibble of md5(i:token). Same expression in both engines
+    (instr over a hex alphabet), so the oracle is exact."""
+    tok = "t" if engine == "spark" else "t"
+    return (
+        f"(instr('0123456789abcdef', substring(md5(concat('{i}:', {tok})), 1, 1)) - 1) % 2"
+    )
+
+
+@query(
+    "q_text_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), bits AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"CASE WHEN SUM(2 * ({_hexdigit_parity_sql(i, 'duck')}) - 1) >= 0"
+                   f" THEN '1' ELSE '0' END AS b{i}"
+                   for i in range(SIMHASH_BITS)
+               )}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CONCAT({", ".join(f"b{i}" for i in range(SIMHASH_BITS))}) AS simhash,
+           CONCAT({", ".join(f"b{i}" for i in range(8))}) AS bucket8
+    FROM bits
+    """,
+)
+def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (Charikar): each of 16 bits is the
+    sign of the token-vote sum for an independent 1-bit hash; near-dups
+    differ in few bits. ``bucket8`` (the high 8 bits) is the LSH-style
+    blocking key: candidate pairs share a bucket, turning all-pairs
+    hamming search into per-bucket joins at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    aggs = [
+        F.when(
+            F.sum(2 * F.expr(_hexdigit_parity_sql(i, "spark")) - 1) >= 0, "1"
+        )
+        .otherwise("0")
+        .alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bits = toks.groupBy("doc_id").agg(*aggs)
+    return bits.select(
+        "doc_id",
+        F.concat(*[F.col(f"b{i}") for i in range(SIMHASH_BITS)]).alias("simhash"),
+        F.concat(*[F.col(f"b{i}") for i in range(8)]).alias("bucket8"),
+    )
+
+
+@query(
+    "q_text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single other-chars) — the cheap
+    pre-tokenizer used for corpus budgeting before a real BPE pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).cast("long").alias("bpe_ish_tokens"),
+    )

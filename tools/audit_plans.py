@@ -1,0 +1,48 @@
+"""Physical-plan audit: for every registered query, summarize the
+facts that matter at 100 TB — shuffle (Exchange) count, join
+strategies, parquet filter pushdown, scan column pruning, codegen
+coverage. Usage: python tools/audit_plans.py [sf_dir] [query ...]"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from scylla_pg_cdc_spark.registry import load_all  # noqa: E402
+from scylla_pg_cdc_spark.session import get_session  # noqa: E402
+
+
+def audit(sf_dir: str, only: list[str] | None = None) -> None:
+    specs = load_all()
+    spark = get_session("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = only or sorted(specs)
+    print(f"{'query':32s} {'shuffles':>8s} {'bhj':>4s} {'smj':>4s} "
+          f"{'sort':>5s} {'pushed':>7s} {'scan_cols'}")
+    for name in names:
+        try:
+            df = specs[name].fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            simple = df._jdf.queryExecution().simpleString()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:32s} ERROR {e}")
+            continue
+        n_exchange = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+        n_bhj = plan.count("BroadcastHashJoin")
+        n_smj = plan.count("SortMergeJoin")
+        n_sort = len(re.findall(r"\+- Sort ", plan))
+        pushed = "yes" if re.search(r"PushedFilters: \[[^\]]", plan) else "-"
+        scans = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+        widths = ",".join(str(len(s.split(","))) if s else "0" for s in scans)
+        print(f"{name:32s} {n_exchange:8d} {n_bhj:4d} {n_smj:4d} "
+              f"{n_sort:5d} {pushed:>7s} [{widths}]")
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a] or None
+    audit(sf_dir, only)
