@@ -51,7 +51,13 @@ def values_equal(
         both_null = a.isNull() & b.isNull()
         both_set = a.isNotNull() & b.isNotNull()
         return both_null | (both_set & (F.abs(a - b) < F.lit(float_tol)))
-    if isinstance(dtype, (DecimalType, TimestampType, ArrayType, MapType, StructType)):
+    if isinstance(dtype, MapType):
+        # Spark forbids direct map equality; canonicalize to sorted
+        # entry arrays (key-set + value equality, comparer.py:283-288)
+        return F.array_sort(F.map_entries(a)).eqNullSafe(
+            F.array_sort(F.map_entries(b))
+        )
+    if isinstance(dtype, (DecimalType, TimestampType, ArrayType, StructType)):
         return a.eqNullSafe(b)
     return a.eqNullSafe(b)
 

@@ -141,6 +141,28 @@ def generate_repair_actions(
     """
     key = keys[0]
     non_keys = [c for c in source.columns if c not in keys]
+    by_name = {f.name: f.dataType for f in source.schema.fields}
+
+    def fmt(name: str):
+        """Type-faithful SQL value rendering (`repairer.py:485-559`):
+        numbers unquoted, booleans TRUE/FALSE, NULL literal, binary as
+        hex, timestamps as quoted ISO, strings quoted with '' doubling."""
+        col = F.col(name)
+        dtype = by_name[name]
+        s = dtype.simpleString()
+        if s in ("boolean",):
+            rendered = F.upper(col.cast("string"))
+        elif s.startswith(("tinyint", "smallint", "int", "bigint", "float",
+                           "double", "decimal")):
+            rendered = col.cast("string")
+        elif s == "binary":
+            rendered = F.concat(F.lit("X'"), F.hex(col), F.lit("'"))
+        else:  # strings, timestamps, dates, complex-as-json
+            base = F.to_json(col) if s.startswith(("array", "map", "struct")) else col.cast("string")
+            rendered = F.concat(
+                F.lit("'"), F.regexp_replace(base, "'", "''"), F.lit("'")
+            )
+        return F.coalesce(rendered, F.lit("NULL"))
 
     def quote(col):
         return F.concat(
@@ -157,14 +179,12 @@ def generate_repair_actions(
     )
 
     insert_cols = ", ".join(keys + non_keys)
-    insert_vals = F.concat_ws(
-        ", ", *[quote(F.col(c)) for c in keys + non_keys]
-    )
+    insert_vals = F.concat_ws(", ", *[fmt(c) for c in keys + non_keys])
     set_clause = F.concat_ws(
         ", ",
-        *[F.concat(F.lit(f"{c} = "), quote(F.col(c))) for c in non_keys],
+        *[F.concat(F.lit(f"{c} = "), fmt(c)) for c in non_keys],
     )
-    where_clause = F.concat(F.lit(f"{key} = "), quote(F.col(key)))
+    where_clause = F.concat(F.lit(f"{key} = "), fmt(key))
 
     sql = (
         F.when(

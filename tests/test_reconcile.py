@@ -124,11 +124,14 @@ def test_repair_actions_priority_and_sql(spark, src, tgt):
     assert by_type["DELETE"]["priority"] == 1 and by_type["DELETE"]["id"] == 5
     assert by_type["INSERT"]["priority"] == 2 and by_type["INSERT"]["id"] == 4
     assert by_type["UPDATE"]["priority"] == 3 and by_type["UPDATE"]["id"] == 3
-    assert by_type["DELETE"]["repair_sql"] == "DELETE FROM mytable WHERE id = '5'"
-    assert by_type["INSERT"]["repair_sql"].startswith(
-        "INSERT INTO mytable (id, name, amount, note) VALUES ("
+    assert by_type["DELETE"]["repair_sql"] == "DELETE FROM mytable WHERE id = 5"
+    assert by_type["INSERT"]["repair_sql"] == (
+        "INSERT INTO mytable (id, name, amount, note) "
+        "VALUES (4, 'd', 40.0, NULL)"
     )
-    assert "UPDATE mytable SET " in by_type["UPDATE"]["repair_sql"]
+    assert by_type["UPDATE"]["repair_sql"] == (
+        "UPDATE mytable SET name = 'c', amount = 30.0, note = 'y' WHERE id = 3"
+    )
 
 
 def test_repair_sql_escapes_quotes(spark):
@@ -137,3 +140,30 @@ def test_repair_sql_escapes_quotes(spark):
     diff = diff_datasets(s, t, ["id"])
     sql = generate_repair_actions(diff, s, ["id"], "t").collect()[0]["repair_sql"]
     assert "o''brien" in sql  # '' doubling, repairer.py:514-516
+
+
+def test_repair_sql_converges_on_real_database(spark, src, tgt):
+    """End-to-end repair loop (reconcile.py:490-522 analog): apply the
+    generated SQL to a real SQL engine holding the target, then
+    re-diff — every discrepancy must be gone."""
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, name TEXT, "
+                "amount REAL, note TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?)",
+        [tuple(r) for r in tgt.collect()],
+    )
+    diff = diff_datasets(src, tgt, ["id"])
+    actions = generate_repair_actions(diff, src, ["id"], "t").collect()
+    for r in sorted(actions, key=lambda r: r["priority"]):
+        con.execute(r["repair_sql"])
+    con.commit()
+    repaired = spark.createDataFrame(
+        [tuple(row) for row in con.execute(
+            "SELECT id, name, amount, note FROM t ORDER BY id")],
+        SCHEMA,
+    )
+    re_diff = diff_datasets(src, repaired, ["id"])
+    assert {r["diff_type"] for r in re_diff.collect()} == {"match"}
