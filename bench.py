@@ -28,6 +28,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
 
+    # JVM/codegen warmup so the alphabetically-first query doesn't
+    # absorb session startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     timings: dict[str, float] = {}
     for name in sorted(specs):
         fn = specs[name].fn

@@ -308,3 +308,49 @@ def cdc_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / F.count(F.lit(1))
                 / F.lit(100.0), 2).alias("value_avg"),
     )
+
+
+@query(
+    "q_cdc_partial_update",
+    oracle="""
+    WITH change AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value,
+               CASE WHEN event_type = 'click' THEN NULL ELSE props END AS props
+        FROM events
+    )
+    SELECT DISTINCT user_id,
+           LAST_VALUE(value IGNORE NULLS) OVER w AS value,
+           LAST_VALUE(props IGNORE NULLS) OVER w AS props,
+           LAST_VALUE(ts_ms) OVER w AS ts_ms
+    FROM change
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts_ms, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-preserving partial-update merge (the reference's
+    BEFORE-UPDATE trigger, `handle-partial-updates.sql:6-54`): derive
+    partial updates from events ('view' omits value, 'click' omits
+    props), then merge with last-NON-NULL-per-column semantics — NOT
+    last-row-wins (SURVEY.md §7 phase 5 hard part (a))."""
+    from scylla_pg_cdc_spark.streaming.pipeline import compact_partial_updates
+
+    events = load_table(spark, sf_dir, "events")
+    change = events.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.when(F.col("event_type") == "view", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_type") == "click", F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    merged = compact_partial_updates(
+        change, "user_id", ["value", "props"], order_cols=("ts_ms", "event_id")
+    )
+    return merged.select("user_id", "value", "props", "ts_ms")

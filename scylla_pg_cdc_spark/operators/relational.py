@@ -428,3 +428,33 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return a.subtract(b)
+
+
+@query(
+    "q_supplier_balance",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_suppliers,
+           SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) / 100.0 AS acctbal_total,
+           SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) / COUNT(*) / 100.0
+               AS acctbal_avg
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account balances per nation (J8+A2 shape; completes
+    synthetic-table coverage — supplier was the only unused table)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sc = cents("s_acctbal")
+    cnt = F.count(F.lit(1))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            cnt.alias("n_suppliers"),
+            (F.sum(sc) / F.lit(100.0)).alias("acctbal_total"),
+            (F.sum(sc) / cnt / F.lit(100.0)).alias("acctbal_avg"),
+        )
+    )

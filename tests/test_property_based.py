@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) — a testing mode the reference
+lacks (SURVEY.md §5 'not present'): randomized perturbations must
+always satisfy the diff engine's algebraic invariants, and random
+schema edits must satisfy compatibility-mode algebra."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from scylla_pg_cdc_spark.functions.schema_evolution import (
+    BACKWARD,
+    FORWARD,
+    FULL,
+    check_compatibility,
+)
+from scylla_pg_cdc_spark.operators.reconcile import diff_datasets
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, value) universe; keys may repeat across src/tgt with different values
+row_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 5)),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@SETTINGS
+@given(src_rows=row_strategy, tgt_rows=row_strategy)
+def test_diff_partition_invariants(spark, src_rows, tgt_rows):
+    """The 4 classes partition the key universe:
+    missing+match+mismatch = |src|, extra+match+mismatch = |tgt|,
+    and classification matches set algebra exactly."""
+    schema = "k long, v long"
+    src = spark.createDataFrame(src_rows or [], schema)
+    tgt = spark.createDataFrame(tgt_rows or [], schema)
+    diff = {r["k"]: r["diff_type"] for r in diff_datasets(src, tgt, ["k"]).collect()}
+
+    s = dict(src_rows)
+    t = dict(tgt_rows)
+    for k in set(s) | set(t):
+        if k in s and k not in t:
+            assert diff[k] == "missing"
+        elif k in t and k not in s:
+            assert diff[k] == "extra"
+        elif s[k] == t[k]:
+            assert diff[k] == "match"
+        else:
+            assert diff[k] == "mismatch"
+    assert set(diff) == set(s) | set(t)
+
+
+@SETTINGS
+@given(src_rows=row_strategy, tgt_rows=row_strategy)
+def test_diff_symmetry(spark, src_rows, tgt_rows):
+    """Swapping source and target swaps missing<->extra and preserves
+    match/mismatch."""
+    schema = "k long, v long"
+    src = spark.createDataFrame(src_rows or [], schema)
+    tgt = spark.createDataFrame(tgt_rows or [], schema)
+    fwd = {r["k"]: r["diff_type"] for r in diff_datasets(src, tgt, ["k"]).collect()}
+    rev = {r["k"]: r["diff_type"] for r in diff_datasets(tgt, src, ["k"]).collect()}
+    swap = {"missing": "extra", "extra": "missing",
+            "match": "match", "mismatch": "mismatch"}
+    assert rev == {k: swap[v] for k, v in fwd.items()}
+
+
+field_pool = ["a", "b", "c", "d", "e"]
+schema_strategy = st.lists(
+    st.tuples(st.sampled_from(field_pool), st.booleans()),
+    min_size=1, max_size=5, unique_by=lambda t: t[0],
+)
+
+
+def _mk(fields):
+    return StructType(
+        [StructField(n, LongType() if n < "c" else StringType(), nullable)
+         for n, nullable in fields]
+    )
+
+
+@SETTINGS
+@given(old=schema_strategy, new=schema_strategy)
+def test_compatibility_mode_algebra(spark, old, new):
+    """FULL <=> BACKWARD and FORWARD; self-compatibility always holds;
+    BACKWARD(new, old) == FORWARD(old, new)."""
+    so, sn = _mk(old), _mk(new)
+    assert check_compatibility(so, so, FULL).compatible
+    b = check_compatibility(sn, so, BACKWARD).compatible
+    f = check_compatibility(sn, so, FORWARD).compatible
+    full = check_compatibility(sn, so, FULL).compatible
+    assert full == (b and f)
+    assert f == check_compatibility(so, sn, BACKWARD).compatible
