@@ -115,7 +115,8 @@ def q_agg_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_conditional",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_finished,
            COUNT(*) AS n_total,
            100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
                  / COUNT(*) AS finished_pct
@@ -280,8 +281,8 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey % 97 <> 0
     )
     SELECT COUNT(*) AS source_rows,
-           SUM(CASE WHEN ABS(s.o_totalprice - t.t_totalprice) < 0.01
-                    THEN 1 ELSE 0 END) AS matched_rows,
+           CAST(SUM(CASE WHEN ABS(s.o_totalprice - t.t_totalprice) < 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS matched_rows,
            100.0 * SUM(CASE WHEN ABS(s.o_totalprice - t.t_totalprice) < 0.01
                             THEN 1 ELSE 0 END) / COUNT(*) AS accuracy_pct,
            CASE WHEN 100.0 * SUM(CASE WHEN ABS(s.o_totalprice - t.t_totalprice) < 0.01

@@ -191,10 +191,10 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sessions AS (
         SELECT user_id, event_id, ts_ms,
-               SUM(is_new) OVER (
+               CAST(SUM(is_new) OVER (
                    PARTITION BY user_id ORDER BY ts_ms, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,

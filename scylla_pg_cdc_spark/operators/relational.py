@@ -181,7 +181,8 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name,
            COUNT(o.o_orderkey) AS order_count,
-           COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0) AS total_cents
+           CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS total_cents
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
     """,

@@ -195,7 +195,8 @@ def q_scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,

@@ -46,6 +46,30 @@ def _norm_rows(rows):
     return sorted(tuple(_norm_cell(c) for c in row) for row in rows)
 
 
+def _spark_kind(simple: str) -> str:
+    if simple in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if simple in ("float", "double"):
+        return "float"
+    if simple == "boolean":
+        return "bool"
+    if simple.startswith(("timestamp", "date")):
+        return "time"
+    return "other"
+
+
+def _pandas_kind(dtype: str) -> str:
+    if dtype.startswith(("int", "uint")):
+        return "int"
+    if dtype.startswith("float"):
+        return "float"
+    if dtype == "bool":
+        return "bool"
+    if dtype.startswith("datetime"):
+        return "time"
+    return "other"
+
+
 def check(sf_dir: str, only: list[str] | None = None) -> int:
     specs = load_all()
     spark = get_session("oracle-check")
@@ -88,6 +112,25 @@ def check(sf_dir: str, only: list[str] | None = None) -> int:
         problems = []
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols spark={spark_cols} duck={duck_cols}")
+        else:
+            # dtype-kind parity: DuckDB HUGEINT->float64 via pandas is the
+            # classic silent killer (int sums hashing as floats)
+            duck_df = con.execute(spec.oracle).df()
+            duck_kinds = {
+                c.lower(): _pandas_kind(str(t))
+                for c, t in duck_df.dtypes.items()
+            }
+            spark_kinds = {
+                f.name.lower(): _spark_kind(f.dataType.simpleString())
+                for f in sdf.schema.fields
+            }
+            kind_diffs = {
+                c: (spark_kinds[c], duck_kinds[c])
+                for c in spark_kinds
+                if duck_kinds.get(c) and spark_kinds[c] != duck_kinds[c]
+            }
+            if kind_diffs:
+                problems.append(f"dtype-kind mismatch {kind_diffs}")
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
         if not problems:
