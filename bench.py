@@ -28,11 +28,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
 
-    # JVM/codegen warmup so the alphabetically-first query doesn't
-    # absorb session startup cost
+    # JVM/codegen warmup + parquet footer/FS cache touch so the
+    # alphabetically-first queries don't absorb one-time IO costs
     spark.range(1_000_000).selectExpr("sum(id)").write.mode(
         "overwrite"
     ).format("noop").save()
+    from scylla_pg_cdc_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).limit(1).write.mode("overwrite").format(
+            "noop"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in sorted(specs):

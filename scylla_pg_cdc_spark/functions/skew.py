@@ -1,0 +1,76 @@
+"""Skew mitigation: salted joins for power-law keys.
+
+AQE's skew-join split handles most skew automatically (enabled in
+``session.py``), but extreme hot keys in *aggregations* and in joins
+AQE can't split (e.g. broadcast-ineligible build sides) need salting:
+replicate the small side k times and scatter the big side's hot keys
+across k sub-keys, turning one straggler partition into k parallel
+ones. Deterministic salt = pmod(hash(entire row), k), so results are
+reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    n_salt: int = 8,
+) -> DataFrame:
+    """Equi-join big⋈small on ``on`` with the big side scattered over
+    ``n_salt`` sub-partitions per key and the small side replicated
+    ``n_salt`` times. Result is identical to a plain join; only the
+    shuffle distribution changes."""
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salt))
+    )
+    salted_small = small.join(
+        F.broadcast(
+            small.sparkSession.range(n_salt).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        ),
+        how="cross",
+    )
+    joined = salted_big.join(salted_small, on=[on, "__salt"], how=how)
+    return joined.drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salt: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial aggregate
+    on (keys..., salt), then final aggregate on keys. Supports the
+    decomposable aggregates sum/count/min/max (avg = sum/count at the
+    call site). Identical result to a direct groupBy."""
+    partial_exprs = []
+    final_exprs = []
+    for col, fn in aggs.items():
+        pname = f"__p_{fn}_{col}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(pname))
+            final_exprs.append(F.sum(pname).cast("long").alias(f"count_{col}"))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(pname))
+            final_exprs.append(F.sum(pname).alias(f"sum_{col}"))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(pname))
+            final_exprs.append(F.min(pname).alias(f"min_{col}"))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(pname))
+            final_exprs.append(F.max(pname).alias(f"max_{col}"))
+        else:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    partial = df.withColumn("__salt", salt).groupBy(
+        *keys, "__salt"
+    ).agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
