@@ -225,20 +225,26 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS ((status),(priority),()) (U1-analog)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "orders_gs_view"
-    )
-    return spark.sql(
-        """
-        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-               COALESCE(o_orderpriority, 'ALL') AS priority,
-               COUNT(*) AS n,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE)
-                   AS total_amount
-        FROM orders_gs_view
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+    """GROUPING SETS ((status),(priority),()) (U1-analog) via the
+    native DataFrame.groupingSets API — no temp view, so concurrent
+    query execution on one session cannot race on view names."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total_amount"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total_amount",
+        )
     )
 
 
