@@ -505,3 +505,52 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
         ).cast("long").alias("bpe_ish_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# spark.ml MinHashLSH variant (the MLlib-native scale path)
+# ---------------------------------------------------------------------------
+
+def ml_minhash_neardup_pairs(
+    docs: DataFrame,
+    shingle_k: int = 3,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via ml.feature.MinHashLSH: shingles ->
+    HashingTF binary vectors -> MinHashLSH.approxSimilarityJoin.
+
+    The expression-based ``minhash_signatures``/``lsh_candidate_pairs``
+    is the engine-portable construction with an exact oracle; this
+    MLlib variant is the drop-in for clusters that prefer the built-in
+    estimator (seeded => deterministic). Returns (doc_a, doc_b,
+    jaccard_dist)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = shingles(docs, k=shingle_k)
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingle_set")
+    )
+    tf = HashingTF(
+        inputCol="shingle_set", outputCol="features",
+        numFeatures=num_features, binary=True,
+    )
+    feats = tf.transform(sets)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, max_jaccard_distance, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            "jaccard_dist",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )

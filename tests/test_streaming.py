@@ -120,3 +120,28 @@ def test_plain_last_row_wins_would_differ(spark):
     )
     merged = compact_partial_updates(df, "key", ["name", "email"]).collect()[0]
     assert merged["name"] == "alice"  # preserved, not clobbered to None
+
+
+def test_stream_dedup_within_watermark(spark, work_dir):
+    """T10 streaming face: a doubled stream deduplicated with
+    dropDuplicatesWithinWatermark yields exactly the distinct events."""
+    import os
+
+    from scylla_pg_cdc_spark.streaming.pipeline import read_event_stream
+
+    stream = read_event_stream(spark, SF_SMALL).withWatermark("ts", "1 hour")
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    name = "dedup_" + os.path.basename(work_dir).replace("-", "_")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).count()
+    from scylla_pg_cdc_spark.sources.tables import load_table
+
+    want = load_table(spark, SF_SMALL, "events").count()
+    assert got == want
