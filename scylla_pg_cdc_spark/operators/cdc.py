@@ -354,3 +354,29 @@ def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         change, "user_id", ["value", "props"], order_cols=("ts_ms", "event_id")
     )
     return merged.select("user_id", "value", "props", "ts_ms")
+
+
+def apply_truncates(change: DataFrame, op_col: str = "op",
+                    order_cols: tuple[str, ...] = ("commit_ms", "event_id")) -> DataFrame:
+    """TRUNCATE semantics (the 4th operation in the reference's enum,
+    `data-model.md:30-34`): a TRUNCATE event erases ALL state written
+    before it, across every key. Implemented as a high-water-mark
+    anti-filter: find the latest TRUNCATE position (a 2-row broadcast,
+    not a shuffle) and keep only strictly-later change events.
+
+    Composes with compact_latest: apply_truncates -> compact_latest
+    materializes the post-truncate state."""
+    trunc = change.filter(F.col(op_col) == "TRUNCATE")
+    hwm_row = trunc.agg(
+        *[F.max(c).alias(c) for c in order_cols]
+    ).head()
+    if hwm_row is None or hwm_row[order_cols[0]] is None:
+        return change.filter(F.col(op_col) != "TRUNCATE")
+    hwm = tuple(hwm_row[c] for c in order_cols)
+    after = (F.col(order_cols[0]) > hwm[0])
+    for i in range(1, len(order_cols)):
+        eq_prefix = F.lit(True)
+        for j in range(i):
+            eq_prefix = eq_prefix & (F.col(order_cols[j]) == hwm[j])
+        after = after | (eq_prefix & (F.col(order_cols[i]) > hwm[i]))
+    return change.filter(after).filter(F.col(op_col) != "TRUNCATE")
