@@ -117,11 +117,18 @@ def merge_batch_into_state(
 
 
 def run_upsert_pipeline(
-    spark: SparkSession, sf_dir: str, work_dir: str
+    spark: SparkSession, sf_dir: str, work_dir: str,
+    max_retries: int = 10, backoff_ms: int = 3000,
 ) -> dict[str, str]:
     """End-to-end streaming CDC pipeline with DLQ split:
-    readStream -> transform -> foreachBatch(main: upsert merge;
-    poison: append to dlq/). Returns output paths."""
+    readStream -> transform -> foreachBatch(main: upsert merge with
+    retry/backoff; poison: append to dlq/). Returns output paths.
+
+    The state merge is wrapped in the reference's retry policy
+    (`max.retries=10, retry.backoff.ms=3000`,
+    `postgres-sink.json:32-33`); if retries exhaust, the whole batch
+    escalates to the DLQ with the error context
+    (`data-model.md:477-489`)."""
     state_dir = os.path.join(work_dir, "state")
     dlq_dir = os.path.join(work_dir, "dlq")
     checkpoint = os.path.join(work_dir, "checkpoint")
@@ -137,7 +144,19 @@ def run_upsert_pipeline(
             ).withColumn("epoch_id", F.lit(epoch_id))
             if poison_rows.limit(1).count() > 0:
                 poison_rows.write.mode("append").parquet(dlq_dir)
-            merge_batch_into_state(batch.filter(~poison), state_dir)
+            merge = with_retries(
+                merge_batch_into_state,
+                max_retries=max_retries,
+                backoff_ms=backoff_ms,
+            )
+            try:
+                merge(batch.filter(~poison), state_dir)
+            except Exception as e:  # noqa: BLE001 — retries exhausted
+                batch.filter(~poison).withColumn(
+                    "error_context", F.lit(f"merge failed: {e}")
+                ).withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+                    "append"
+                ).parquet(dlq_dir)
         finally:
             batch.unpersist()
 
@@ -218,4 +237,55 @@ def compact_partial_updates(
         filled.withColumn("rn", F.row_number().over(pick))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+def with_retries(
+    fn,
+    max_retries: int = 10,
+    backoff_ms: int = 3000,
+    backoff_factor: float = 1.0,
+    sleep=None,
+):
+    """Retry wrapper for sink operations (T8): the reference sink
+    retries transient failures up to `max.retries=10` with
+    `retry.backoff.ms=3000` (`postgres-sink.json:32-33`) before
+    escalating to the DLQ (`data-model.md:477-489`).
+
+    Returns the wrapped callable's result; raises the LAST error after
+    exhausting retries (caller then routes the batch to the DLQ).
+    ``sleep`` is injectable for tests."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+
+    def run(*args, **kwargs):
+        delay = backoff_ms / 1000.0
+        last = None
+        for attempt in range(max_retries + 1):
+            try:
+                return fn(*args, **kwargs)
+            except Exception as e:  # noqa: BLE001
+                last = e
+                if attempt < max_retries:
+                    sleep(delay)
+                    delay *= backoff_factor
+        raise last
+
+    return run
+
+
+def heartbeat_stream(spark: SparkSession, interval_sec: int = 1) -> DataFrame:
+    """Synthetic liveness stream (T3, `heartbeat.interval.ms=1000`
+    `scylla-source.json:43-44`): Spark's rate source emits one row per
+    interval; used to advance watermarks on quiet change streams."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", max(1, int(1 / interval_sec)))
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.lit("heartbeat").alias("topic"),
+            F.col("value").alias("seq"),
+        )
     )

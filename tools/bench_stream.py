@@ -30,6 +30,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    from scylla_pg_cdc_spark.functions.metrics import ProgressListener
+
+    listener = ProgressListener()
+    spark.streams.addListener(listener)
     n_events = load_table(spark, sf_dir, "events").count()
     work = tempfile.mkdtemp(prefix="stream_bench_")
     try:
@@ -40,6 +44,12 @@ def main() -> None:
         n_dlq = spark.read.parquet(out["dlq"]).count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+        spark.streams.removeListener(listener)
+    batch_rates = [
+        p["processed_rows_per_sec"]
+        for p in listener.progress
+        if p["num_input_rows"]
+    ]
     print(
         json.dumps(
             {
@@ -50,6 +60,8 @@ def main() -> None:
                 "wall_sec": round(wall, 2),
                 "state_rows": n_state,
                 "dlq_rows": n_dlq,
+                "n_batches": len(batch_rates),
+                "batch_rows_per_sec": [round(r, 1) for r in batch_rates],
                 "sf_dir": sf_dir,
             }
         )
