@@ -40,12 +40,21 @@ from scylla_pg_cdc_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 
+def normalize_column_case(df: DataFrame) -> DataFrame:
+    """Lower-case all column names — the comparer's case-insensitive
+    field matching (`comparer.py:62-69`, keys `differ.py:724-726`).
+    Apply to both sides before ``diff_datasets`` when sources disagree
+    on identifier case (CQL lower vs warehouse mixed)."""
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
 def diff_datasets(
     source: DataFrame,
     target: DataFrame,
     keys: list[str],
     ignore_fields: tuple[str, ...] = (),
     float_tol: float = DEFAULT_FLOAT_TOL,
+    case_insensitive: bool = False,
 ) -> DataFrame:
     """Full-outer diff classification (J5, `differ.py:176-213`).
 
@@ -60,6 +69,11 @@ def diff_datasets(
     - ignore_fields mirrors the comparer's exclusion list
       (`comparer.py:74-80`, CLI --ignore-fields `reconcile.py:624`)
     """
+    if case_insensitive:
+        source = normalize_column_case(source)
+        target = normalize_column_case(target)
+        keys = [k.lower() for k in keys]
+        ignore_fields = tuple(c.lower() for c in ignore_fields)
     compare_cols = [
         c
         for c in source.columns

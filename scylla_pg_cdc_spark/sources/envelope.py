@@ -137,3 +137,10 @@ DEFAULT_RENAMES = {
     "created_at_value": "created_at",
     "updated_at_value": "updated_at",
 }
+
+
+def with_correlation_id(df: DataFrame, col_name: str = "correlation_id") -> DataFrame:
+    """UUID4 correlation-id generation (F13,
+    `src/utils/correlation.py:22-31`): one distributed-unique id per
+    record for end-to-end tracing. Non-deterministic by design."""
+    return df.withColumn(col_name, F.expr("uuid()"))

@@ -1,0 +1,80 @@
+"""Incremental materialized-view maintenance.
+
+The reference refreshes its analytic views by full recompute
+(`REFRESH MATERIALIZED VIEW CONCURRENTLY`, `docker/postgres/
+init.sql:233-239`) — O(table) per refresh. For decomposable aggregates
+(count/sum, and avg = sum/count) the Spark-native upgrade is delta
+maintenance: each micro-batch contributes
+
+    mv_new = combine(mv_old, +agg(rows added to state),
+                             -agg(rows removed from state))
+
+which is O(batch), not O(table). Min/max are NOT incrementally
+maintainable under deletes (a removed row may have held the extremum)
+— for those, fall back to recompute (the reference's behavior).
+
+``state_transition`` derives the (removed, added) row sets of one
+upsert-compaction epoch; ``apply_delta`` folds them into the MV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compute_mv(
+    state: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Full recompute face (the reference's REFRESH): per-group count +
+    sums over the current state."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.sum(c).alias(f"sum_{c}") for c in sum_cols
+    ]
+    return state.groupBy(*group_cols).agg(*aggs)
+
+
+def state_transition(
+    prev_state: DataFrame | None,
+    batch_latest: DataFrame,
+    key: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(removed, added) rows of one compaction epoch: for every key the
+    batch touches, its previous state row (if any) is removed and its
+    new live row (if not a delete) is added."""
+    touched = batch_latest.select(key).distinct()
+    if prev_state is None:
+        removed = batch_latest.filter(F.lit(False))
+    else:
+        removed = prev_state.join(touched, on=key, how="left_semi")
+    added = batch_latest.filter(F.col("op") != "DELETE")
+    return removed, added
+
+
+def apply_delta(
+    mv_old: DataFrame | None,
+    removed: DataFrame,
+    added: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Fold +added/-removed into the MV; groups whose row count drops
+    to zero disappear (matching recompute exactly)."""
+
+    def signed(df: DataFrame, sign: int) -> DataFrame:
+        aggs = [(F.count(F.lit(1)) * sign).cast("long").alias("n_rows")] + [
+            (F.sum(c) * sign).alias(f"sum_{c}") for c in sum_cols
+        ]
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    parts = [signed(added, 1), signed(removed, -1)]
+    if mv_old is not None:
+        parts.append(mv_old)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    folded = merged.groupBy(*group_cols).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+    return folded.filter(F.col("n_rows") > 0)

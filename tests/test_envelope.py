@@ -114,3 +114,13 @@ def test_route_extraction(spark):
     )
     routes = {r["route"] for r in df.collect()}
     assert routes == {"users", ""}  # heartbeat rows extract empty
+
+
+def test_correlation_ids_are_unique(spark):
+    from scylla_pg_cdc_spark.sources.envelope import with_correlation_id
+
+    df = with_correlation_id(spark.range(5000))
+    rows = df.collect()
+    ids = [r["correlation_id"] for r in rows]
+    assert len(set(ids)) == 5000
+    assert all(len(i) == 36 and i.count("-") == 4 for i in ids)

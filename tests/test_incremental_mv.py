@@ -1,0 +1,76 @@
+"""Incremental MV maintenance == full recompute across a multi-epoch
+upsert/delete sequence (S12 upgrade: O(batch) refresh instead of the
+reference's O(table) REFRESH MATERIALIZED VIEW)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.streaming.mv import (
+    apply_delta,
+    compute_mv,
+    state_transition,
+)
+
+SCHEMA = "key long, op string, grp string, v long, commit_ms long"
+
+
+def _compact(state_rows):
+    """Driver-side mini-compactor for building expected state."""
+    latest = {}
+    for r in state_rows:
+        k = r[0]
+        if k not in latest or r[4] >= latest[k][4]:
+            latest[k] = r
+    return [r for r in latest.values() if r[1] != "DELETE"]
+
+
+def test_incremental_equals_recompute_over_epochs(spark):
+    epochs = [
+        # epoch 1: inserts
+        [(1, "UPSERT", "a", 10, 1), (2, "UPSERT", "a", 20, 1),
+         (3, "UPSERT", "b", 30, 1)],
+        # epoch 2: update key 2 (group move a->b), delete key 3
+        [(2, "UPSERT", "b", 25, 2), (3, "DELETE", "b", 0, 2)],
+        # epoch 3: re-insert key 3 into a, new key 4
+        [(3, "UPSERT", "a", 35, 3), (4, "UPSERT", "b", 40, 3)],
+    ]
+    all_rows: list = []
+    mv = None
+    prev_state_rows: list = []
+    for batch_rows in epochs:
+        all_rows += batch_rows
+        batch = spark.createDataFrame(batch_rows, SCHEMA)
+        prev_state = (
+            spark.createDataFrame(prev_state_rows, SCHEMA)
+            if prev_state_rows
+            else None
+        )
+        removed, added = state_transition(prev_state, batch, "key")
+        mv = apply_delta(mv, removed, added, ["grp"], ["v"])
+        # materialize to avoid deep recursive plans across epochs
+        mv = spark.createDataFrame(mv.collect(), mv.schema)
+        prev_state_rows = _compact(all_rows)
+
+        expect_state = spark.createDataFrame(prev_state_rows, SCHEMA)
+        want = {
+            r["grp"]: (r["n_rows"], r["sum_v"])
+            for r in compute_mv(expect_state, ["grp"], ["v"]).collect()
+        }
+        got = {r["grp"]: (r["n_rows"], r["sum_v"]) for r in mv.collect()}
+        assert got == want, f"MV drift at epoch ending {batch_rows}"
+    # final sanity: group 'a' = keys 1,3; group 'b' = keys 2,4
+    got = {r["grp"]: (r["n_rows"], r["sum_v"]) for r in mv.collect()}
+    assert got == {"a": (2, 45), "b": (2, 65)}
+
+
+def test_empty_group_disappears(spark):
+    e1 = spark.createDataFrame([(1, "UPSERT", "only", 5, 1)], SCHEMA)
+    removed, added = state_transition(None, e1, "key")
+    mv = apply_delta(None, removed, added, ["grp"], ["v"])
+    assert {r["grp"] for r in mv.collect()} == {"only"}
+    e2 = spark.createDataFrame([(1, "DELETE", "only", 0, 2)], SCHEMA)
+    prev_state = e1
+    removed, added = state_transition(prev_state, e2, "key")
+    mv2 = apply_delta(mv, removed, added, ["grp"], ["v"])
+    assert mv2.count() == 0

@@ -167,3 +167,12 @@ def test_repair_sql_converges_on_real_database(spark, src, tgt):
     )
     re_diff = diff_datasets(src, repaired, ["id"])
     assert {r["diff_type"] for r in re_diff.collect()} == {"match"}
+
+
+def test_case_insensitive_column_matching(spark):
+    """comparer.py:62-69: mixed-case identifiers on one side must
+    still compare (CQL lower vs warehouse mixed)."""
+    s = spark.createDataFrame([(1, "a")], "ID long, Name string")
+    t = spark.createDataFrame([(1, "b")], "id long, name string")
+    d = diff_datasets(s, t, ["id"], case_insensitive=True).collect()
+    assert d[0]["diff_type"] == "mismatch" and list(d[0]["diff_fields"]) == ["name"]
