@@ -40,6 +40,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration)."""
     import scylla_pg_cdc_spark.operators.relational  # noqa: F401
+    import scylla_pg_cdc_spark.operators.subqueries  # noqa: F401
     import scylla_pg_cdc_spark.operators.aggregates  # noqa: F401
     import scylla_pg_cdc_spark.operators.windows  # noqa: F401
     import scylla_pg_cdc_spark.operators.scalars  # noqa: F401
