@@ -380,3 +380,38 @@ def apply_truncates(change: DataFrame, op_col: str = "op",
             eq_prefix = eq_prefix & (F.col(order_cols[j]) == hwm[j])
         after = after | (eq_prefix & (F.col(order_cols[i]) > hwm[i]))
     return change.filter(after).filter(F.col(op_col) != "TRUNCATE")
+
+
+def compact_latest_agg(change: DataFrame, keep_deleted: bool = False) -> DataFrame:
+    """Aggregation-based upsert compaction: max_by(row, (commit_ms,
+    event_id)) per key.
+
+    Identical output to ``compact_latest`` (tested), different physical
+    plan: a hash aggregation with MAP-SIDE PARTIAL COMBINE instead of a
+    shuffle + per-partition sort. With CDC amplification (the reference
+    measures 6-8 messages per DB op, `docs/
+    pipeline_throughput_analysis.md:519-532`) most duplicate-key rows
+    collapse before the shuffle, so shuffle bytes drop from O(events)
+    to O(keys x map-partitions) — the right plan when updates-per-key
+    is high, which is exactly the 100 TB CDC case. Use the window
+    variant when you also need rank/lag context."""
+    value_cols = [c for c in change.columns if c != "key"]
+    latest = (
+        change.groupBy("key")
+        .agg(
+            F.max_by(
+                F.struct(*value_cols),
+                F.struct(F.col("commit_ms"), F.col("event_id")),
+            ).alias("__r")
+        )
+        .select(
+            *[
+                F.col("key") if c == "key" else F.col(f"__r.{c}").alias(c)
+                for c in change.columns
+            ]
+        )
+        .withColumn("__deleted", F.col("op") == "DELETE")
+    )
+    if keep_deleted:
+        return latest
+    return latest.filter(~F.col("__deleted")).drop("__deleted")

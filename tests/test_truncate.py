@@ -55,3 +55,26 @@ def test_truncate_tiebreak_on_event_id(spark):
     ])
     state = compact_latest(apply_truncates(change))
     assert {r["key"] for r in state.collect()} == {2}
+
+
+def test_compact_latest_agg_equals_window_variant(spark):
+    """The max_by aggregation compaction must produce exactly the
+    window compaction's rows (both keep_deleted modes) on the real
+    events stream."""
+    from scylla_pg_cdc_spark.operators.cdc import (
+        as_change_stream,
+        compact_latest,
+        compact_latest_agg,
+    )
+    from scylla_pg_cdc_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    change = as_change_stream(load_table(spark, SF_SMALL, "events"))
+    for keep in (False, True):
+        a = sorted(
+            map(tuple, compact_latest(change, keep_deleted=keep).collect())
+        )
+        b = sorted(
+            map(tuple, compact_latest_agg(change, keep_deleted=keep).collect())
+        )
+        assert a == b
