@@ -39,3 +39,20 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    partition_col: str = "event_date",
+) -> None:
+    """Persist a fact table partitioned by event date. At 100 TB this
+    is the first-order scan reducer: time-bounded queries read only
+    the matching date directories (PartitionFilters in the plan), and
+    retention becomes a directory drop instead of a delete job."""
+    from pyspark.sql import functions as F
+
+    df.withColumn(partition_col, F.to_date(ts_col)).write.mode(
+        "overwrite"
+    ).partitionBy(partition_col).parquet(path)

@@ -66,3 +66,25 @@ def test_bucketed_aggregation_has_no_shuffle(spark, bucketed_tables):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "groupBy on bucket key must not shuffle"
+
+
+def test_date_partitioned_scan_prunes(spark, tmp_path):
+    """A date filter over a date-partitioned fact table must prune at
+    the partition level (PartitionFilters), not scan-and-filter."""
+    from scylla_pg_cdc_spark.sources.bucketed import write_date_partitioned
+
+    events = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "events_by_day")
+    write_date_partitioned(events, path, "ts")
+
+    pruned = spark.read.parquet(path).filter(
+        F.col("event_date") == "2024-01-03"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    # only one day's directory is read
+    files = pruned.select(F.input_file_name()).distinct().collect()
+    assert all("event_date=2024-01-03" in r[0] for r in files)
+    # and the row count matches the unpartitioned filter
+    want = events.filter(F.to_date("ts") == "2024-01-03").count()
+    assert pruned.count() == want > 0
