@@ -94,7 +94,12 @@ class AlertRule:
 
 def evaluate_alerts(metrics: DataFrame, rules: list[AlertRule]) -> DataFrame:
     """Fire rules against a metrics DataFrame; one output row per
-    (metric row, fired rule)."""
+    (metric row, fired rule). An empty rule list yields an empty
+    result, not an error."""
+    if not rules:
+        return metrics.sparkSession.createDataFrame(
+            [], "alert string, severity string, context string"
+        )
     fired = [
         metrics.filter(r.predicate).select(
             F.lit(r.name).alias("alert"),

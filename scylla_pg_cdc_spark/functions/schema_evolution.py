@@ -70,10 +70,15 @@ def _is_type_compatible(old: DataType, new: DataType) -> bool:
 
 def _can_read(reader: StructType, writer: StructType) -> list[str]:
     """Errors preventing ``reader`` from consuming ``writer`` data.
-    A reader field absent from the writer needs a default => here,
-    nullable (union-with-null, schema_validator.py:445-458)."""
+    A field present on only one side needs a default => here, nullable
+    (union-with-null, schema_validator.py:445-458). Like the reference
+    validator, a *removed* required field is also flagged
+    (`schema_validator.py:283-294`: "Field removed without default
+    value") — conservative relative to pure Avro reader semantics, but
+    it is the contract the reference enforces."""
     errors: list[str] = []
     writer_fields = {f.name: f for f in writer.fields}
+    reader_fields = {f.name: f for f in reader.fields}
     for rf in reader.fields:
         wf = writer_fields.get(rf.name)
         if wf is None:
@@ -89,6 +94,11 @@ def _can_read(reader: StructType, writer: StructType) -> list[str]:
             )
         if wf.nullable and not rf.nullable:
             errors.append(f"field '{rf.name}': nullable -> required narrowing")
+    for wf in writer.fields:
+        if wf.name not in reader_fields and not wf.nullable:
+            errors.append(
+                f"field '{wf.name}' removed without default (not nullable)"
+            )
     return errors
 
 

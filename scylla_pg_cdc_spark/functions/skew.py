@@ -56,7 +56,10 @@ def salted_aggregate(
     for col, fn in aggs.items():
         pname = f"__p_{fn}_{col}"
         if fn == "count":
-            partial_exprs.append(F.count(F.lit(1)).alias(pname))
+            # count(col) skips NULLs, matching a direct groupBy agg;
+            # use the literal "*" column name for a row count
+            counted = F.count(F.lit(1)) if col == "*" else F.count(col)
+            partial_exprs.append(counted.alias(pname))
             final_exprs.append(F.sum(pname).cast("long").alias(f"count_{col}"))
         elif fn == "sum":
             partial_exprs.append(F.sum(col).alias(pname))

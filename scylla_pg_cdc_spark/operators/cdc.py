@@ -367,12 +367,15 @@ def apply_truncates(change: DataFrame, op_col: str = "op",
     Composes with compact_latest: apply_truncates -> compact_latest
     materializes the post-truncate state."""
     trunc = change.filter(F.col(op_col) == "TRUNCATE")
+    # lexicographic max over the FULL order tuple — independent
+    # per-column maxima would fabricate a phantom position (e.g.
+    # truncates at (20,9) and (30,2) must yield HWM (30,2), not (30,9))
     hwm_row = trunc.agg(
-        *[F.max(c).alias(c) for c in order_cols]
+        F.max(F.struct(*[F.col(c) for c in order_cols])).alias("hwm")
     ).head()
-    if hwm_row is None or hwm_row[order_cols[0]] is None:
+    if hwm_row is None or hwm_row["hwm"] is None:
         return change.filter(F.col(op_col) != "TRUNCATE")
-    hwm = tuple(hwm_row[c] for c in order_cols)
+    hwm = tuple(hwm_row["hwm"][c] for c in order_cols)
     after = (F.col(order_cols[0]) > hwm[0])
     for i in range(1, len(order_cols)):
         eq_prefix = F.lit(True)

@@ -79,16 +79,19 @@ def diff_datasets(
         for c in source.columns
         if c in set(target.columns) and c not in keys and c not in set(ignore_fields)
     ]
-    s = source.alias("src")
-    t = target.alias("tgt")
+    # presence markers, not key-null checks: the join condition is
+    # null-safe, so a legitimately-NULL key column must still count as
+    # "present on this side"
+    s = source.withColumn("__src_present", F.lit(True)).alias("src")
+    t = target.withColumn("__tgt_present", F.lit(True)).alias("tgt")
     cond = None
     for k in keys:
         c = F.col(f"src.{k}").eqNullSafe(F.col(f"tgt.{k}"))
         cond = c if cond is None else cond & c
     joined = s.join(t, cond, "full_outer")
 
-    src_absent = F.col(f"src.{keys[0]}").isNull()
-    tgt_absent = F.col(f"tgt.{keys[0]}").isNull()
+    src_absent = F.col("src.__src_present").isNull()
+    tgt_absent = F.col("tgt.__tgt_present").isNull()
     equal = row_equal("src", "tgt", source.schema, compare_cols, float_tol)
     diffs = differing_fields("src", "tgt", source.schema, compare_cols, float_tol)
 
@@ -198,7 +201,11 @@ def generate_repair_actions(
         ", ",
         *[F.concat(F.lit(f"{c} = "), fmt(c)) for c in non_keys],
     )
-    where_clause = F.concat(F.lit(f"{key} = "), fmt(key))
+    # WHERE covers EVERY key column — a first-component-only clause
+    # would make composite-key DELETE/UPDATE hit sibling rows
+    where_clause = F.concat_ws(
+        " AND ", *[F.concat(F.lit(f"{k} = "), fmt(k)) for k in keys]
+    )
 
     sql = (
         F.when(

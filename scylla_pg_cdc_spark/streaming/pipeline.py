@@ -50,15 +50,25 @@ EVENTS_RAW_SCHEMA = StructType(
     ]
 )
 
-TOMBSTONE_TYPE = "error"
+from scylla_pg_cdc_spark.operators.cdc import (  # noqa: E402  (one
+    TOMBSTONE_TYPE,  # definition of the envelope/tombstone contract —
+    as_change_stream,  # the batch face the oracles verify)
+)
+
+__all__ = ["TOMBSTONE_TYPE", "as_change_stream"]
 
 
 def poison_predicate():
     """Deterministic DLQ poison predicate (built lazily — Column
-    construction needs an active session)."""
-    return (F.get_json_object("props", "$.k").cast("long") > 90) | (
+    construction needs an active session). Null-safe: a NULL value or
+    missing JSON key must evaluate to NOT-poison, so the main/DLQ split
+    is a true partition — with a raw three-valued predicate, rows where
+    it evaluates NULL would fail BOTH filter(p) and filter(~p) and
+    vanish from the pipeline."""
+    raw = (F.get_json_object("props", "$.k").cast("long") > 90) | (
         F.col("value") < 1.0
     )
+    return F.coalesce(raw, F.lit(False))
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,18 +85,10 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def to_change_events(stream: DataFrame) -> DataFrame:
     """Envelope-unwrap transform chain (P1-P6 analogs): normalize to
-    (key, op, after-image, commit_ms)."""
-    return stream.select(
-        "event_id",
-        F.col("user_id").alias("key"),
-        F.when(F.col("event_type") == TOMBSTONE_TYPE, "DELETE")
-        .otherwise("UPSERT")
-        .alias("op"),
-        "event_type",
-        "value",
-        "props",
-        F.unix_millis("ts").alias("commit_ms"),
-    )
+    (key, op, after-image, commit_ms). Delegates to the batch face's
+    ``as_change_stream`` — ONE definition of the envelope, so the
+    batch oracles verify exactly what the stream executes."""
+    return as_change_stream(stream)
 
 
 def merge_batch_into_state(
@@ -95,25 +97,52 @@ def merge_batch_into_state(
     """foreachBatch upsert merge (T7): union previous state with the
     micro-batch, keep latest per key (tombstones retained as
     ``__deleted`` rows so later upserts can resurrect the key).
-    Overwrite-by-epoch => idempotent under replays (T9)."""
+    Overwrite-by-epoch => idempotent under replays (T9).
+
+    Crash safety: the new state is fully written to ``<dir>_next``
+    first, then swapped in with atomic directory renames (old state
+    parked at ``<dir>_prev`` until the swap completes); a reader/retry
+    that finds no ``state`` dir falls back to ``_prev``. "State dir
+    missing" is detected explicitly — any *other* read error is
+    re-raised rather than silently treated as first-epoch (which would
+    rebuild state from one batch and lose every compacted key)."""
+    import shutil
+
+    from scylla_pg_cdc_spark.operators.cdc import compact_latest
+
     spark = batch.sparkSession
     cols = ["event_id", key, "op", "event_type", "value", "props", "commit_ms"]
-    try:
-        prev = spark.read.parquet(state_dir).select(*cols)
+    prev_dir = _existing_state_dir(state_dir)
+    if prev_dir is not None:
+        prev = spark.read.parquet(prev_dir).select(*cols)
         merged = prev.unionByName(batch.select(*cols))
-    except Exception:  # first epoch: no state yet
+    else:
         merged = batch.select(*cols)
-    w = Window.partitionBy(key).orderBy(
-        F.col("commit_ms").desc(), F.col("event_id").desc()
-    )
-    latest = (
-        merged.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    latest.write.mode("overwrite").parquet(state_dir + "_next")
-    # atomic-ish swap via overwrite of the state dir
-    spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(state_dir)
+    latest = compact_latest(
+        merged.withColumnRenamed(key, "key"), keep_deleted=True
+    ).drop("__deleted").withColumnRenamed("key", key).select(*cols)
+
+    next_dir = state_dir + "_next"
+    shutil.rmtree(next_dir, ignore_errors=True)
+    latest.write.mode("overwrite").parquet(next_dir)
+    # swap: park current, promote next, drop parked (renames are atomic
+    # on a local/posix fs; object stores would use a manifest instead)
+    back_dir = state_dir + "_prev"
+    shutil.rmtree(back_dir, ignore_errors=True)
+    if os.path.exists(state_dir):
+        os.rename(state_dir, back_dir)
+    os.rename(next_dir, state_dir)
+    shutil.rmtree(back_dir, ignore_errors=True)
+
+
+def _existing_state_dir(state_dir: str) -> str | None:
+    """Current committed state: the live dir, or the parked ``_prev``
+    if a crash hit between the two swap renames."""
+    if os.path.exists(state_dir):
+        return state_dir
+    if os.path.exists(state_dir + "_prev"):
+        return state_dir + "_prev"
+    return None
 
 
 def run_upsert_pipeline(
@@ -277,15 +306,17 @@ def with_retries(
 
 def heartbeat_stream(spark: SparkSession, interval_sec: int = 1) -> DataFrame:
     """Synthetic liveness stream (T3, `heartbeat.interval.ms=1000`
-    `scylla-source.json:43-44`): Spark's rate source emits one row per
-    interval; used to advance watermarks on quiet change streams."""
-    return (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", max(1, int(1 / interval_sec)))
-        .load()
-        .select(
-            F.col("timestamp").alias("ts"),
-            F.lit("heartbeat").alias("topic"),
-            F.col("value").alias("seq"),
-        )
+    `scylla-source.json:43-44`): one row per ``interval_sec``, used to
+    advance watermarks on quiet change streams. The rate source can't
+    emit fractional rows/sec, so it runs at 1 row/sec and keeps every
+    interval_sec-th tick."""
+    ticks = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    return ticks.filter(
+        F.col("value") % F.lit(max(1, int(interval_sec))) == 0
+    ).select(
+        F.col("timestamp").alias("ts"),
+        F.lit("heartbeat").alias("topic"),
+        F.col("value").alias("seq"),
     )

@@ -90,3 +90,10 @@ def test_progress_listener_captures_batches(spark, tmp_path):
         assert sum(p["num_input_rows"] for p in listener.progress) > 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_evaluate_alerts_empty_rules_returns_empty(spark):
+    metrics = spark.createDataFrame([(1.0,)], "lag_sec double")
+    out = evaluate_alerts(metrics, [])
+    assert out.count() == 0
+    assert out.columns == ["alert", "severity", "context"]

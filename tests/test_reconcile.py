@@ -176,3 +176,30 @@ def test_case_insensitive_column_matching(spark):
     t = spark.createDataFrame([(1, "b")], "id long, name string")
     d = diff_datasets(s, t, ["id"], case_insensitive=True).collect()
     assert d[0]["diff_type"] == "mismatch" and list(d[0]["diff_fields"]) == ["name"]
+
+
+def test_composite_key_repair_where_covers_all_keys(spark):
+    s = spark.createDataFrame(
+        [(7, 1, "a"), (7, 2, "b")], "order_id long, line_no long, v string"
+    )
+    t = spark.createDataFrame(
+        [(7, 1, "a"), (7, 2, "b"), (7, 3, "c")],
+        "order_id long, line_no long, v string",
+    )
+    diff = diff_datasets(s, t, ["order_id", "line_no"])
+    actions = generate_repair_actions(
+        diff, s, ["order_id", "line_no"], "t"
+    ).collect()
+    delete = [r for r in actions if r["action_type"] == "DELETE"][0]
+    assert delete["repair_sql"] == (
+        "DELETE FROM t WHERE order_id = 7 AND line_no = 3"
+    )
+
+
+def test_null_key_rows_classified_by_presence_not_key_null(spark):
+    """A legitimately-NULL key matched by the null-safe join must be a
+    'match', not 'missing'."""
+    s = spark.createDataFrame([(None, "a", 1.0, None)], SCHEMA)
+    t = spark.createDataFrame([(None, "a", 1.0, None)], SCHEMA)
+    d = diff_datasets(s, t, ["id"]).collect()
+    assert len(d) == 1 and d[0]["diff_type"] == "match"

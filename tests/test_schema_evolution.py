@@ -60,12 +60,12 @@ def test_remove_nullable_field_compatible_both_ways():
     assert check_compatibility(new, BASE, FORWARD).compatible
 
 
-def test_remove_required_field_breaks_forward():
-    # old readers require 'id' (non-nullable) which new data lacks
+def test_remove_required_field_breaks_both_directions():
+    # the reference flags removed required fields in either direction
+    # (schema_validator.py:283-294 "removed without default")
     new = s(("name", StringType(), True))
-    assert check_compatibility(new, BASE, BACKWARD).compatible
-    res = check_compatibility(new, BASE, FORWARD)
-    assert not res.compatible
+    assert not check_compatibility(new, BASE, BACKWARD).compatible
+    assert not check_compatibility(new, BASE, FORWARD).compatible
 
 
 def test_type_promotion_int_to_long_to_double():

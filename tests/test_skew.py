@@ -66,3 +66,15 @@ def test_salted_aggregate_matches_plain(spark, skewed):
 def test_salted_aggregate_rejects_non_decomposable(spark, skewed):
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_aggregate(skewed, ["k"], {"v": "median"})
+
+
+def test_salted_count_skips_nulls_like_plain_count(spark):
+    df = spark.createDataFrame(
+        [(1, None), (1, 5), (2, 7)], "k long, v long"
+    )
+    got = {r["k"]: r["count_v"] for r in
+           salted_aggregate(df, ["k"], {"v": "count"}, n_salt=4).collect()}
+    assert got == {1: 1, 2: 1}
+    got_star = {r["k"]: r["count_*"] for r in
+                salted_aggregate(df, ["k"], {"*": "count"}, n_salt=4).collect()}
+    assert got_star == {1: 2, 2: 1}

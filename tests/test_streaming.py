@@ -145,3 +145,49 @@ def test_stream_dedup_within_watermark(spark, work_dir):
 
     want = load_table(spark, SF_SMALL, "events").count()
     assert got == want
+
+
+def test_null_poison_rows_route_to_main_not_dropped(spark):
+    """A row where the poison predicate is three-valued NULL must land
+    in exactly one branch (main), not vanish."""
+    from scylla_pg_cdc_spark.streaming.pipeline import poison_predicate
+
+    rows = spark.createDataFrame(
+        [(1, None, "{}"), (2, 95.0, '{"k": 99}'), (3, 50.0, '{"k": 10}')],
+        "event_id long, value double, props string",
+    )
+    p = poison_predicate()
+    main_n = rows.filter(~p).count()
+    dlq_n = rows.filter(p).count()
+    assert (main_n, dlq_n) == (2, 1)
+    assert main_n + dlq_n == rows.count()  # true partition
+
+
+def test_merge_state_survives_lost_state_dir(spark, tmp_path):
+    """Crash between swap renames: state at _prev only must still be
+    found; an unreadable-but-present dir must raise, not silently
+    rebuild from one batch."""
+    import os
+
+    from scylla_pg_cdc_spark.streaming.pipeline import (
+        _existing_state_dir,
+        merge_batch_into_state,
+    )
+
+    d = str(tmp_path / "state")
+    batch1 = spark.createDataFrame(
+        [(1, 100, "UPSERT", "t", 1.0, "{}", 10)],
+        "event_id long, key long, op string, event_type string, "
+        "value double, props string, commit_ms long",
+    )
+    merge_batch_into_state(batch1, d)
+    assert _existing_state_dir(d) == d
+    # simulate crash after parking: state -> _prev, no live dir
+    os.rename(d, d + "_prev")
+    assert _existing_state_dir(d) == d + "_prev"
+    batch2 = batch1.withColumn("event_id", batch1.event_id + 1).withColumn(
+        "key", batch1.key + 1
+    )
+    merge_batch_into_state(batch2, d)
+    keys = {r["key"] for r in spark.read.parquet(d).collect()}
+    assert keys == {100, 101}  # prior state recovered from _prev

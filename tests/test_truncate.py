@@ -78,3 +78,17 @@ def test_compact_latest_agg_equals_window_variant(spark):
             map(tuple, compact_latest_agg(change, keep_deleted=keep).collect())
         )
         assert a == b
+
+
+def test_truncate_hwm_crosses_column_maxima(spark):
+    """Independent per-column maxima would fabricate HWM (30,9) from
+    truncates at (20,9) and (30,2); the true HWM is (30,2), so an
+    upsert at (30,5) must survive."""
+    change = _mk(spark, [
+        (9, 0, "TRUNCATE", 20),
+        (2, 0, "TRUNCATE", 30),
+        (5, 1, "UPSERT", 30),   # after (30,2), before phantom (30,9)
+        (1, 2, "UPSERT", 25),   # before latest truncate -> erased
+    ])
+    state = compact_latest(apply_truncates(change))
+    assert {r["key"] for r in state.collect()} == {1}
