@@ -360,3 +360,76 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_agg_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread into one column per event
+    type. Spark's pivot with an explicit value list is a single hash
+    aggregation (no extra pass to discover values — mandatory at
+    scale); the oracle is the equivalent conditional-agg spread."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+@query(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ','
+                      ORDER BY l_linenumber, l_partkey) AS line_list,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (array_agg/string_agg family):
+    collect -> sort by (linenumber, partkey) -> join. The sort inside
+    the aggregate makes the result order-deterministic under any
+    partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_partkey"))
+            ).alias("pairs"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "l_orderkey",
+            F.array_join(
+                F.expr("transform(pairs, p -> cast(p.l_linenumber as string))"),
+                ",",
+            ).alias("line_list"),
+            "n_lines",
+        )
+    )

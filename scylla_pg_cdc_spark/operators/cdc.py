@@ -84,9 +84,11 @@ def compact_latest(change: DataFrame, keep_deleted: bool = False) -> DataFrame:
 def q_cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert + delete materialization (S7, W1): latest row per key;
     keys whose latest change is a tombstone disappear from the target
-    (the sink's `delete.enabled=true` behavior)."""
+    (the sink's `delete.enabled=true` behavior). Uses the aggregation
+    compaction (max_by) — map-side combine, the scale-optimal plan;
+    proven identical to the window form."""
     events = load_table(spark, sf_dir, "events")
-    state = compact_latest(as_change_stream(events))
+    state = compact_latest_agg(as_change_stream(events))
     return state.select(
         F.col("key").alias("user_id"),
         "event_id",
@@ -117,7 +119,7 @@ def q_cdc_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     `__deleted` marker column instead of physical deletion
     (`postgres-sink.json:39-41`, `init.sql:30`)."""
     events = load_table(spark, sf_dir, "events")
-    state = compact_latest(as_change_stream(events), keep_deleted=True)
+    state = compact_latest_agg(as_change_stream(events), keep_deleted=True)
     return state.select(
         F.col("key").alias("user_id"),
         "event_id",
@@ -296,7 +298,7 @@ def cdc_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-segment aggregate. Mirrors S7+W1+J8+A1 in one plan."""
     events = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
-    state = compact_latest(as_change_stream(events))
+    state = compact_latest_agg(as_change_stream(events))
     joined = state.join(
         F.broadcast(cust), state.key == cust.c_custkey, "inner"
     )
