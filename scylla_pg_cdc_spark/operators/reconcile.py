@@ -416,3 +416,56 @@ def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(",".join(only_s), ",".join(only_t), ",".join(common))],
         "only_in_source string, only_in_target string, common string",
     )
+
+
+@query(
+    "q_reconcile_composite",
+    oracle="""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_quantity, l_returnflag
+        FROM lineitem
+    ), tgt AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_quantity + CASE WHEN (l_orderkey + l_partkey) % 31 = 0
+                                 THEN 1.0 ELSE 0 END AS l_quantity,
+               l_returnflag
+        FROM lineitem WHERE (l_orderkey + l_suppkey) % 41 <> 0
+    )
+    SELECT COALESCE(s.l_orderkey, t.l_orderkey) AS l_orderkey,
+           COALESCE(s.l_linenumber, t.l_linenumber) AS l_linenumber,
+           COALESCE(s.l_partkey, t.l_partkey) AS l_partkey,
+           COALESCE(s.l_suppkey, t.l_suppkey) AS l_suppkey,
+           CASE WHEN t.l_orderkey IS NULL THEN 'missing'
+                WHEN s.l_orderkey IS NULL THEN 'extra'
+                WHEN NOT (ABS(s.l_quantity - t.l_quantity) < 0.0001)
+                  OR NOT (s.l_returnflag IS NOT DISTINCT FROM t.l_returnflag)
+                THEN 'mismatch' ELSE 'match' END AS diff_type
+    FROM src s FULL OUTER JOIN tgt t
+      ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+     AND s.l_partkey = t.l_partkey AND s.l_suppkey = t.l_suppkey
+    WHERE t.l_orderkey IS NULL OR s.l_orderkey IS NULL
+       OR NOT (ABS(s.l_quantity - t.l_quantity) < 0.0001)
+       OR NOT (s.l_returnflag IS NOT DISTINCT FROM t.l_returnflag)
+    """,
+)
+def q_reconcile_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key reconciliation (J6, `differ.py:706-727`): the
+    full-outer diff keyed on lineitem's 4-column unique key against a
+    deterministically perturbed copy — the oracle face of what
+    tests/test_reconcile.py proves on synthetic frames. One shuffle
+    per side on the composite key hash, same as single-key diff."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    src = li.select(*keys, "l_quantity", "l_returnflag")
+    tgt = li.filter((F.col("l_orderkey") + F.col("l_suppkey")) % 41 != 0).select(
+        *keys,
+        (
+            F.col("l_quantity")
+            + F.when((F.col("l_orderkey") + F.col("l_partkey")) % 31 == 0, 1.0)
+            .otherwise(0.0)
+        ).alias("l_quantity"),
+        "l_returnflag",
+    )
+    diff = diff_datasets(src, tgt, keys)
+    return diff.filter(F.col("diff_type") != "match").select(*keys, "diff_type")
