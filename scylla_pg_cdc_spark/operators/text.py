@@ -554,3 +554,60 @@ def ml_minhash_neardup_pairs(
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution (connected components + canonical doc)
+# ---------------------------------------------------------------------------
+
+def resolve_dedup_clusters(
+    pairs: DataFrame, docs: DataFrame, max_iters: int = 10
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs by
+    distributed min-label propagation: every doc starts labeled with
+    its own id; each round takes the min label across its neighbors;
+    converged when no label changes. Near-dup clusters are tiny (pairs
+    come from LSH blocking), so rounds ~ cluster diameter ~ 2-3.
+
+    Returns (doc_id, cluster_id, is_canonical): the canonical survivor
+    per cluster is the smallest doc_id — the keep-min policy of
+    q_text_exact_dedup extended to near-dups. Fully distributed: only
+    the converged-yet? flag reaches the driver each round."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+    )
+    labels = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            labels.join(updated.withColumnRenamed("cluster_id", "new_id"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("new_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )

@@ -55,3 +55,48 @@ def test_ml_minhash_distance_calibration(spark, true_pairs):
     pairs = ml_minhash_neardup_pairs(docs)
     strong = pairs.filter(F.col("jaccard_dist") < 0.2).count()
     assert strong >= len(true_pairs) * 0.9
+
+
+def test_dedup_cluster_resolution(spark, true_pairs):
+    """Label propagation must group every planted near-dup pair into
+    one cluster with exactly one canonical (min doc_id) survivor."""
+    from pyspark.sql import functions as F
+
+    from scylla_pg_cdc_spark.operators.text import resolve_dedup_clusters
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(true_pairs)], "doc_a long, doc_b long"
+    )
+    clusters = resolve_dedup_clusters(pairs, docs)
+    by_doc = {r["doc_id"]: r for r in clusters.collect()}
+    # every pair ends in the same cluster
+    for a, b in true_pairs:
+        assert by_doc[a]["cluster_id"] == by_doc[b]["cluster_id"], (a, b)
+        assert by_doc[a]["cluster_id"] == min(
+            x for x, r in by_doc.items()
+            if r["cluster_id"] == by_doc[a]["cluster_id"]
+        )
+    # exactly one canonical per cluster; non-paired docs are singletons
+    from collections import Counter
+
+    canon = Counter(
+        r["cluster_id"] for r in by_doc.values() if r["is_canonical"]
+    )
+    assert all(v == 1 for v in canon.values())
+    assert len(by_doc) == docs.count()
+
+
+def test_dedup_cluster_transitive_chain(spark):
+    """a-b and b-c (no a-c edge) must still merge into one cluster."""
+    from scylla_pg_cdc_spark.operators.text import resolve_dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_dedup_clusters(pairs, docs).collect()
+    }
+    assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4}
