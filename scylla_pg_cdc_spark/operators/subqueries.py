@@ -152,3 +152,33 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_amount",
         )
     )
+
+
+@query(
+    "q_correlated_min",
+    oracle="""
+    SELECT p.p_partkey, p.p_type,
+           CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_cents
+    FROM part p
+    WHERE CAST(ROUND(p.p_retailprice * 100) AS BIGINT) = (
+        SELECT MIN(CAST(ROUND(p2.p_retailprice * 100) AS BIGINT))
+        FROM part p2 WHERE p2.p_type = p.p_type
+    )
+    """,
+)
+def q_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 core: rows matching their group's MIN via a correlated
+    scalar subquery — decorrelated to a per-group aggregate join
+    (cents compare keeps it exact)."""
+    p = load_table(spark, sf_dir, "part")
+    priced = p.select(
+        "p_partkey", "p_type", cents("p_retailprice").alias("price_cents")
+    )
+    mins = priced.groupBy("p_type").agg(
+        F.min("price_cents").alias("min_cents")
+    )
+    return (
+        priced.join(F.broadcast(mins), on="p_type")
+        .filter(F.col("price_cents") == F.col("min_cents"))
+        .select("p_partkey", "p_type", "price_cents")
+    )

@@ -611,3 +611,23 @@ def resolve_dedup_clusters(
     return labels.withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id")
     )
+
+
+@query("q_text_neardup_dedup", oracle=None)  # LSH construction
+def q_text_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate dedup: MinHash+LSH candidates ->
+    exact-Jaccard confirmation (>0.8) -> connected-component cluster
+    resolution -> keep-list with one canonical doc per cluster. The
+    full training-data dedup pipeline in one plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    confirmed = q_text_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") > 0.8
+    )
+    clusters = resolve_dedup_clusters(
+        confirmed.select("doc_a", "doc_b"), docs
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        "is_canonical",
+    )

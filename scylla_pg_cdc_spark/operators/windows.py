@@ -168,3 +168,45 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mov_avg_price"
         ),
     )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT user_id, event_id, ts_ms,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           LAST_VALUE(event_id) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_event,
+           NTH_VALUE(event_id, 2) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_event
+    FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events)
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts_ms, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full-partition
+    frame (the remaining analytic-window family; unique-key ordered)."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+    )
