@@ -71,15 +71,24 @@ def poison_predicate():
     return F.coalesce(raw, F.lit(False))
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source change stream over the events table (S2 analog —
-    the CDC log poll becomes a file/Kafka readStream)."""
+    the CDC log poll becomes a file/Kafka readStream).
+    ``max_files_per_trigger`` is the micro-batch size knob (the
+    `max.batch.size` analog, `scylla-source.json:30`): with a
+    multi-file source it forces multiple epochs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
@@ -148,6 +157,7 @@ def _existing_state_dir(state_dir: str) -> str | None:
 def run_upsert_pipeline(
     spark: SparkSession, sf_dir: str, work_dir: str,
     max_retries: int = 10, backoff_ms: int = 3000,
+    glob: str = "events.parquet", max_files_per_trigger: int | None = None,
 ) -> dict[str, str]:
     """End-to-end streaming CDC pipeline with DLQ split:
     readStream -> transform -> foreachBatch(main: upsert merge with
@@ -162,7 +172,9 @@ def run_upsert_pipeline(
     dlq_dir = os.path.join(work_dir, "dlq")
     checkpoint = os.path.join(work_dir, "checkpoint")
 
-    stream = to_change_events(read_event_stream(spark, sf_dir))
+    stream = to_change_events(
+        read_event_stream(spark, sf_dir, glob, max_files_per_trigger)
+    )
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         batch = batch.persist()

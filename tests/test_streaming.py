@@ -191,3 +191,44 @@ def test_merge_state_survives_lost_state_dir(spark, tmp_path):
     merge_batch_into_state(batch2, d)
     keys = {r["key"] for r in spark.read.parquet(d).collect()}
     assert keys == {100, 101}  # prior state recovered from _prev
+
+
+def test_multi_epoch_pipeline_equals_single_batch(spark, tmp_path):
+    """Split the source into 4 files and force one file per trigger:
+    4 micro-batch epochs, each merging into existing state. Final
+    state must equal the single-epoch run — the incremental merge path
+    is associative."""
+    import os
+
+    from scylla_pg_cdc_spark.sources.tables import load_table
+
+    src_dir = str(tmp_path / "src")
+    # re-encode events as 4 parquet part files with the raw ns schema
+    events_raw = spark.read.parquet(SF_SMALL + "/events.parquet")
+    events_raw.repartition(4).write.parquet(src_dir)
+    n_parts = len(
+        [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+    )
+    assert n_parts >= 4
+
+    multi = run_upsert_pipeline(
+        spark,
+        src_dir,
+        str(tmp_path / "multi"),
+        glob="*.parquet",
+        max_files_per_trigger=1,
+    )
+    single = run_upsert_pipeline(spark, SF_SMALL, str(tmp_path / "single"))
+    multi_state = {
+        (r["key"], r["event_id"])
+        for r in latest_state(spark, multi["state"]).collect()
+    }
+    single_state = {
+        (r["key"], r["event_id"])
+        for r in latest_state(spark, single["state"]).collect()
+    }
+    assert multi_state == single_state and len(multi_state) > 0
+    # multiple epochs actually ran: DLQ rows tagged with >1 epoch OR
+    # checkpoint shows several commits
+    commits = os.listdir(os.path.join(str(tmp_path / "multi"), "checkpoint", "commits"))
+    assert len([c for c in commits if not c.startswith(".")]) >= 4
