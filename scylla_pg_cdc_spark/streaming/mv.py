@@ -40,14 +40,36 @@ def state_transition(
     key: str,
 ) -> tuple[DataFrame, DataFrame]:
     """(removed, added) rows of one compaction epoch: for every key the
-    batch touches, its previous state row (if any) is removed and its
-    new live row (if not a delete) is added."""
+    batch touches, its previous state row (if any) is removed and the
+    POST-MERGE winner (if not a delete) is added.
+
+    The winner is compact(prev_row ∪ batch_row), not the batch row —
+    micro-batches are not guaranteed time-ordered (a later file can
+    hold earlier events), and the upsert merge keeps the newest by
+    (commit_ms, event_id) regardless of arrival epoch; the MV delta
+    must agree with the merge or it drifts."""
     touched = batch_latest.select(key).distinct()
     if prev_state is None:
         removed = batch_latest.filter(F.lit(False))
+        combined = batch_latest
     else:
         removed = prev_state.join(touched, on=key, how="left_semi")
-    added = batch_latest.filter(F.col("op") != "DELETE")
+        combined = removed.select(*batch_latest.columns).unionByName(
+            batch_latest
+        )
+    order_cols = [c for c in ("commit_ms", "event_id") if c in combined.columns]
+    value_cols = [c for c in combined.columns if c != key]
+    winners = (
+        combined.groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*value_cols),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("__r")
+        )
+        .select(key, *[F.col(f"__r.{c}").alias(c) for c in value_cols])
+    )
+    added = winners.filter(F.col("op") != "DELETE")
     return removed, added
 
 

@@ -158,6 +158,7 @@ def run_upsert_pipeline(
     spark: SparkSession, sf_dir: str, work_dir: str,
     max_retries: int = 10, backoff_ms: int = 3000,
     glob: str = "events.parquet", max_files_per_trigger: int | None = None,
+    mv_spec: tuple[list[str], list[str]] | None = None,
 ) -> dict[str, str]:
     """End-to-end streaming CDC pipeline with DLQ split:
     readStream -> transform -> foreachBatch(main: upsert merge with
@@ -167,14 +168,49 @@ def run_upsert_pipeline(
     (`max.retries=10, retry.backoff.ms=3000`,
     `postgres-sink.json:32-33`); if retries exhaust, the whole batch
     escalates to the DLQ with the error context
-    (`data-model.md:477-489`)."""
+    (`data-model.md:477-489`).
+
+    ``mv_spec=(group_cols, sum_cols)`` additionally maintains an
+    incremental materialized view at ``work_dir/mv`` — each epoch folds
+    only the state delta into the MV (O(batch), see streaming/mv.py),
+    the upgrade over the reference's O(table) REFRESH (S12)."""
     state_dir = os.path.join(work_dir, "state")
     dlq_dir = os.path.join(work_dir, "dlq")
+    mv_dir = os.path.join(work_dir, "mv")
     checkpoint = os.path.join(work_dir, "checkpoint")
 
     stream = to_change_events(
         read_event_stream(spark, sf_dir, glob, max_files_per_trigger)
     )
+
+    def update_mv(batch_clean: DataFrame) -> None:
+        from scylla_pg_cdc_spark.operators.cdc import compact_latest_agg
+        from scylla_pg_cdc_spark.streaming.mv import (
+            apply_delta,
+            state_transition,
+        )
+
+        group_cols, sum_cols = mv_spec
+        prev_path = _existing_state_dir(state_dir)
+        prev_state = (
+            spark.read.parquet(prev_path) if prev_path is not None else None
+        )
+        batch_latest = compact_latest_agg(batch_clean, keep_deleted=True).drop(
+            "__deleted"
+        )
+        removed, added = state_transition(prev_state, batch_latest, "key")
+        mv_old = (
+            spark.read.parquet(mv_dir) if os.path.exists(mv_dir) else None
+        )
+        mv_new = apply_delta(mv_old, removed, added, group_cols, sum_cols)
+        # materialize fully to _next (reads the old mv while it still
+        # exists), then swap
+        import shutil as _sh
+
+        _sh.rmtree(mv_dir + "_next", ignore_errors=True)
+        mv_new.write.mode("overwrite").parquet(mv_dir + "_next")
+        _sh.rmtree(mv_dir, ignore_errors=True)
+        os.rename(mv_dir + "_next", mv_dir)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         batch = batch.persist()
@@ -185,15 +221,18 @@ def run_upsert_pipeline(
             ).withColumn("epoch_id", F.lit(epoch_id))
             if poison_rows.limit(1).count() > 0:
                 poison_rows.write.mode("append").parquet(dlq_dir)
+            clean = batch.filter(~poison)
+            if mv_spec is not None:
+                update_mv(clean)  # delta vs state BEFORE this merge
             merge = with_retries(
                 merge_batch_into_state,
                 max_retries=max_retries,
                 backoff_ms=backoff_ms,
             )
             try:
-                merge(batch.filter(~poison), state_dir)
+                merge(clean, state_dir)
             except Exception as e:  # noqa: BLE001 — retries exhausted
-                batch.filter(~poison).withColumn(
+                clean.withColumn(
                     "error_context", F.lit(f"merge failed: {e}")
                 ).withColumn("epoch_id", F.lit(epoch_id)).write.mode(
                     "append"
@@ -208,7 +247,12 @@ def run_upsert_pipeline(
         .start()
     )
     q.awaitTermination()
-    return {"state": state_dir, "dlq": dlq_dir, "checkpoint": checkpoint}
+    return {
+        "state": state_dir,
+        "dlq": dlq_dir,
+        "mv": mv_dir,
+        "checkpoint": checkpoint,
+    }
 
 
 def latest_state(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -74,3 +74,58 @@ def test_empty_group_disappears(spark):
     removed, added = state_transition(prev_state, e2, "key")
     mv2 = apply_delta(mv, removed, added, ["grp"], ["v"])
     assert mv2.count() == 0
+
+
+def test_pipeline_incremental_mv_multi_epoch(spark, tmp_path):
+    """The pipeline-maintained incremental MV after 4 micro-batch
+    epochs must equal a full recompute over the final state."""
+    from pyspark.sql import functions as F
+
+    from scylla_pg_cdc_spark.streaming.mv import compute_mv
+    from scylla_pg_cdc_spark.streaming.pipeline import (
+        run_upsert_pipeline,
+    )
+    from tests.conftest import SF_SMALL
+
+    src_dir = str(tmp_path / "src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(SF_SMALL + "/events.parquet").repartition(4).write.parquet(
+        src_dir
+    )
+    out = run_upsert_pipeline(
+        spark,
+        src_dir,
+        str(tmp_path / "run"),
+        glob="*.parquet",
+        max_files_per_trigger=1,
+        mv_spec=(["event_type"], ["value"]),
+    )
+    mv = {
+        r["event_type"]: (r["n_rows"], round(r["sum_value"], 2))
+        for r in spark.read.parquet(out["mv"]).collect()
+    }
+    state = spark.read.parquet(out["state"])  # includes tombstone rows
+    want = {
+        r["event_type"]: (r["n_rows"], round(r["sum_value"], 2))
+        for r in compute_mv(
+            state.filter(F.col("op") != "DELETE"), ["event_type"], ["value"]
+        ).collect()
+    }
+    assert mv == want and len(mv) > 0
+
+
+def test_out_of_order_batch_does_not_regress_mv(spark):
+    """A later epoch delivering an OLDER event for a key must leave the
+    MV unchanged (the merge keeps the newer state; the delta must
+    agree)."""
+    e1 = spark.createDataFrame(
+        [(1, "UPSERT", "a", 10, 100)], SCHEMA
+    )
+    removed, added = state_transition(None, e1, "key")
+    mv = apply_delta(None, removed, added, ["grp"], ["v"])
+    # epoch 2: stale event (commit 50 < 100) moving the row to grp 'b'
+    stale = spark.createDataFrame([(1, "UPSERT", "b", 99, 50)], SCHEMA)
+    removed, added = state_transition(e1, stale, "key")
+    mv2 = apply_delta(mv, removed, added, ["grp"], ["v"])
+    got = {r["grp"]: (r["n_rows"], r["sum_v"]) for r in mv2.collect()}
+    assert got == {"a": (1, 10)}  # newer state wins; stale ignored

@@ -204,6 +204,7 @@ def test_multi_epoch_pipeline_equals_single_batch(spark, tmp_path):
 
     src_dir = str(tmp_path / "src")
     # re-encode events as 4 parquet part files with the raw ns schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events_raw = spark.read.parquet(SF_SMALL + "/events.parquet")
     events_raw.repartition(4).write.parquet(src_dir)
     n_parts = len(
