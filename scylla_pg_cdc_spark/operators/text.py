@@ -631,3 +631,42 @@ def q_text_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         "is_canonical",
     )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM (
+            SELECT DISTINCT doc_id, term FROM toks
+        ) GROUP BY term
+    )
+    SELECT t.doc_id, t.term, t.tf, d.df
+    FROM tf t JOIN df d ON t.term = d.term
+    WHERE t.tf >= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency / document-frequency table (the distributed core
+    of TF-IDF): per-doc term counts joined to corpus document
+    frequencies, integer-only so the oracle is exact. The float IDF
+    weight (ln(N/df)) is a per-row presentation expression applied at
+    read time — deliberately excluded from the hashed output because
+    ln() is not bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        tf.join(df, on="term")
+        .filter(F.col("tf") >= 3)
+        .select("doc_id", "term", "tf", "df")
+    )

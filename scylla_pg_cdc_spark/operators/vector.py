@@ -193,3 +193,24 @@ def q_vector_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query("q_vector_normalize", oracle=None)  # float fold order
+def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalization of the embedding column — the standard prep
+    before cosine ANN (cosine reduces to dot product on unit vectors,
+    halving the per-candidate cost). Pure higher-order expressions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = l2_norm(v)
+    return emb.select(
+        "vec_id",
+        "label",
+        norm.alias("norm"),
+        F.transform(v, lambda x: x / norm).alias("unit_vec"),
+    ).select(
+        "vec_id",
+        "label",
+        "norm",
+        F.round(l2_norm(F.col("unit_vec")), 9).alias("unit_norm"),
+    )
