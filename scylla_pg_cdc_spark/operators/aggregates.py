@@ -433,3 +433,84 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines",
         )
     )
+
+
+@query(
+    "q_validation_summary",
+    oracle="""
+    WITH order_counts AS (
+        SELECT COUNT(*) AS n FROM orders
+    ), customer_counts AS (
+        SELECT COUNT(*) AS n FROM customer
+    ), lineitem_counts AS (
+        SELECT COUNT(*) AS n FROM lineitem
+    ), ref_integrity AS (
+        SELECT COUNT(*) AS n FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        )
+    ), money_check AS (
+        SELECT COUNT(*) AS n FROM orders WHERE o_totalprice <= 0
+    )
+    SELECT 'orders_nonempty' AS check_name,
+           (SELECT n FROM order_counts) AS actual,
+           CASE WHEN (SELECT n FROM order_counts) > 0
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    UNION ALL
+    SELECT 'customers_nonempty',
+           (SELECT n FROM customer_counts),
+           CASE WHEN (SELECT n FROM customer_counts) > 0
+                THEN 'PASS' ELSE 'FAIL' END
+    UNION ALL
+    SELECT 'lineitem_nonempty',
+           (SELECT n FROM lineitem_counts),
+           CASE WHEN (SELECT n FROM lineitem_counts) > 0
+                THEN 'PASS' ELSE 'FAIL' END
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT n FROM ref_integrity),
+           CASE WHEN (SELECT n FROM ref_integrity) = 0
+                THEN 'PASS' ELSE 'FAIL' END
+    UNION ALL
+    SELECT 'totalprice_positive',
+           (SELECT n FROM money_check),
+           CASE WHEN (SELECT n FROM money_check) = 0
+                THEN 'PASS' ELSE 'FAIL' END
+    """,
+)
+def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline validation view: a UNION ALL of
+    per-category PASS/FAIL checks (`init.sql:479-488`; category
+    validators :323-434; boolean rollup is_replication_complete
+    :510-539). Five checks: row presence x3, FK referential integrity
+    (the e2e join check, `expected_results.sql:224-241`), money-domain
+    sanity."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def check(name: str, actual_df, pass_when_zero: bool = False):
+        n = actual_df.count()
+        ok = (n == 0) if pass_when_zero else (n > 0)
+        return (name, n, "PASS" if ok else "FAIL")
+
+    rows = [
+        check("orders_nonempty", orders),
+        check("customers_nonempty", customer),
+        check("lineitem_nonempty", lineitem),
+        check(
+            "orders_fk_customer",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ),
+            pass_when_zero=True,
+        ),
+        check(
+            "totalprice_positive",
+            orders.filter(F.col("o_totalprice") <= 0),
+            pass_when_zero=True,
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, actual long, status string"
+    )

@@ -561,7 +561,8 @@ def ml_minhash_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 def resolve_dedup_clusters(
-    pairs: DataFrame, docs: DataFrame, max_iters: int = 10
+    pairs: DataFrame, docs: DataFrame, max_iters: int = 10,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs by
     distributed min-label propagation: every doc starts labeled with
@@ -571,8 +572,49 @@ def resolve_dedup_clusters(
 
     Returns (doc_id, cluster_id, is_canonical): the canonical survivor
     per cluster is the smallest doc_id — the keep-min policy of
-    q_text_exact_dedup extended to near-dups. Fully distributed: only
-    the converged-yet? flag reaches the driver each round."""
+    q_text_exact_dedup extended to near-dups.
+
+    Hybrid execution: LSH-confirmed candidate sets are usually tiny
+    relative to the corpus, so below ``driver_threshold`` pairs the
+    components are solved with driver-side union-find in one pass and
+    broadcast back (one collect of the PAIRS, never the corpus); above
+    it, distributed min-label propagation runs with only the
+    converged-yet? flag reaching the driver each round."""
+    # the candidate-pair plan is often expensive (jaccard/LSH upstream)
+    # and is consumed 2+ times below — materialize it once
+    pairs = pairs.persist()
+    n_pairs = pairs.limit(driver_threshold + 1).count()
+    if n_pairs <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.collect():
+            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        mapping = [(x, find(x)) for x in list(parent)]
+        spark = docs.sparkSession
+        if mapping:
+            m = spark.createDataFrame(mapping, "doc_id long, root long")
+            labels = docs.select("doc_id").join(
+                F.broadcast(m), on="doc_id", how="left"
+            ).select(
+                "doc_id",
+                F.coalesce("root", F.col("doc_id")).alias("cluster_id"),
+            )
+        else:
+            labels = docs.select(
+                "doc_id", F.col("doc_id").alias("cluster_id")
+            )
+        pairs.unpersist()
+        return labels.withColumn(
+            "is_canonical", F.col("doc_id") == F.col("cluster_id")
+        )
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(
@@ -608,6 +650,7 @@ def resolve_dedup_clusters(
         labels = updated
         if changed == 0:
             break
+    pairs.unpersist()
     return labels.withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id")
     )
