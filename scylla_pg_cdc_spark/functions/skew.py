@@ -21,14 +21,34 @@ def salted_join(
     on: str,
     how: str = "inner",
     n_salt: int = 8,
+    salt_mode: str = "row_hash",
 ) -> DataFrame:
     """Equi-join big⋈small on ``on`` with the big side scattered over
     ``n_salt`` sub-partitions per key and the small side replicated
     ``n_salt`` times. Result is identical to a plain join; only the
-    shuffle distribution changes."""
-    salted_big = big.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salt))
-    )
+    shuffle distribution changes.
+
+    Only inner/left joins are supported: right/full outer would emit
+    one null-extended copy of each unmatched small-side row PER
+    REPLICA (n_salt duplicates) — salt the other side instead.
+
+    ``salt_mode``: 'row_hash' (default) is deterministic run-to-run
+    but cannot scatter a hot key whose rows are IDENTICAL duplicates
+    (equal rows hash to equal salts); 'random' uses a seeded rand()
+    that scatters duplicates too, at the cost of row-to-salt placement
+    varying with partitioning."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): "
+            "right/full would duplicate unmatched small-side rows per salt"
+        )
+    if salt_mode == "row_hash":
+        salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salt))
+    elif salt_mode == "random":
+        salt = (F.rand(seed=42) * n_salt).cast("int")
+    else:
+        raise ValueError(f"unknown salt_mode: {salt_mode!r}")
+    salted_big = big.withColumn("__salt", salt)
     salted_small = small.join(
         F.broadcast(
             small.sparkSession.range(n_salt).select(

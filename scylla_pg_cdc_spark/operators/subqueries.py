@@ -37,10 +37,20 @@ def q_having_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.sum("l_quantity").cast("long").alias("total_qty"),
+            F.sum("l_quantity").alias("raw_qty"),
             F.count(F.lit(1)).alias("n_lines"),
         )
-        .filter(F.col("total_qty") > 250)
+        # filter on the RAW sum exactly like the oracle's HAVING; the
+        # long cast is presentation only (cast truncates, so filtering
+        # post-cast would diverge on fractional quantities)
+        .filter(F.col("raw_qty") > 250)
+        .select(
+            "l_orderkey",
+            # round-then-cast: DuckDB's double->BIGINT cast rounds while
+            # Spark's truncates; rounding first matches on any data
+            F.round("raw_qty").cast("long").alias("total_qty"),
+            "n_lines",
+        )
     )
 
 

@@ -50,14 +50,19 @@ def state_transition(
     must agree with the merge or it drifts."""
     touched = batch_latest.select(key).distinct()
     if prev_state is None:
-        removed = batch_latest.filter(F.lit(False))
+        prev_touched = batch_latest.filter(F.lit(False))
         combined = batch_latest
     else:
-        removed = prev_state.join(touched, on=key, how="left_semi")
-        combined = removed.select(*batch_latest.columns).unionByName(
+        prev_touched = prev_state.join(touched, on=key, how="left_semi")
+        combined = prev_touched.select(*batch_latest.columns).unionByName(
             batch_latest
         )
     order_cols = [c for c in ("commit_ms", "event_id") if c in combined.columns]
+    if not order_cols:
+        raise ValueError(
+            "state_transition needs commit_ms (and ideally event_id) to "
+            "pick the merge winner — same ordering the state merge uses"
+        )
     value_cols = [c for c in combined.columns if c != key]
     winners = (
         combined.groupBy(key)
@@ -69,6 +74,11 @@ def state_transition(
         )
         .select(key, *[F.col(f"__r.{c}").alias(c) for c in value_cols])
     )
+    # tombstone rows persist in the state (delete-rewrite mode) but were
+    # never ADDED to the MV — subtracting them would corrupt the fold.
+    # They still participate in `combined` above so a stale upsert can't
+    # outrank a newer delete.
+    removed = prev_touched.filter(F.col("op") != "DELETE")
     added = winners.filter(F.col("op") != "DELETE")
     return removed, added
 

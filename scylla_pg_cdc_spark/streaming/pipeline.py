@@ -183,14 +183,37 @@ def run_upsert_pipeline(
         read_event_stream(spark, sf_dir, glob, max_files_per_trigger)
     )
 
-    def update_mv(batch_clean: DataFrame) -> None:
-        from scylla_pg_cdc_spark.operators.cdc import compact_latest_agg
-        from scylla_pg_cdc_spark.streaming.mv import (
-            apply_delta,
-            state_transition,
-        )
+    def _mv_marker() -> str | None:
+        try:
+            with open(os.path.join(mv_dir, "_EPOCH")) as f:
+                return f.read().strip()
+        except OSError:
+            return None
+
+    def _fold_mv(removed: DataFrame, added: DataFrame, marker: str) -> None:
+        from scylla_pg_cdc_spark.streaming.mv import apply_delta
 
         group_cols, sum_cols = mv_spec
+        mv_old = (
+            spark.read.parquet(mv_dir) if os.path.exists(mv_dir) else None
+        )
+        mv_new = apply_delta(mv_old, removed, added, group_cols, sum_cols)
+        import shutil as _sh
+
+        _sh.rmtree(mv_dir + "_next", ignore_errors=True)
+        # materialize to _next (still reads the old mv), stamp the epoch
+        # marker INSIDE the staged dir, then one atomic rename commits
+        # data + marker together (no window where they disagree)
+        mv_new.write.mode("overwrite").parquet(mv_dir + "_next")
+        with open(os.path.join(mv_dir + "_next", "_EPOCH"), "w") as f:
+            f.write(marker)
+        _sh.rmtree(mv_dir, ignore_errors=True)
+        os.rename(mv_dir + "_next", mv_dir)
+
+    def compute_mv_delta(batch_clean: DataFrame):
+        from scylla_pg_cdc_spark.operators.cdc import compact_latest_agg
+        from scylla_pg_cdc_spark.streaming.mv import state_transition
+
         prev_path = _existing_state_dir(state_dir)
         prev_state = (
             spark.read.parquet(prev_path) if prev_path is not None else None
@@ -199,18 +222,9 @@ def run_upsert_pipeline(
             "__deleted"
         )
         removed, added = state_transition(prev_state, batch_latest, "key")
-        mv_old = (
-            spark.read.parquet(mv_dir) if os.path.exists(mv_dir) else None
-        )
-        mv_new = apply_delta(mv_old, removed, added, group_cols, sum_cols)
-        # materialize fully to _next (reads the old mv while it still
-        # exists), then swap
-        import shutil as _sh
-
-        _sh.rmtree(mv_dir + "_next", ignore_errors=True)
-        mv_new.write.mode("overwrite").parquet(mv_dir + "_next")
-        _sh.rmtree(mv_dir, ignore_errors=True)
-        os.rename(mv_dir + "_next", mv_dir)
+        # pin the delta: it references the pre-merge state dir, which
+        # the merge swap is about to replace
+        return removed.persist(), added.persist()
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         batch = batch.persist()
@@ -222,8 +236,15 @@ def run_upsert_pipeline(
             if poison_rows.limit(1).count() > 0:
                 poison_rows.write.mode("append").parquet(dlq_dir)
             clean = batch.filter(~poison)
-            if mv_spec is not None:
-                update_mv(clean)  # delta vs state BEFORE this merge
+            delta = None
+            marker = f"epoch-{epoch_id}"
+            if mv_spec is not None and _mv_marker() != marker:
+                # the marker makes the fold idempotent under epoch
+                # replay: a crash after the MV swap but before the
+                # checkpoint commit re-enters with the same epoch_id
+                # and skips the second fold
+                delta = compute_mv_delta(clean)
+                _fold_mv(delta[0], delta[1], marker)
             merge = with_retries(
                 merge_batch_into_state,
                 max_retries=max_retries,
@@ -237,6 +258,14 @@ def run_upsert_pipeline(
                 ).withColumn("epoch_id", F.lit(epoch_id)).write.mode(
                     "append"
                 ).parquet(dlq_dir)
+                if delta is not None:
+                    # compensate: the state never received this batch,
+                    # so fold the inverse delta (swap removed/added)
+                    _fold_mv(delta[1], delta[0], marker + "-compensated")
+            finally:
+                if delta is not None:
+                    delta[0].unpersist()
+                    delta[1].unpersist()
         finally:
             batch.unpersist()
 

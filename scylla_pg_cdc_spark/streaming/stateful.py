@@ -8,9 +8,12 @@ custom-stateful path; row-at-a-time Python never touches the hot loop).
 ``running_user_stats`` tracks, per user: lifetime event count, value
 sum, last event timestamp — the streaming analog of the reference's
 per-table counters (`src/monitoring/metrics.py:24-85`) with
-exactly-once state under checkpointing. State times out after
-``idle_timeout_ms`` of event-time silence (stale-entity eviction, the
-T4 stale-events policy).
+exactly-once state under checkpointing. This build runs with
+``NoTimeout`` (finite availableNow tests); a long-running deployment
+switches ``timeoutConf`` to EventTimeTimeout + a watermark and calls
+``state.setTimeoutTimestamp`` per update — the ``hasTimedOut``
+branch below is the eviction hook that then fires (stale-entity
+eviction, the T4 stale-events policy).
 """
 
 from __future__ import annotations
@@ -58,7 +61,9 @@ def _update_user_stats(
     for pdf in pdfs:
         n += len(pdf)
         vsum += float(pdf["value"].fillna(0.0).sum())
-        last = max(last, int(pdf["ts_ms"].max()))
+        ts_max = pdf["ts_ms"].dropna().max()  # all-null chunk -> NaN
+        if pd.notna(ts_max):
+            last = max(last, int(ts_max))
     state.update((n, vsum, last))
     yield pd.DataFrame(
         {

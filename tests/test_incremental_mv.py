@@ -129,3 +129,35 @@ def test_out_of_order_batch_does_not_regress_mv(spark):
     mv2 = apply_delta(mv, removed, added, ["grp"], ["v"])
     got = {r["grp"]: (r["n_rows"], r["sum_v"]) for r in mv2.collect()}
     assert got == {"a": (1, 10)}  # newer state wins; stale ignored
+
+
+def test_delete_then_reinsert_cycle(spark):
+    """Tombstones persist in state but were never added to the MV —
+    re-touching a deleted key must NOT subtract the tombstone (the
+    delete/re-insert cycle that corrupted the naive fold)."""
+    e1 = spark.createDataFrame([(1, "UPSERT", "g", 10, 10)], SCHEMA)
+    removed, added = state_transition(None, e1, "key")
+    mv = apply_delta(None, removed, added, ["grp"], ["v"])
+    # epoch2: delete key 1 -> tombstone retained in state
+    e2 = spark.createDataFrame([(1, "DELETE", "g", 0, 20)], SCHEMA)
+    removed, added = state_transition(e1, e2, "key")
+    mv = apply_delta(mv, removed, added, ["grp"], ["v"])
+    assert mv.count() == 0
+    # post-epoch2 state (delete-rewrite mode keeps the tombstone row)
+    state2 = e2
+    # epoch3: re-insert key 1
+    e3 = spark.createDataFrame([(1, "UPSERT", "g", 5, 30)], SCHEMA)
+    removed, added = state_transition(state2, e3, "key")
+    mv = apply_delta(mv, removed, added, ["grp"], ["v"])
+    got = {r["grp"]: (r["n_rows"], r["sum_v"]) for r in mv.collect()}
+    assert got == {"g": (1, 5)}  # not empty, not double-counted
+
+
+def test_stale_upsert_after_delete_stays_deleted(spark):
+    """A stale upsert (older than the tombstone) arriving after the
+    delete must not resurrect the row in the MV."""
+    state = spark.createDataFrame([(1, "DELETE", "g", 0, 20)], SCHEMA)
+    stale = spark.createDataFrame([(1, "UPSERT", "g", 10, 10)], SCHEMA)
+    removed, added = state_transition(state, stale, "key")
+    mv = apply_delta(None, removed, added, ["grp"], ["v"])
+    assert mv.count() == 0  # tombstone outranks the stale upsert

@@ -78,3 +78,15 @@ def test_salted_count_skips_nulls_like_plain_count(spark):
     got_star = {r["k"]: r["count_*"] for r in
                 salted_aggregate(df, ["k"], {"*": "count"}, n_salt=4).collect()}
     assert got_star == {1: 2, 2: 1}
+
+
+def test_salted_join_rejects_right_and_full(spark, skewed, dim):
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left only"):
+            salted_join(skewed, dim, on="k", how=how)
+
+
+def test_salted_join_random_mode_matches_plain(spark, skewed, dim):
+    plain = skewed.join(dim, on="k").count()
+    salted = salted_join(skewed, dim, on="k", salt_mode="random").count()
+    assert plain == salted
