@@ -514,3 +514,29 @@ def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "check_name string, actual long, status string"
     )
+
+
+@query(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000
+                           + c_custkey) AS richest_customer,
+           arg_min(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000
+                           + c_custkey) AS poorest_customer,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax) aggregates: top/bottom customer per
+    nation in ONE hash aggregation — no window, no sort, map-side
+    combinable. The ordering key folds (cents, custkey) into a single
+    bigint so ties are impossible and both engines agree."""
+    cust = load_table(spark, sf_dir, "customer")
+    ord_key = cents("c_acctbal") * 10000000 + F.col("c_custkey")
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", ord_key).alias("richest_customer"),
+        F.min_by("c_name", ord_key).alias("poorest_customer"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -230,3 +230,30 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
     )
+
+
+@query(
+    "q_scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 1365) AS xored,
+           event_id << 2 AS shifted_l,
+           event_id >> 3 AS shifted_r
+    FROM events WHERE event_id < 1000
+    """,
+)
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (and/or/xor/shifts) — exact integer
+    semantics, identical across engines."""
+    events = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return events.filter(e < 1000).select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("low_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(F.lit(1365)).alias("xored"),
+        F.shiftleft(e, 2).alias("shifted_l"),
+        F.shiftright(e, 3).alias("shifted_r"),
+    )

@@ -210,3 +210,34 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_id").over(w).alias("last_event"),
         F.nth_value("event_id", 2).over(w).alias("second_event"),
     )
+
+
+@query(
+    "q_window_percentile_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (
+        PARTITION BY c_nationkey
+        ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT), c_custkey
+    )
+    """,
+)
+def q_window_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile — relative-position analytics
+    (W5-adjacent); the ratios are exact small-integer divisions, so
+    cross-engine bit-identical under the unique total order."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        cents("c_acctbal"), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
