@@ -233,3 +233,93 @@ def test_multi_epoch_pipeline_equals_single_batch(spark, tmp_path):
     # checkpoint shows several commits
     commits = os.listdir(os.path.join(str(tmp_path / "multi"), "checkpoint", "commits"))
     assert len([c for c in commits if not c.startswith(".")]) >= 4
+
+
+def test_observed_metrics_per_batch(spark, tmp_path):
+    """Spark-native metric emission (D6): df.observe() aggregates show
+    up in each StreamingQueryProgress — rows, tombstones, value sum —
+    without a second pass over the data."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from scylla_pg_cdc_spark.streaming.pipeline import (
+        read_event_stream,
+        to_change_events,
+    )
+
+    captured = []
+
+    class Obs(StreamingQueryListener):
+        def onQueryStarted(self, e): pass
+        def onQueryIdle(self, e): pass
+        def onQueryTerminated(self, e): pass
+        def onQueryProgress(self, e):
+            om = e.progress.observedMetrics
+            if "cdc_metrics" in om:
+                captured.append(om["cdc_metrics"])
+
+    listener = Obs()
+    spark.streams.addListener(listener)
+    try:
+        stream = to_change_events(read_event_stream(spark, SF_SMALL))
+        observed = stream.observe(
+            "cdc_metrics",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0)).alias(
+                "n_tombstones"
+            ),
+        )
+        q = (
+            observed.writeStream.format("noop")
+            .option(
+                "checkpointLocation", str(tmp_path / "obs_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline and not captured:
+            time.sleep(0.25)
+        assert captured, "no observed metrics arrived"
+        total_rows = sum(m["n_rows"] for m in captured)
+        total_tomb = sum(m["n_tombstones"] for m in captured)
+        from scylla_pg_cdc_spark.sources.tables import load_table
+
+        events = load_table(spark, SF_SMALL, "events")
+        assert total_rows == events.count()
+        assert total_tomb == events.filter(
+            F.col("event_type") == "error"
+        ).count()
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_multi_table_cdc_composite_key_compaction(spark):
+    """Multi-table CDC (reference: 100+ tables through one pipeline):
+    the table name simply joins the compaction key — per-(table, key)
+    latest-state in one shuffle, no per-table jobs."""
+    from pyspark.sql import Window
+
+    rows = [
+        # (event_id, table, key, op, commit_ms)
+        (1, "users", 1, "UPSERT", 10),
+        (2, "orders", 1, "UPSERT", 10),   # same key, different table
+        (3, "users", 1, "UPSERT", 20),
+        (4, "orders", 1, "DELETE", 20),
+        (5, "users", 2, "UPSERT", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, table_name string, key long, op string, commit_ms long"
+    )
+    w = Window.partitionBy("table_name", "key").orderBy(
+        F.col("commit_ms").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .filter(F.col("op") != "DELETE")
+    )
+    got = {(r["table_name"], r["key"]): r["event_id"] for r in latest.collect()}
+    assert got == {("users", 1): 3, ("users", 2): 5}  # orders.1 deleted
