@@ -420,3 +420,49 @@ def compact_latest_agg(change: DataFrame, keep_deleted: bool = False) -> DataFra
     if keep_deleted:
         return latest
     return latest.filter(~F.col("__deleted")).drop("__deleted")
+
+
+@query(
+    "q_stream_session_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                    ) > 1800000 OR LAG(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                    ) IS NULL
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts_ms,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_ms) AS session_start_ms,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's native session_window (30-min gap) —
+    independently cross-checked against the lag+cumsum formulation's
+    oracle: two different algorithms, one answer. The native form is
+    the streaming-ready face (works under watermarks with merging
+    session state)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )

@@ -99,3 +99,41 @@ def test_compatibility_mode_algebra(spark, old, new):
     full = check_compatibility(sn, so, FULL).compatible
     assert full == (b and f)
     assert f == check_compatibility(so, sn, BACKWARD).compatible
+
+
+update_sequence = st.lists(
+    st.tuples(
+        st.integers(0, 3),                                  # key
+        st.one_of(st.none(), st.integers(0, 9)),            # col a
+        st.one_of(st.none(), st.integers(0, 9)),            # col b
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(seq=update_sequence)
+def test_partial_update_merge_matches_reference_semantics(spark, seq):
+    """compact_partial_updates == the reference trigger's row-at-a-time
+    semantics (IF NEW.x IS NULL THEN keep OLD.x), checked against a
+    driver-side replay of the same sequence."""
+    from scylla_pg_cdc_spark.streaming.pipeline import compact_partial_updates
+
+    rows = [
+        (i, key, i * 10, a, b) for i, (key, a, b) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, key long, commit_ms long, a long, b long"
+    )
+    got = {
+        r["key"]: (r["a"], r["b"])
+        for r in compact_partial_updates(df, "key", ["a", "b"]).collect()
+    }
+    # reference replay: apply updates in commit order, NULLs preserved
+    want: dict = {}
+    for _, key, _, a, b in rows:
+        prev_a, prev_b = want.get(key, (None, None))
+        want[key] = (a if a is not None else prev_a,
+                     b if b is not None else prev_b)
+    assert got == want
