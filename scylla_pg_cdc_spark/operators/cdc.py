@@ -159,11 +159,28 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_sliding", oracle=None)  # window() struct is Spark-specific
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               date_trunc('day', ts) - k * INTERVAL 1 DAY AS wstart
+        FROM events, range(0, 2) t(k)
+    )
+    SELECT strftime(wstart, '%Y-%m-%d') AS window_start,
+           strftime(wstart + 2 * INTERVAL 1 DAY, '%Y-%m-%d') AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window rate (T5; `rate(x[5m])` alerts
     `src/monitoring/alerts.py:79,92`): 2-day windows sliding 1 day.
-    Rows-only check: each event lands in 2 windows."""
+    Spark's window() starts are epoch-aligned multiples of the slide,
+    so each event lands in exactly the 2 windows starting at
+    trunc_day(ts) and trunc_day(ts) - 1 day — which the oracle
+    enumerates directly (VERDICT r1 next-round #4)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(

@@ -54,10 +54,37 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
 
 
-@query("q_vector_knn", oracle=None)  # float accumulation order
+@query(
+    "q_vector_knn",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+        SELECT e.vec_id, e.label,
+               SUM(CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(q.qe[CAST(i AS INT) + 1] AS DOUBLE)) AS dp,
+               SUM(CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS na,
+               SUM(CAST(q.qe[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(q.qe[CAST(i AS INT) + 1] AS DOUBLE)) AS nb
+        FROM embeddings e, q, range(0, {DIM}) t(i)
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label,
+           CAST(FLOOR(dp / (sqrt(na) * sqrt(nb)) * 1000000 + 0.5) AS BIGINT)
+               AS cos_sim_micro
+    FROM s
+    ORDER BY cos_sim_micro DESC, vec_id
+    LIMIT 10
+    """,
+)
 def q_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (k=10) against a fixed query vector —
-    the exact ANN baseline. One scan; TakeOrdered avoids a full sort."""
+    the exact ANN baseline. One scan; TakeOrdered avoids a full sort.
+    Similarity is emitted as half-up-rounded integer micro-units so the
+    DuckDB oracle is exact despite float64 summation-order noise (both
+    engines rank by the SAME rounded value + vec_id tiebreak, so the
+    k-boundary is engine-stable)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
     q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
@@ -67,25 +94,43 @@ def q_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            cosine(v, q).alias("cos_sim"),
+            F.floor(cosine(v, q) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("cos_sim_micro"),
         )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .orderBy(F.col("cos_sim_micro").desc(), F.col("vec_id"))
         .limit(10)
     )
 
 
-@query("q_vector_label_centroid", oracle=None)  # float accumulation order
+@query(
+    "q_vector_label_centroid",
+    oracle=f"""
+    SELECT label,
+           CAST(i AS INT) AS pos,
+           CAST(FLOOR(AVG(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS mean_val_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings, range(0, {DIM}) t(i)
+    GROUP BY label, i
+    """,
+)
 def q_vector_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean vector per label via posexplode + (label, pos) aggregation —
     shuffle is by (label, dim), so it scales with executors regardless
-    of vectors per label (no giant per-label arrays on one task)."""
+    of vectors per label (no giant per-label arrays on one task).
+    Means are emitted as half-up integer micro-units: float64 partial-
+    sum merge order differs between engines only below ~1e-12 relative,
+    which the 1e-6 quantization absorbs — giving an exact oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     ).toDF("label", "pos", "val")
-    return (
-        exploded.groupBy("label", "pos")
-        .agg(F.avg("val").alias("mean_val"), F.count(F.lit(1)).alias("n_vectors"))
+    return exploded.groupBy("label", "pos").agg(
+        F.floor(F.avg("val") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("mean_val_micro"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
 
 
@@ -112,11 +157,36 @@ def _pseudo_planes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-@query("q_vector_lsh_buckets", oracle=None)  # LSH construction
+@query(
+    "q_vector_lsh_buckets",
+    oracle=f"""
+    WITH bits AS (
+        SELECT e.vec_id, e.label, b.i,
+               CASE WHEN SUM(
+                   CAST(e.embedding[CAST(j AS INT) + 1] AS DOUBLE)
+                   * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
+                           % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
+               ) >= 0 THEN '1' ELSE '0' END AS bit
+        FROM embeddings e, range(0, 6) b(i), range(0, {DIM}) t(j)
+        GROUP BY e.vec_id, e.label, b.i
+    ),
+    bucketed AS (
+        SELECT vec_id, label,
+               string_agg(bit, '' ORDER BY i) AS bucket
+        FROM bits GROUP BY vec_id, label
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+    FROM bucketed GROUP BY bucket
+    """,
+)
 def q_vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketing (the ANN scale path): 6 hyperplanes -> 64
-    buckets; per-bucket membership counts + mean intra-bucket first
-    component. Candidate search then joins within buckets only."""
+    buckets; per-bucket membership counts. Candidate search then joins
+    within buckets only.  The pseudo-random hyperplanes come from an
+    integer LCG, so the oracle reproduces them exactly in SQL; sign
+    bits are engine-stable (|dot| ~ O(1), flip needs |dot| < 1e-12)."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _pseudo_planes(6, DIM)
     v = F.col("embedding").cast("array<double>")
@@ -132,11 +202,57 @@ def q_vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embed_neardup", oracle=None)  # float accumulation order
+@query(
+    "q_embed_neardup",
+    oracle=f"""
+    WITH bits AS (
+        SELECT e.vec_id, b.i,
+               CASE WHEN SUM(
+                   CAST(e.embedding[CAST(j AS INT) + 1] AS DOUBLE)
+                   * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
+                           % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
+               ) >= 0 THEN '1' ELSE '0' END AS bit
+        FROM embeddings e, range(0, 4) b(i), range(0, {DIM}) t(j)
+        GROUP BY e.vec_id, b.i
+    ),
+    buck AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY i) AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buck a JOIN buck b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    cos AS (
+        SELECT p.vec_a, p.vec_b,
+               SUM(CAST(ea.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(eb.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS dp,
+               SUM(CAST(ea.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(ea.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS na,
+               SUM(CAST(eb.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(eb.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS nb
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.vec_a
+        JOIN embeddings eb ON eb.vec_id = p.vec_b,
+             range(0, {DIM}) t(i)
+        GROUP BY p.vec_a, p.vec_b
+    )
+    SELECT vec_a, vec_b,
+           CAST(FLOOR(dp / (sqrt(na) * sqrt(nb)) * 1000000 + 0.5) AS BIGINT)
+               AS cos_sim_micro
+    FROM cos
+    ORDER BY cos_sim_micro DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: sign-LSH bucket
     self-join (never all-pairs), cosine on candidates, top-20 most
-    similar pairs — the embedding analog of MinHash near-dup."""
+    similar pairs — the embedding analog of MinHash near-dup.
+    Micro-unit similarity + (vec_a, vec_b) tiebreak makes the top-20
+    boundary engine-stable, so the LSH construction gets an exact
+    DuckDB oracle (the LCG hyperplanes are reproduced in SQL)."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _pseudo_planes(4, DIM)
     v = F.col("embedding").cast("array<double>")
@@ -154,16 +270,64 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        F.floor(cosine(F.col("a.vec"), F.col("b.vec")) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("cos_sim_micro"),
     )
-    return pairs.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(20)
+    return pairs.orderBy(
+        F.col("cos_sim_micro").desc(), "vec_a", "vec_b"
+    ).limit(20)
 
 
-@query("q_vector_ivf_search", oracle=None)  # float accumulation order
+@query(
+    "q_vector_ivf_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cent AS (
+        SELECT label, i,
+               AVG(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS c
+        FROM embeddings, range(0, {DIM}) t(i)
+        GROUP BY label, i
+    ),
+    centcos AS (
+        SELECT cent.label,
+               SUM(cent.c * CAST(q.qe[CAST(cent.i AS INT) + 1] AS DOUBLE)) AS dp,
+               SUM(cent.c * cent.c) AS na,
+               SUM(CAST(q.qe[CAST(cent.i AS INT) + 1] AS DOUBLE)
+                   * CAST(q.qe[CAST(cent.i AS INT) + 1] AS DOUBLE)) AS nb
+        FROM cent, q GROUP BY cent.label
+    ),
+    probe AS (
+        SELECT label FROM centcos
+        ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, label
+        LIMIT 1
+    ),
+    s AS (
+        SELECT e.vec_id, e.label,
+               SUM(CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(q.qe[CAST(i AS INT) + 1] AS DOUBLE)) AS dp,
+               SUM(CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS na,
+               SUM(CAST(q.qe[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(q.qe[CAST(i AS INT) + 1] AS DOUBLE)) AS nb
+        FROM embeddings e, q, range(0, {DIM}) t(i)
+        WHERE e.label = (SELECT label FROM probe) AND e.vec_id <> 0
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label,
+           CAST(FLOOR(dp / (sqrt(na) * sqrt(nb)) * 1000000 + 0.5) AS BIGINT)
+               AS cos_sim_micro
+    FROM s
+    ORDER BY cos_sim_micro DESC, vec_id
+    LIMIT 10
+    """,
+)
 def q_vector_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantization by label centroid (labels act
     as the codebook cells), probe the nearest cell to the query vector,
-    exact search within that cell only — O(n/cells) per query."""
+    exact search within that cell only — O(n/cells) per query.  The
+    probe pick and in-cell top-10 are both reproduced exactly by the
+    oracle (micro-unit similarity + vec_id tiebreak)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
     q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
@@ -189,17 +353,40 @@ def q_vector_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     return (
         cell.filter(F.col("vec_id") != 0)
-        .select("vec_id", "label", cosine(v, q).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.floor(cosine(v, q) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("cos_sim_micro"),
+        )
+        .orderBy(F.col("cos_sim_micro").desc(), "vec_id")
         .limit(10)
     )
 
 
-@query("q_vector_normalize", oracle=None)  # float fold order
+@query(
+    "q_vector_normalize",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST(FLOOR(sqrt(s) * 1000000 + 0.5) AS BIGINT) AS norm_micro,
+           CAST(1000000000 AS BIGINT) AS unit_norm_nano
+    FROM (
+        SELECT vec_id, label,
+               SUM(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS s
+        FROM embeddings, range(0, {DIM}) t(i)
+        GROUP BY vec_id, label
+    )
+    """,
+)
 def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalization of the embedding column — the standard prep
     before cosine ANN (cosine reduces to dot product on unit vectors,
-    halving the per-candidate cost). Pure higher-order expressions."""
+    halving the per-candidate cost). Pure higher-order expressions.
+    Checked surface: the vector norm in integer micro-units, plus the
+    re-computed norm of the normalized vector in nano-units (exactly
+    1e9 after quantization — proves the transform actually normalized)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     norm = l2_norm(v)
@@ -211,6 +398,10 @@ def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "label",
-        "norm",
-        F.round(l2_norm(F.col("unit_vec")), 9).alias("unit_norm"),
+        F.floor(F.col("norm") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("norm_micro"),
+        F.floor(l2_norm(F.col("unit_vec")) * 1_000_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("unit_norm_nano"),
     )

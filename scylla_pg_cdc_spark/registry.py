@@ -37,8 +37,65 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The round-1 driver recorded CORRECTNESS rows for exactly the first 50
+# registered queries, in registration order (see VERDICT.md "What's wrong"
+# #1).  To guarantee every query accumulates a driver-verified row across
+# rounds, ``load_all`` re-orders the registry: queries with NO row in
+# CORRECTNESS_r01.json come first (the reconcile/CDC/stream/text/vector
+# families — the reference's core), followed by the round-1-green remainder.
+# Any query registered but absent from this list (i.e. newly added this
+# round) is slotted immediately after the priority block, before the
+# round-1-green tail, so new work is always driver-checked in its first
+# round.
+_DRIVER_PRIORITY: list[str] = [
+    # --- no CORRECTNESS_r01 row: §2B-critical first -------------------
+    "q_reconcile_diff",
+    "q_reconcile_fielddiff",
+    "q_reconcile_composite",
+    "q_repair_actions",
+    "q_schema_diff",
+    "q_cdc_upsert_compact",
+    "q_cdc_delete_rewrite",
+    "q_cdc_partial_update",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_session_native",
+    "q_stream_dedup",
+    "q_stream_dlq_split",
+    "q_json_extract",
+    "q_array_ops",
+    "q_scalar_bitwise",
+    # --- no CORRECTNESS_r01 row: LLM-data-pipeline extensions ---------
+    "q_text_tokens",
+    "q_text_exact_dedup",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_text_minhash_dedup",
+    "q_text_ngram_jaccard",
+    "q_text_simhash",
+    "q_text_token_count",
+    "q_text_neardup_dedup",
+    "q_text_tfidf",
+    "q_vector_knn",
+    "q_vector_label_centroid",
+    "q_vector_lsh_buckets",
+    "q_embed_neardup",
+    "q_vector_ivf_search",
+    "q_vector_normalize",
+    # --- r01 err row (no_oracle) — now carries an exact oracle --------
+    "q_agg_approx_distinct",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every operator module (side effect: registration)."""
+    """Import every operator module (side effect: registration).
+
+    Returns the registry re-ordered so driver-unverified queries are
+    recorded first (see ``_DRIVER_PRIORITY``).
+    """
     import scylla_pg_cdc_spark.operators.relational  # noqa: F401
     import scylla_pg_cdc_spark.operators.subqueries  # noqa: F401
     import scylla_pg_cdc_spark.operators.aggregates  # noqa: F401
@@ -48,5 +105,35 @@ def load_all() -> dict[str, QuerySpec]:
     import scylla_pg_cdc_spark.operators.cdc  # noqa: F401
     import scylla_pg_cdc_spark.operators.text  # noqa: F401
     import scylla_pg_cdc_spark.operators.vector  # noqa: F401
+    import scylla_pg_cdc_spark.operators.multimodal  # noqa: F401
 
-    return dict(REGISTRY)
+    priority = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
+    listed = set(_DRIVER_PRIORITY)
+    new = [n for n in REGISTRY if n not in listed and n not in _R01_GREEN]
+    tail = [n for n in REGISTRY if n in _R01_GREEN and n not in listed]
+    ordered = priority + new + tail
+    return {n: REGISTRY[n] for n in ordered}
+
+
+# Queries with a green rows/schema/hash row in CORRECTNESS_r01.json —
+# already driver-verified, so they yield their slot to unverified work.
+_R01_GREEN: frozenset[str] = frozenset(
+    {
+        "q_agg_accuracy", "q_agg_conditional", "q_agg_cube",
+        "q_agg_daily_orders", "q_agg_distinct", "q_agg_dupes",
+        "q_agg_grouping_sets", "q_agg_histogram", "q_agg_minmax_by",
+        "q_agg_percentile", "q_agg_pivot", "q_agg_pricing_summary",
+        "q_agg_rollup", "q_agg_stringagg", "q_correlated_min", "q_except",
+        "q_exists_subquery", "q_filter_like_in", "q_filter_pred",
+        "q_having_groups", "q_in_subquery", "q_intersect", "q_join_anti",
+        "q_join_broadcast", "q_join_composite", "q_join_inner",
+        "q_join_left_agg", "q_join_multiway", "q_join_semi", "q_join_theta",
+        "q_limit_offset_topk", "q_scalar_case_null", "q_scalar_date",
+        "q_scalar_hash", "q_scalar_interval", "q_scalar_math",
+        "q_scalar_string", "q_scalar_subquery", "q_scan_project",
+        "q_supplier_balance", "q_union_all", "q_validation_summary",
+        "q_window_first_last", "q_window_lag_gap",
+        "q_window_latest_per_key", "q_window_moving_avg",
+        "q_window_percentile_rank", "q_window_rank", "q_window_running_sum",
+    }
+)
