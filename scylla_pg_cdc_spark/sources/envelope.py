@@ -8,10 +8,11 @@ envelopes shaped like `specs/001-scylla-pg-cdc/data-model.md:16-85`
 (correlation_id, operation, table_name, primary_key, before, after,
 commit_timestamp us, captured_at ms, schema_version).
 
-Here the envelope is JSON (Avro needs the spark-avro jar — the codec
-boundary is isolated in ``parse_envelope``/``to_envelope_json`` so an
-Avro deployment swaps exactly two functions), and every SMT is a
-DataFrame transform: narrow, zero-shuffle, whole-stage codegen —
+Here the default envelope is JSON; the Avro wire format lives in
+``sources/avro_codec.py`` (JVM from_avro/to_avro when the spark-avro
+package is loadable, stdlib binary codec otherwise — swap
+``parse_envelope`` for ``avro_codec.parse_envelope_avro``). Every SMT
+is a DataFrame transform: narrow, zero-shuffle, whole-stage codegen —
 verified single-stage plans.
 """
 
