@@ -1,9 +1,18 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-ONE JSON line {"metric","value","unit","queries","sf"}.
+ONE JSON line {"metric","value","unit","queries","sf",...}.
+
+Rigor (VERDICT r1 next-round #8):
+- each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3); the
+  reported per-query number is the MEDIAN, so one GC pause or page-in
+  can't smear a round-over-round comparison;
+- per-query shuffle WRITE bytes come from the app status store
+  (cumulative across completed stages, delta'd around each query's
+  runs, averaged per run) — the physical-plan metric that predicts
+  100 TB behavior better than local wall time.
 
 Results are materialized with the noop writer — full execution on the
-executors, nothing collected to the driver — so the number measures
+executors, nothing collected to the driver — so the numbers measure
 the distributed plan, not driver serialization.
 """
 
@@ -11,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -21,9 +31,28 @@ from scylla_pg_cdc_spark.registry import load_all  # noqa: E402
 from scylla_pg_cdc_spark.session import get_session  # noqa: E402
 
 
+def _total_shuffle_write_bytes(spark) -> int | None:
+    """Cumulative shuffle write bytes over all completed stages, via
+    the JVM AppStatusStore (works with the UI disabled). Returns None
+    if the py4j surface moved — bench then reports -1 for bytes rather
+    than failing the timing run."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        defaults = [
+            getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+        ]
+        stages = store.stageList(None, *defaults)
+        return sum(
+            stages.apply(i).shuffleWriteBytes() for i in range(stages.size())
+        )
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
@@ -41,16 +70,27 @@ def main() -> None:
         ).save()
 
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
     for name in sorted(specs):
         fn = specs[name].fn
-        t0 = time.time()
+        samples: list[float] = []
+        bytes_before = _total_shuffle_write_bytes(spark)
         try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(runs):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                samples.append(time.time() - t0)
+            timings[name] = round(statistics.median(samples), 3)
+            bytes_after = _total_shuffle_write_bytes(spark)
+            if bytes_before is None or bytes_after is None:
+                shuffle_bytes[name] = -1
+            else:
+                shuffle_bytes[name] = (bytes_after - bytes_before) // runs
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+            shuffle_bytes[name] = -1
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -59,6 +99,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_bytes": shuffle_bytes,
+                "runs": runs,
+                "stat": "median",
                 "sf": sf,
             }
         )

@@ -48,6 +48,9 @@ def get_session(app_name: str = "scylla-pg-cdc-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # status store keeps enough stages for bench.py's cumulative
+        # shuffle-bytes counter to never evict mid-run
+        .config("spark.ui.retainedStages", "50000")
         .getOrCreate()
     )
     return configure(spark)
