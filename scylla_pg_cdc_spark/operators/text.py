@@ -711,12 +711,53 @@ def resolve_dedup_clusters(
     )
 
 
-@query("q_text_neardup_dedup", oracle=None)  # LSH construction
+@query(
+    "q_text_neardup_dedup",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        ) WHERE length(shingle) > 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), ovl AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT o.doc_a, o.doc_b
+        FROM ovl o
+        JOIN sizes sa ON o.doc_a = sa.doc_id
+        JOIN sizes sb ON o.doc_b = sb.doc_id
+        WHERE o.n_common * 1.0 / (sa.n + sb.n - o.n_common) > 0.8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(doc_id, lbl) AS (
+        -- transitive closure: every label reachable from each doc;
+        -- the component id is the MIN over the closure
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc_id, e.b FROM reach r JOIN edges e ON e.a = r.lbl
+    )
+    SELECT doc_id,
+           CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+           MIN(lbl) = doc_id AS is_canonical
+    FROM reach GROUP BY doc_id
+    """,
+)
 def q_text_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-duplicate dedup: MinHash+LSH candidates ->
     exact-Jaccard confirmation (>0.8) -> connected-component cluster
     resolution -> keep-list with one canonical doc per cluster. The
-    full training-data dedup pipeline in one plan."""
+    full training-data dedup pipeline in one plan. The oracle solves
+    the same components with a recursive-CTE transitive closure +
+    min-label, so even the iterative stage is hash-checked (last
+    rows-only query eliminated)."""
     docs = load_table(spark, sf_dir, "documents")
     confirmed = q_text_ngram_jaccard(spark, sf_dir).filter(
         F.col("jaccard") > 0.8
