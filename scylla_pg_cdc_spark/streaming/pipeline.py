@@ -122,6 +122,105 @@ def _bucket_dirs(state_dir: str) -> dict[int, str]:
     return out
 
 
+def _carry_buckets(
+    prev_dir: str, next_dir: str, entries: dict[int, str]
+) -> None:
+    """Hardlink untouched bucket dirs from the committed layout into
+    the staged next layout — zero bytes rewritten; inodes survive the
+    parked dir's later removal."""
+    for entry in entries.values():
+        src = os.path.join(prev_dir, entry)
+        dst = os.path.join(next_dir, entry)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            if not f.startswith("."):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+
+
+def fold_mv_bucketed(
+    mv_dir: str,
+    removed: DataFrame,
+    added: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    marker: str,
+    n_buckets: int = STATE_BUCKETS,
+) -> None:
+    """Fold one epoch's (removed, added) delta into a hash-bucketed
+    materialized view: only buckets containing touched GROUPS are read
+    and rewritten; the rest carry forward as hardlinks — the same
+    O(delta)-not-O(table) discipline as ``merge_batch_into_state``,
+    closing the incremental-MV analog of the reference's O(table)
+    REFRESH (S12). The epoch ``marker`` is staged INSIDE the new
+    layout and committed by the same atomic rename, so data and marker
+    can never disagree (idempotent under epoch replay)."""
+    import shutil
+
+    from scylla_pg_cdc_spark.streaming.mv import apply_delta
+
+    spark = removed.sparkSession
+    bcol = F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in group_cols]),
+        F.lit(n_buckets),
+    ).cast("int")
+    touched = sorted(
+        r["__bucket"]
+        for r in removed.select(*group_cols)
+        .unionByName(added.select(*group_cols))
+        .select(bcol.alias("__bucket"))
+        .distinct()
+        .collect()
+    )
+    prev_exists = os.path.exists(mv_dir)
+    if not touched and prev_exists:
+        # marker-only update: data is unchanged
+        tmp = os.path.join(mv_dir, "_EPOCH.tmp")
+        with open(tmp, "w") as f:
+            f.write(marker)
+        os.replace(tmp, os.path.join(mv_dir, "_EPOCH"))
+        return
+    if not touched:
+        # first epoch, empty delta: flat empty MV with schema (a later
+        # non-empty fold migrates it to the bucketed layout)
+        mv_new = apply_delta(None, removed, added, group_cols, sum_cols)
+        mv_new.repartition(1).write.mode("overwrite").parquet(mv_dir + "_next")
+        with open(os.path.join(mv_dir + "_next", "_EPOCH"), "w") as f:
+            f.write(marker)
+        os.rename(mv_dir + "_next", mv_dir)
+        return
+    prev_buckets = _bucket_dirs(mv_dir) if prev_exists else {}
+    if not prev_exists:
+        mv_old, carry = None, {}
+    elif prev_buckets:
+        mv_old = (
+            spark.read.parquet(mv_dir)
+            .filter(F.col("__bucket").isin(touched))
+            .drop("__bucket")
+        )
+        carry = {
+            b: d for b, d in prev_buckets.items() if b not in set(touched)
+        }
+    else:
+        # migration from a flat MV layout: one full rewrite
+        mv_old = spark.read.parquet(mv_dir)
+        if "__bucket" in mv_old.columns:
+            mv_old = mv_old.drop("__bucket")
+        carry = {}
+
+    mv_new = apply_delta(mv_old, removed, added, group_cols, sum_cols)
+    next_dir = mv_dir + "_next"
+    shutil.rmtree(next_dir, ignore_errors=True)
+    mv_new.withColumn("__bucket", bcol).repartition(
+        max(len(touched), 1), "__bucket"
+    ).write.mode("overwrite").partitionBy("__bucket").parquet(next_dir)
+    if carry:
+        _carry_buckets(mv_dir, next_dir, carry)
+    with open(os.path.join(next_dir, "_EPOCH"), "w") as f:
+        f.write(marker)
+    shutil.rmtree(mv_dir, ignore_errors=True)
+    os.rename(next_dir, mv_dir)
+
+
 def merge_batch_into_state(
     batch: DataFrame,
     state_dir: str,
@@ -216,13 +315,7 @@ def merge_batch_into_state(
     latest.repartition(max(len(touched), 1), "__bucket").write.mode(
         "overwrite"
     ).partitionBy("__bucket").parquet(next_dir)
-    for b, entry in carry.items():
-        src = os.path.join(prev_dir, entry)
-        dst = os.path.join(next_dir, entry)
-        os.makedirs(dst, exist_ok=True)
-        for f in os.listdir(src):
-            if not f.startswith("."):  # skip hidden markers
-                os.link(os.path.join(src, f), os.path.join(dst, f))
+    _carry_buckets(prev_dir, next_dir, carry)
     # swap: park current, promote next, drop parked (renames are atomic
     # on a local/posix fs; hardlinked inodes survive the parked dir's
     # removal)
@@ -263,8 +356,10 @@ def run_upsert_pipeline(
 
     ``mv_spec=(group_cols, sum_cols)`` additionally maintains an
     incremental materialized view at ``work_dir/mv`` — each epoch folds
-    only the state delta into the MV (O(batch), see streaming/mv.py),
-    the upgrade over the reference's O(table) REFRESH (S12)."""
+    only the state delta into the MV (O(batch), see streaming/mv.py)
+    and rewrites only the MV buckets holding touched groups
+    (``fold_mv_bucketed``), the upgrade over the reference's O(table)
+    REFRESH (S12)."""
     state_dir = os.path.join(work_dir, "state")
     dlq_dir = os.path.join(work_dir, "dlq")
     mv_dir = os.path.join(work_dir, "mv")
@@ -282,24 +377,11 @@ def run_upsert_pipeline(
             return None
 
     def _fold_mv(removed: DataFrame, added: DataFrame, marker: str) -> None:
-        from scylla_pg_cdc_spark.streaming.mv import apply_delta
-
         group_cols, sum_cols = mv_spec
-        mv_old = (
-            spark.read.parquet(mv_dir) if os.path.exists(mv_dir) else None
+        fold_mv_bucketed(
+            mv_dir, removed, added, group_cols, sum_cols, marker,
+            n_buckets=state_buckets,
         )
-        mv_new = apply_delta(mv_old, removed, added, group_cols, sum_cols)
-        import shutil as _sh
-
-        _sh.rmtree(mv_dir + "_next", ignore_errors=True)
-        # materialize to _next (still reads the old mv), stamp the epoch
-        # marker INSIDE the staged dir, then one atomic rename commits
-        # data + marker together (no window where they disagree)
-        mv_new.write.mode("overwrite").parquet(mv_dir + "_next")
-        with open(os.path.join(mv_dir + "_next", "_EPOCH"), "w") as f:
-            f.write(marker)
-        _sh.rmtree(mv_dir, ignore_errors=True)
-        os.rename(mv_dir + "_next", mv_dir)
 
     def compute_mv_delta(batch_clean: DataFrame):
         from scylla_pg_cdc_spark.operators.cdc import compact_latest_agg

@@ -136,6 +136,56 @@ def test_migration_from_flat_layout(spark, tmp_path):
     assert live.filter(F.col("key") == 7).head()["event_id"] == 999
 
 
+def test_mv_fold_rewrites_only_touched_buckets(spark, tmp_path):
+    """The incremental-MV fold gets the same O(delta) treatment: an
+    epoch whose delta touches one group rewrites only that group's
+    bucket (hardlink inodes prove the rest untouched)."""
+    from pyspark.sql import functions as F
+
+    from scylla_pg_cdc_spark.streaming.pipeline import fold_mv_bucketed
+
+    mv = str(tmp_path / "mv")
+    schema = "grp string, v double"
+    empty = spark.createDataFrame([], schema)
+    seed = spark.createDataFrame(
+        [(f"g{i}", float(i)) for i in range(400)], schema
+    )
+    fold_mv_bucketed(mv, empty, seed, ["grp"], ["v"], "epoch-0", n_buckets=64)
+    before = _bucket_inodes(mv)
+    assert len(before) == 64
+
+    delta_add = spark.createDataFrame([("g7", 100.0)], schema)
+    fold_mv_bucketed(
+        mv, empty, delta_add, ["grp"], ["v"], "epoch-1", n_buckets=64
+    )
+    after = _bucket_inodes(mv)
+    changed = {b for b in after if after[b] != before.get(b)}
+    assert len(changed) == 1, f"rewrote {len(changed)} MV buckets"
+
+    rows = {
+        r["grp"]: (r["n_rows"], r["sum_v"])
+        for r in spark.read.parquet(mv).filter(F.col("grp") == "g7").collect()
+    }
+    assert rows == {"g7": (2, 107.0)}
+    with open(f"{mv}/_EPOCH") as f:
+        assert f.read() == "epoch-1"
+
+
+def test_mv_fold_marker_only_on_empty_delta(spark, tmp_path):
+    from scylla_pg_cdc_spark.streaming.pipeline import fold_mv_bucketed
+
+    mv = str(tmp_path / "mv")
+    schema = "grp string, v double"
+    empty = spark.createDataFrame([], schema)
+    seed = spark.createDataFrame([("a", 1.0), ("b", 2.0)], schema)
+    fold_mv_bucketed(mv, empty, seed, ["grp"], ["v"], "epoch-0", n_buckets=8)
+    before = _bucket_inodes(mv)
+    fold_mv_bucketed(mv, empty, empty, ["grp"], ["v"], "epoch-1", n_buckets=8)
+    assert _bucket_inodes(mv) == before  # zero data movement
+    with open(f"{mv}/_EPOCH") as f:
+        assert f.read() == "epoch-1"
+
+
 def test_empty_batch_is_noop(spark, tmp_path):
     state = str(tmp_path / "state")
     merge_batch_into_state(_mk_batch(spark, range(100)), state, n_buckets=8)
