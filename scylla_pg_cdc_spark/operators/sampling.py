@@ -1,0 +1,159 @@
+"""Training-data sampling, splitting, and decontamination.
+
+The operations a large-scale LLM-data pipeline runs after dedup/quality
+filtering: deterministic sampling (reproducible subsets without a
+stored seed state), hash-based train/valid/test splits (stable under
+re-runs and shard re-ordering — the property rand()-based splits lose),
+and benchmark decontamination (drop training docs that share n-grams
+with an eval set; the n-gram-overlap rule from the GPT-3/PaLM data
+papers).
+
+All three use an ENGINE-PORTABLE hash — integer value of the first 6
+md5 hex digits — so every assignment is bit-identical in Spark and the
+DuckDB oracle, and at 100 TB is a narrow, shuffle-free projection
+(sampling/split) or one semi join on shingles (decontamination).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+# 0..99 bucket from a portable hash; the 'split:' domain tag keeps
+# this independent of any other md5-derived key in the pipeline
+_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6))"
+    " AS BIGINT) % 100"
+)
+
+
+def portable_bucket(col, domain: str = "split") -> "F.Column":
+    """pmod-100 bucket of md5('<domain>:' || col) — identical value in
+    Spark (conv base-16) and DuckDB ('0x' cast)."""
+    h = F.md5(F.concat(F.lit(f"{domain}:"), F.col(col).cast("string")))
+    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 100).alias(
+        "bucket"
+    )
+
+
+@query(
+    "q_sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, source, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM documents
+    WHERE {_BUCKET_SQL} < 10
+    """,
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample: hash-bucket the key and keep buckets
+    0-9. Unlike ``df.sample()``, membership is a pure function of the
+    key — stable across runs, partitionings, and engines; narrow
+    (no shuffle) and trivially composable with any upstream filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", portable_bucket("doc_id")
+    ).filter(F.col("bucket") < 10)
+
+
+@query(
+    "q_train_test_split",
+    oracle=f"""
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM (
+        SELECT source, n_chars,
+               CASE WHEN {_BUCKET_SQL} < 90 THEN 'train'
+                    WHEN {_BUCKET_SQL} < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split, source
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based 90/5/5 train/valid/test split with per-(split,
+    source) doc and char counts. Assignment is deterministic per key,
+    so adding shards or re-running never migrates a document between
+    splits (no leakage across reruns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = portable_bucket("doc_id")
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            F.when(b < 90, "train").when(b < 95, "valid").otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT doc_id, text, {_BUCKET_SQL} AS bucket FROM documents
+    ), eval_sh AS (
+        SELECT DISTINCT shingle FROM (
+            SELECT unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT string_split(text, ' ') AS toks
+                  FROM bucketed WHERE bucket >= 98)
+        ) WHERE length(shingle) > 0
+    ), train_sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM bucketed WHERE bucket < 98)
+        ) WHERE length(shingle) > 0
+    )
+    SELECT t.doc_id,
+           EXISTS (SELECT 1 FROM train_sh s
+                   JOIN eval_sh e ON s.shingle = e.shingle
+                   WHERE s.doc_id = t.doc_id) AS contaminated
+    FROM bucketed t WHERE t.bucket < 98
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    3-token shingle with the held-out eval slice (hash buckets 98-99).
+    Plan: eval shingles are tiny -> broadcast semi join against the
+    training shingle explode; at 100 TB this is the standard
+    13-gram-overlap decontamination pass with the eval set as the
+    build side."""
+    from scylla_pg_cdc_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = portable_bucket("doc_id")
+    bucketed = docs.select("doc_id", "text", b)
+    train = bucketed.filter(F.col("bucket") < 98)
+    eval_sh = (
+        shingles(bucketed.filter(F.col("bucket") >= 98), k=3)
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = shingles(train, k=3)
+    dirty = (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        train.select("doc_id")
+        .join(dirty, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
