@@ -15,6 +15,35 @@ from scylla_pg_cdc_spark.registry import load_all  # noqa: E402
 from scylla_pg_cdc_spark.session import get_session  # noqa: E402
 
 
+def _scan_width(schema_tail: str) -> int:
+    """Top-level field count of a ``ReadSchema: struct<...`` tail.
+
+    Counts commas only at angle-bracket depth 0 (nested struct/map
+    fields no longer inflate the number — the round-1 overcount), stops
+    at the matching ``>``, and honors Spark's line-truncation suffix
+    ``... N more fields``."""
+    depth = 0
+    fields = 0
+    seen_any = False
+    for i, ch in enumerate(schema_tail):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields += 1
+        elif not ch.isspace() and depth == 0:
+            seen_any = True
+        if schema_tail.startswith("... ", i) and depth == 0:
+            m = re.match(r"\.\.\. (\d+) more fields", schema_tail[i:])
+            if m:
+                return fields + seen_any + int(m.group(1))
+            break
+    return fields + (1 if seen_any else 0)
+
+
 def audit(sf_dir: str, only: list[str] | None = None) -> None:
     specs = load_all()
     spark = get_session("plan-audit")
@@ -35,8 +64,8 @@ def audit(sf_dir: str, only: list[str] | None = None) -> None:
         n_smj = plan.count("SortMergeJoin")
         n_sort = len(re.findall(r"\+- Sort ", plan))
         pushed = "yes" if re.search(r"PushedFilters: \[[^\]]", plan) else "-"
-        scans = re.findall(r"ReadSchema: struct<([^>]*)", plan)
-        widths = ",".join(str(len(s.split(","))) if s else "0" for s in scans)
+        scans = re.findall(r"ReadSchema: struct<(.*)", plan)
+        widths = ",".join(str(_scan_width(s)) for s in scans)
         print(f"{name:32s} {n_exchange:8d} {n_bhj:4d} {n_smj:4d} "
               f"{n_sort:5d} {pushed:>7s} [{widths}]")
 
