@@ -1,0 +1,175 @@
+"""Temporal join operators: as-of join and range join.
+
+Spark has no native ASOF JOIN (DuckDB/kdb/Pandas do); the scalable
+construction here is the union-window form — tag both sides, union,
+and carry the last right-side row forward per key with
+``last(ignorenulls) over (partition by key order by ts)``:
+
+- ONE shuffle (the window), regardless of how many right rows precede
+  each left row — the naive ``join on key and r.ts <= l.ts`` +
+  ``max_by`` explodes to O(left x matching-right) intermediate rows
+  and is never acceptable at 100 TB;
+- skew behaves like any window (hot keys can salt on a ts-bucket
+  prefix if needed).
+
+The range join keeps its equi-key as the hash-join key and applies the
+interval predicate as a post-join filter, so Catalyst plans a real
+hash/SMJ join, not a nested loop.
+
+Oracles: the as-of query cross-validates against DuckDB's NATIVE
+``ASOF LEFT JOIN`` — two independent implementations of the operator
+must agree row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For every left row: the latest right row with the same key and
+    ``right_ts <= left_ts`` (NULL-extended when none). Union-window
+    construction, one shuffle. Right rows sort before left rows at
+    equal timestamps, so an exactly-simultaneous right row IS visible
+    (matching DuckDB ASOF's ``>=``)."""
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    lcols = left.columns
+    l2 = left.select(
+        *lcols,
+        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in value_cols],
+        F.col(left_on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__src"),
+    )
+    r2 = right.select(
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l2.unionByName(r2).select(
+        *lcols,
+        "__src",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__src") == 1).select(
+        *lcols, *[F.col(f"__r_{c}").alias(c) for c in value_cols]
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ev_ms FROM events
+    ), o AS (
+        SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS order_ms
+        FROM orders
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.order_ms,
+           CAST(COALESCE(e.event_id, -1) AS BIGINT) AS last_event_id,
+           CAST(COALESCE(e.ev_ms, -1) AS BIGINT) AS last_event_ms
+    FROM o ASOF LEFT JOIN ev e
+      ON o.o_custkey = e.user_id AND o.order_ms >= e.ev_ms
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each order picks the user's latest event at-or-
+    before the order timestamp. The oracle uses DuckDB's NATIVE ASOF
+    JOIN — an independent implementation the union-window plan must
+    match row-for-row. -1 sentinels stand in for no-match NULLs (keeps
+    both engines' dtypes integral)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ev_ms")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ms"),
+    )
+    joined = asof_join(
+        orders, events,
+        left_on="o_custkey", right_on="user_id",
+        left_ts="order_ms", right_ts="ev_ms",
+        value_cols=["event_id", "ev_ms"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_ms",
+        F.coalesce("event_id", F.lit(-1)).alias("last_event_id"),
+        F.coalesce("ev_ms", F.lit(-1)).alias("last_event_ms"),
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT anchor_id,
+           CAST(COUNT(event_id) AS BIGINT) AS n_follow,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM (
+        SELECT s.event_id AS anchor_id, e.event_id, e.event_type
+        FROM events s
+        JOIN events e
+          ON e.user_id = s.user_id
+         AND epoch_ms(e.ts) > epoch_ms(s.ts)
+         AND epoch_ms(e.ts) <= epoch_ms(s.ts) + 3600000
+        WHERE s.event_type = 'signup'
+    )
+    GROUP BY anchor_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for every signup event, the same user's
+    activity in the following hour (attribution-window shape). The
+    user-key equality drives a hash join; the time interval is a
+    post-join filter — never a nested loop. Signups with no follow-up
+    drop out (inner)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_millis("ts").alias("ev_ms")
+    )
+    anchors = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("anchor_id"),
+        F.col("ev_ms").alias("a_ms"),
+    )
+    hour = 3_600_000
+    return (
+        anchors.join(
+            events,
+            (events.user_id == anchors.a_user)
+            & (events.ev_ms > anchors.a_ms)
+            & (events.ev_ms <= anchors.a_ms + hour),
+        )
+        .groupBy("anchor_id")
+        .agg(
+            F.count("event_id").alias("n_follow"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+    )
