@@ -241,3 +241,48 @@ def q_window_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@query(
+    "q_window_range_interval",
+    oracle="""
+    SELECT user_id, event_id, ts_ms,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS value_cents_24h
+    FROM (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events
+    )
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts_ms
+        RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour per-user activity via a RANGE (value-based)
+    frame — the time-interval window shape ROWS frames can't express:
+    the frame holds every event whose timestamp is within 24h of the
+    current one, however many rows that is. RANGE frames include all
+    peer rows of equal ts, so the result is deterministic even with
+    tied timestamps. One shuffle + per-partition sort, same cost
+    envelope as any window at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        cents("value").alias("vc"),
+    )
+    day_ms = 86_400_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-(day_ms - 1), Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum("vc").over(w).cast("long").alias("value_cents_24h"),
+    )
