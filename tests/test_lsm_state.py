@@ -1,0 +1,121 @@
+"""LSM-style state (append + merge-on-read + amortized compaction):
+semantic equivalence with one-shot compaction, replay idempotence,
+file-count control, and the O(batch) append property."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.operators.cdc import compact_latest_agg
+from scylla_pg_cdc_spark.streaming.lsm_state import (
+    append_epoch,
+    buckets_needing_compaction,
+    compact_buckets,
+    maintain,
+    read_latest,
+)
+from tests.test_bucketed_state import CHANGE_SCHEMA, _mk_batch
+
+
+def _want(spark, epochs):
+    u = epochs[0]
+    for e in epochs[1:]:
+        u = u.unionByName(e)
+    return {
+        (r["key"], r["event_id"], r["op"])
+        for r in compact_latest_agg(u, keep_deleted=True).collect()
+    }
+
+
+def test_lsm_matches_one_shot_compaction(spark, tmp_path):
+    state = str(tmp_path / "state")
+    e1 = _mk_batch(spark, [1, 2, 3, 4, 5], commit_ms=1_000)
+    e2 = _mk_batch(spark, [3, 4], base_event_id=100, commit_ms=5_000)
+    e3 = _mk_batch(spark, [5], base_event_id=200, commit_ms=500)  # out of order
+    e4 = _mk_batch(spark, [1], base_event_id=300, commit_ms=6_000, op="DELETE")
+    e5 = _mk_batch(spark, [1], base_event_id=400, commit_ms=7_000)  # resurrect
+    for e in (e1, e2, e3, e4, e5):
+        append_epoch(e, state, n_buckets=8)
+    got = {
+        (r["key"], r["event_id"], r["op"])
+        for r in read_latest(spark, state).collect()
+    }
+    assert got == _want(spark, [e1, e2, e3, e4, e5])
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    state = str(tmp_path / "state")
+    e1 = _mk_batch(spark, range(50), commit_ms=1_000)
+    append_epoch(e1, state, n_buckets=8)
+    append_epoch(e1, state, n_buckets=8)  # crash-replay of the same epoch
+    out = read_latest(spark, state)
+    assert out.count() == 50
+
+
+def test_compaction_bounds_files_and_preserves_result(spark, tmp_path):
+    state = str(tmp_path / "state")
+    epochs = []
+    for e in range(12):
+        b = _mk_batch(
+            spark, range(40), base_event_id=1000 * e, commit_ms=1_000 * (e + 1)
+        )
+        epochs.append(b)
+        append_epoch(b, state, n_buckets=4)
+    before = {
+        (r["key"], r["event_id"]) for r in read_latest(spark, state).collect()
+    }
+    todo = buckets_needing_compaction(state, file_threshold=8)
+    assert todo  # 12 epochs > threshold in every touched bucket
+    compact_buckets(spark, state, todo)
+    assert not buckets_needing_compaction(state, file_threshold=8)
+    after = {
+        (r["key"], r["event_id"]) for r in read_latest(spark, state).collect()
+    }
+    assert after == before == {
+        (r["key"], r["event_id"]) for r in _want_rows(spark, epochs)
+    }
+
+
+def _want_rows(spark, epochs):
+    u = epochs[0]
+    for e in epochs[1:]:
+        u = u.unionByName(e)
+    return compact_latest_agg(u, keep_deleted=True).collect()
+
+
+def test_maintain_runs_lifecycle(spark, tmp_path):
+    state = str(tmp_path / "state")
+    compacted_any = []
+    for e in range(10):
+        b = _mk_batch(
+            spark, range(30), base_event_id=1000 * e, commit_ms=1_000 * (e + 1)
+        )
+        compacted_any += maintain(b, state, n_buckets=4, file_threshold=6)
+    assert compacted_any  # lifecycle actually compacted something
+    assert read_latest(spark, state).count() == 30
+
+
+def test_append_cost_independent_of_state_size(spark, tmp_path):
+    """The property the eager merge can't give on uniformly-keyed
+    batches: appending an epoch costs the same against a 200k-key
+    state as against an empty one (no read of existing state)."""
+    small = str(tmp_path / "small")
+    big = str(tmp_path / "big")
+    append_epoch(_mk_batch(spark, range(1_000)), small, n_buckets=16)
+    append_epoch(_mk_batch(spark, range(200_000)), big, n_buckets=16)
+
+    def timed(state):
+        t0 = time.time()
+        append_epoch(
+            _mk_batch(spark, range(2_000), base_event_id=10_000_000,
+                      commit_ms=9_000_000),
+            state, n_buckets=16,
+        )
+        return time.time() - t0
+
+    t_small, t_big = timed(small), timed(big)
+    # identical work modulo noise; the eager merge is >10x apart here
+    assert t_big < t_small * 3 + 0.5, (t_small, t_big)
