@@ -343,6 +343,7 @@ def run_upsert_pipeline(
     glob: str = "events.parquet", max_files_per_trigger: int | None = None,
     mv_spec: tuple[list[str], list[str]] | None = None,
     state_buckets: int = STATE_BUCKETS,
+    state_mode: str = "merge",
 ) -> dict[str, str]:
     """End-to-end streaming CDC pipeline with DLQ split:
     readStream -> transform -> foreachBatch(main: upsert merge with
@@ -359,7 +360,15 @@ def run_upsert_pipeline(
     only the state delta into the MV (O(batch), see streaming/mv.py)
     and rewrites only the MV buckets holding touched groups
     (``fold_mv_bucketed``), the upgrade over the reference's O(table)
-    REFRESH (S12)."""
+    REFRESH (S12).
+
+    ``state_mode``: ``merge`` (eager per-epoch compaction — cheap
+    reads) or ``lsm`` (O(batch) appends + amortized compaction via
+    ``streaming/lsm_state.py`` — write-heavy CDC firehose; read the
+    state through ``latest_state``, which compacts on read for this
+    mode)."""
+    if state_mode not in ("merge", "lsm"):
+        raise ValueError(f"unknown state_mode: {state_mode!r}")
     state_dir = os.path.join(work_dir, "state")
     dlq_dir = os.path.join(work_dir, "dlq")
     mv_dir = os.path.join(work_dir, "mv")
@@ -388,9 +397,14 @@ def run_upsert_pipeline(
         from scylla_pg_cdc_spark.streaming.mv import state_transition
 
         prev_path = _existing_state_dir(state_dir)
-        prev_state = (
-            spark.read.parquet(prev_path) if prev_path is not None else None
-        )
+        if prev_path is None:
+            prev_state = None
+        elif state_mode == "lsm":
+            from scylla_pg_cdc_spark.streaming.lsm_state import read_latest
+
+            prev_state = read_latest(spark, prev_path)
+        else:
+            prev_state = spark.read.parquet(prev_path)
         batch_latest = compact_latest_agg(batch_clean, keep_deleted=True).drop(
             "__deleted"
         )
@@ -418,8 +432,15 @@ def run_upsert_pipeline(
                 # and skips the second fold
                 delta = compute_mv_delta(clean)
                 _fold_mv(delta[0], delta[1], marker)
+            if state_mode == "lsm":
+                from scylla_pg_cdc_spark.streaming.lsm_state import maintain
+
+                def _sink(b, d, n_buckets):
+                    maintain(b, d, n_buckets=n_buckets)
+            else:
+                _sink = merge_batch_into_state
             merge = with_retries(
-                merge_batch_into_state,
+                _sink,
                 max_retries=max_retries,
                 backoff_ms=backoff_ms,
             )
@@ -459,10 +480,23 @@ def run_upsert_pipeline(
 
 def latest_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Materialized target-table view: live rows only (tombstones
-    filtered — the `delete.enabled=true` view). The ``__bucket``
-    partition column is an internal layout detail and is hidden."""
-    df = spark.read.parquet(state_dir).filter(F.col("op") != "DELETE")
-    return df.drop("__bucket") if "__bucket" in df.columns else df
+    filtered — the `delete.enabled=true` view). Applies the
+    latest-per-key reduction unconditionally: a no-op on eagerly-merged
+    state (already one row per key) and the required merge-on-read for
+    ``state_mode='lsm'`` dirs — the reducer's idempotence makes one
+    reader serve both layouts. The ``__bucket`` partition column is an
+    internal layout detail and is hidden."""
+    from scylla_pg_cdc_spark.operators.cdc import compact_latest_agg
+
+    df = spark.read.parquet(state_dir)
+    if "__bucket" in df.columns:
+        df = df.drop("__bucket")
+    latest = (
+        compact_latest_agg(df, keep_deleted=True).drop("__deleted")
+        if "key" in df.columns
+        else df
+    )
+    return latest.filter(F.col("op") != "DELETE")
 
 
 def run_windowed_rates(
