@@ -119,3 +119,38 @@ def test_python_bytes_decode_with_jvm_when_available(spark):
         from_avro(F.col("value"), CHANGE_EVENT_AVRO_JSON).alias("event")
     ).head()
     assert row["event"].asDict(recursive=True) == SAMPLE
+
+
+# ---------------------------------------------------------------------
+# Property-based round trip (hypothesis)
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_opt_str = st.none() | st.text(max_size=40)
+_opt_map = st.none() | st.dictionaries(
+    st.text(min_size=1, max_size=10), st.none() | st.text(max_size=20),
+    max_size=5,
+)
+_envelope = st.fixed_dictionaries(
+    {
+        "correlation_id": _opt_str,
+        "operation": st.sampled_from(["INSERT", "UPDATE", "DELETE", "TRUNCATE"]),
+        "table_name": st.text(min_size=1, max_size=30),
+        "primary_key": _opt_map,
+        "before": _opt_map,
+        "after": _opt_map,
+        "commit_timestamp": st.none() | st.integers(-(2**63), 2**63 - 1),
+        "captured_at": st.none() | st.integers(-(2**63), 2**63 - 1),
+        "schema_version": st.none() | st.integers(-(2**31), 2**31 - 1),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_envelope)
+def test_codec_roundtrip_property(rec):
+    """Any well-typed envelope — full int64/int32 range, unicode keys
+    and values, NULLs at every optional position — survives
+    encode->decode bit-exactly."""
+    assert avro_decode(CHANGE_EVENT_AVRO, avro_encode(CHANGE_EVENT_AVRO, rec)) == rec
