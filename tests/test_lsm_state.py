@@ -119,3 +119,76 @@ def test_append_cost_independent_of_state_size(spark, tmp_path):
     t_small, t_big = timed(small), timed(big)
     # identical work modulo noise; the eager merge is >10x apart here
     assert t_big < t_small * 3 + 0.5, (t_small, t_big)
+
+
+def test_compaction_crash_window_is_harmless(spark, tmp_path):
+    """The claimed crash-safety: a crash BETWEEN writing the compacted
+    file and unlinking the superseded ones leaves both on disk —
+    duplicates the idempotent reducer must collapse. Simulated by
+    copying a bucket's files back after compaction."""
+    import shutil
+
+    state = str(tmp_path / "state")
+    for e in range(4):
+        append_epoch(
+            _mk_batch(spark, range(20), base_event_id=100 * e,
+                      commit_ms=1_000 * (e + 1)),
+            state, n_buckets=2,
+        )
+    want = {
+        (r["key"], r["event_id"])
+        for r in read_latest(spark, state).collect()
+    }
+    # snapshot a bucket's pre-compaction files
+    from scylla_pg_cdc_spark.streaming.pipeline import _bucket_dirs
+
+    b, entry = next(iter(_bucket_dirs(state).items()))
+    bdir = os.path.join(state, entry)
+    stash = str(tmp_path / "stash")
+    shutil.copytree(bdir, stash)
+    compact_buckets(spark, state, [b])
+    # "crash": the old files come back alongside the compacted file
+    for f in os.listdir(stash):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(stash, f), os.path.join(bdir, f))
+    got = {
+        (r["key"], r["event_id"])
+        for r in read_latest(spark, state).collect()
+    }
+    assert got == want
+    # and the next compaction clears the duplicates for good
+    compact_buckets(spark, state, [b])
+    assert {
+        (r["key"], r["event_id"])
+        for r in read_latest(spark, state).collect()
+    } == want
+
+
+def test_eager_merge_over_lsm_layout_interops(spark, tmp_path):
+    """Mode switching: an eager merge epoch applied to an LSM-written
+    state dir must give the same live view — the merge's compaction
+    absorbs the delta duplicates in the buckets it touches, and
+    latest_state's merge-on-read covers the rest."""
+    from scylla_pg_cdc_spark.streaming.pipeline import (
+        latest_state,
+        merge_batch_into_state,
+    )
+
+    state = str(tmp_path / "state")
+    e1 = _mk_batch(spark, range(60), commit_ms=1_000)
+    e2 = _mk_batch(spark, range(30), base_event_id=500, commit_ms=2_000)
+    append_epoch(e1, state, n_buckets=8)
+    append_epoch(e2, state, n_buckets=8)
+    e3 = _mk_batch(spark, range(10), base_event_id=900, commit_ms=3_000)
+    merge_batch_into_state(e3, state, n_buckets=8)  # eager epoch on top
+    got = {
+        (r["key"], r["event_id"])
+        for r in latest_state(spark, state).collect()
+    }
+    want = {
+        (r["key"], r["event_id"])
+        for r in compact_latest_agg(
+            e1.unionByName(e2).unionByName(e3), keep_deleted=True
+        ).filter(F.col("op") != "DELETE").collect()
+    }
+    assert got == want
