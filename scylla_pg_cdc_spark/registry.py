@@ -109,6 +109,7 @@ def load_all() -> dict[str, QuerySpec]:
     import scylla_pg_cdc_spark.operators.tpch  # noqa: F401
     import scylla_pg_cdc_spark.operators.sampling  # noqa: F401
     import scylla_pg_cdc_spark.operators.temporal  # noqa: F401
+    import scylla_pg_cdc_spark.operators.analytics  # noqa: F401
 
     priority = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
     listed = set(_DRIVER_PRIORITY)
