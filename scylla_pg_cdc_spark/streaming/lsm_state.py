@@ -157,6 +157,72 @@ def compact_buckets(
     shutil.rmtree(state_dir + "_compact", ignore_errors=True)
 
 
+def compact_buckets_parallel(
+    spark: SparkSession,
+    state_dir: str,
+    buckets: list[int],
+    key: str = "key",
+) -> None:
+    """Bucket-parallel variant of ``compact_buckets`` for a standalone
+    background compactor (`tools/compact_state.py`): ONE Spark job
+    reads every target bucket (partition pruning keeps non-targets
+    unscanned), compacts per key, and writes all compacted buckets via
+    ``partitionBy`` — so all 32 local cores (or 1000 executors) work
+    buckets concurrently instead of the inline per-bucket loop that
+    serializes one tiny job per bucket. Same crash discipline:
+    compacted files land in the live bucket dirs first, superseded
+    files unlink after; a crash between leaves duplicates the
+    idempotent latest-per-key reducer collapses.
+
+    ``__bucket`` is functional on ``key``, so it rides through the
+    per-key max_by untouched and the writer re-partitions the output
+    into exactly the input buckets."""
+    import shutil
+
+    from scylla_pg_cdc_spark.operators.cdc import compact_latest_agg
+
+    if not buckets:
+        return
+    dirs = _bucket_dirs(state_dir)
+    old_files = {
+        b: [
+            f
+            for f in os.listdir(os.path.join(state_dir, dirs[b]))
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        for b in buckets
+    }
+    df = spark.read.parquet(state_dir).filter(
+        F.col("__bucket").isin([int(b) for b in buckets])
+    )
+    compacted = (
+        compact_latest_agg(df.withColumnRenamed(key, "key"), keep_deleted=True)
+        .drop("__deleted")
+        .withColumnRenamed("key", key)
+    )
+    staging = os.path.join(state_dir + "_compact", uuid.uuid4().hex[:8])
+    (
+        compacted.repartition(len(buckets), "__bucket")
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(staging)
+    )
+    for entry, sub in _bucket_dirs(staging).items():
+        src = os.path.join(staging, sub)
+        dst = os.path.join(state_dir, dirs[entry])
+        for i, p in enumerate(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        ):
+            os.rename(
+                os.path.join(src, p),
+                os.path.join(dst, f"compact-{uuid.uuid4().hex}-{i}.parquet"),
+            )
+    for b, files in old_files.items():
+        for f in files:
+            os.remove(os.path.join(state_dir, dirs[b], f))
+    shutil.rmtree(state_dir + "_compact", ignore_errors=True)
+
+
 def maintain(
     batch: DataFrame,
     state_dir: str,

@@ -14,6 +14,7 @@ from scylla_pg_cdc_spark.streaming.lsm_state import (
     append_epoch,
     buckets_needing_compaction,
     compact_buckets,
+    compact_buckets_parallel,
     maintain,
     read_latest,
 )
@@ -192,3 +193,56 @@ def test_eager_merge_over_lsm_layout_interops(spark, tmp_path):
         ).filter(F.col("op") != "DELETE").collect()
     }
     assert got == want
+
+
+def test_parallel_compaction_matches_serial(spark, tmp_path):
+    """`compact_buckets_parallel` (the standalone compactor's one-job
+    path) produces the same merged state as the inline per-bucket loop
+    and leaves non-target buckets' files untouched."""
+    serial = str(tmp_path / "serial")
+    par = str(tmp_path / "par")
+    epochs = []
+    for e in range(10):
+        b = _mk_batch(
+            spark, range(60), base_event_id=1000 * e, commit_ms=1_000 * (e + 1)
+        )
+        epochs.append(b)
+        for state in (serial, par):
+            append_epoch(b, state, n_buckets=8)
+
+    todo = buckets_needing_compaction(par, file_threshold=4)
+    assert len(todo) >= 2  # exercise real bucket parallelism
+    spared = sorted(set(range(8)) - set(todo)) or [todo.pop()]
+    untouched_before = {
+        b: sorted(os.listdir(os.path.join(par, f"__bucket={b}")))
+        for b in spared
+    }
+
+    compact_buckets(spark, serial, todo)
+    compact_buckets_parallel(spark, par, todo)
+
+    for b in spared:
+        assert (
+            sorted(os.listdir(os.path.join(par, f"__bucket={b}")))
+            == untouched_before[b]
+        ), f"bucket {b} was not a target but its files changed"
+    for b in todo:
+        n = sum(
+            1
+            for f in os.listdir(os.path.join(par, f"__bucket={b}"))
+            if f.endswith(".parquet")
+        )
+        assert n == 1, f"bucket {b} not compacted to one file ({n})"
+
+    got_serial = {
+        (r["key"], r["event_id"], r["op"])
+        for r in read_latest(spark, serial).collect()
+    }
+    got_par = {
+        (r["key"], r["event_id"], r["op"])
+        for r in read_latest(spark, par).collect()
+    }
+    want = {
+        (r["key"], r["event_id"], r["op"]) for r in _want_rows(spark, epochs)
+    }
+    assert got_par == got_serial == want
