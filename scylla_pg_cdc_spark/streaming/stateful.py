@@ -8,12 +8,16 @@ custom-stateful path; row-at-a-time Python never touches the hot loop).
 ``running_user_stats`` tracks, per user: lifetime event count, value
 sum, last event timestamp — the streaming analog of the reference's
 per-table counters (`src/monitoring/metrics.py:24-85`) with
-exactly-once state under checkpointing. This build runs with
-``NoTimeout`` (finite availableNow tests); a long-running deployment
-switches ``timeoutConf`` to EventTimeTimeout + a watermark and calls
-``state.setTimeoutTimestamp`` per update — the ``hasTimedOut``
-branch below is the eviction hook that then fires (stale-entity
-eviction, the T4 stale-events policy).
+exactly-once state under checkpointing. It runs with ``NoTimeout``
+(state lives forever — fine for bounded key domains).
+
+``running_user_stats_ttl`` is the long-running deployment path: a
+watermark + ``EventTimeTimeout``. Every update arms
+``state.setTimeoutTimestamp(last_event + ttl)``; when the watermark
+passes that, the ``hasTimedOut`` branch emits one final row flagged
+``evicted`` and removes the state — stale-entity eviction (the T4
+stale-events policy), which is what bounds state size on an unbounded
+key domain at 100 TB.
 """
 
 from __future__ import annotations
@@ -22,8 +26,10 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -72,6 +78,83 @@ def _update_user_stats(
             "value_sum": [round(vsum, 2)],
             "last_ms": [last],
         }
+    )
+
+
+EVICT_OUTPUT_SCHEMA = StructType(
+    OUTPUT_SCHEMA.fields + [StructField("evicted", BooleanType())]
+)
+
+
+def _make_ttl_update(ttl_ms: int):
+    """Closure carrying the TTL (applyInPandasWithState takes a bare
+    function, so config rides in via closure, not arguments)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, vsum, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "value_sum": [round(vsum, 2)],
+                    "last_ms": [last],
+                    "evicted": [True],
+                }
+            )
+            return
+        n, vsum, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            vsum += float(pdf["value"].fillna(0.0).sum())
+            ts_max = pdf["ts_ms"].dropna().max()
+            if pd.notna(ts_max):
+                last = max(last, int(ts_max))
+        state.update((n, vsum, last))
+        # Arm eviction at last-event + TTL; Spark requires the timeout
+        # to sit beyond the current watermark, so clamp up if this key
+        # is already stale (it then evicts on the very next batch).
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last + ttl_ms, wm + 1))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "value_sum": [round(vsum, 2)],
+                "last_ms": [last],
+                "evicted": [False],
+            }
+        )
+
+    return update
+
+
+def running_user_stats_ttl(
+    change_stream: DataFrame,
+    ttl_ms: int = 30 * 60 * 1000,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """TTL'd per-key accumulator over a change stream with columns
+    (user_id, value, ts: timestamp). Same totals as
+    ``running_user_stats`` while a key is live; once the watermark
+    (event time minus ``delay``) passes a key's last event + ``ttl_ms``,
+    the key emits a final ``evicted=true`` row and its state is freed."""
+    with_wm = change_stream.withWatermark("ts", delay).select(
+        "user_id",
+        "value",
+        "ts",
+        (F.unix_millis("ts")).alias("ts_ms"),
+    )
+    return with_wm.groupBy("user_id").applyInPandasWithState(
+        _make_ttl_update(ttl_ms),
+        outputStructType=EVICT_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
