@@ -92,18 +92,44 @@ def main() -> None:
             timings[name] = -1.0
             shuffle_bytes[name] = -1
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Full per-query detail goes to a file; stdout gets ONE COMPACT
+    # line. The round-1 driver kept only the last 2000 chars of
+    # stdout, so the 110-query inline dict made the line unparseable
+    # (BENCH_r01.json: "parsed": null). The compact line carries the
+    # headline plus the slowest queries and stays well under that cap.
+    detail = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "shuffle_bytes": shuffle_bytes,
+        "runs": runs,
+        "stat": "median",
+        "sf": sf,
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1, sort_keys=True))
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:20]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "shuffle_bytes": shuffle_bytes,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "n_errors": sum(1 for t in timings.values() if t < 0),
+                "detail": "BENCH_DETAIL.json",
                 "runs": runs,
                 "stat": "median",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -96,6 +96,50 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 13,
+    broadcast_row_budget: int = 5_000_000,
+) -> DataFrame:
+    """Flag training docs sharing any k-token shingle with the eval
+    set (the GPT-3/PaLM n-gram decontamination rule; k=13 is the
+    published operating point, shorter k for short-doc corpora).
+
+    Join-strategy switch (NEXT r2 #10): eval benchmarks are normally
+    tiny, so the shingle semi join broadcasts the eval side. But "eval"
+    can be a whole benchmark SUITE; once its distinct-shingle count
+    passes ``broadcast_row_budget`` (rows, sized so ~64-byte shingles
+    stay inside a ~300 MB executor broadcast), broadcasting would OOM
+    the executors — the plan switches to a shuffled hash semi join on
+    the shingle key. The count() probe runs one aggregation over the
+    SMALL side only; the 100 TB train side is never touched by the
+    probe."""
+    from scylla_pg_cdc_spark.operators.text import shingles
+
+    eval_sh = shingles(eval_docs, k=k).select("shingle").distinct()
+    train_sh = shingles(train_docs, k=k)
+    if eval_sh.count() <= broadcast_row_budget:
+        hit = train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+    else:
+        hit = train_sh.join(
+            eval_sh.hint("shuffle_hash"), "shingle", "left_semi"
+        )
+    dirty = (
+        hit.select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        train_docs.select("doc_id")
+        .join(dirty, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 @query(
     "q_decontaminate",
     oracle=f"""
@@ -131,29 +175,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training shingle explode; at 100 TB this is the standard
     13-gram-overlap decontamination pass with the eval set as the
     build side."""
-    from scylla_pg_cdc_spark.operators.text import shingles
-
     docs = load_table(spark, sf_dir, "documents")
     b = portable_bucket("doc_id")
     bucketed = docs.select("doc_id", "text", b)
-    train = bucketed.filter(F.col("bucket") < 98)
-    eval_sh = (
-        shingles(bucketed.filter(F.col("bucket") >= 98), k=3)
-        .select("shingle")
-        .distinct()
-    )
-    train_sh = shingles(train, k=3)
-    dirty = (
-        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("contaminated", F.lit(True))
-    )
-    return (
-        train.select("doc_id")
-        .join(dirty, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
-        )
+    return decontaminate(
+        bucketed.filter(F.col("bucket") < 98),
+        bucketed.filter(F.col("bucket") >= 98),
+        k=3,  # synthetic docs are ~30-120 tokens; 13-grams would never hit
     )

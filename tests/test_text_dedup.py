@@ -100,3 +100,33 @@ def test_dedup_cluster_transitive_chain(spark):
         for r in resolve_dedup_clusters(pairs, docs).collect()
     }
     assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4}
+
+
+def test_decontaminate_strategy_switch_same_answer(spark):
+    """The broadcast and shuffled-semi-join paths of `decontaminate`
+    are the same logical plan with different physical joins — forcing
+    the shuffle path (budget=0) must not change a single flag, and the
+    flagged set must shrink monotonically as the shingle k grows."""
+    from scylla_pg_cdc_spark.operators.sampling import decontaminate
+    from scylla_pg_cdc_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(300)
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    def flags(k, budget):
+        return {
+            (r["doc_id"], r["contaminated"])
+            for r in decontaminate(
+                train, ev, k=k, broadcast_row_budget=budget
+            ).collect()
+        }
+
+    bcast = flags(3, 5_000_000)
+    shuffled = flags(3, 0)
+    assert bcast == shuffled
+    n3 = sum(1 for _, c in bcast if c)
+    n6 = sum(1 for _, c in flags(6, 5_000_000) if c)
+    assert n3 > 0  # synthetic corpus has shared trigrams
+    assert n6 <= n3  # longer shingles can only reduce matches
