@@ -1,0 +1,145 @@
+"""Training-data preprocessing: chunking, PII scrubbing, stratified
+sampling.
+
+The steps between raw corpus and tokenizer input that a 100 TB
+pipeline runs per document: split long docs into overlapping
+token-window chunks (context-length packing), mask PII-shaped spans,
+and rebalance the language/source mix by deterministic downsampling.
+All are NARROW per-row projections (explode included) — zero shuffles,
+full codegen, trivially linear at any scale — which is exactly why
+they must never be written as Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.operators.sampling import portable_bucket
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+CHUNK_W = 16  # tokens per chunk (window)
+CHUNK_S = 12  # stride; W - S = 4 tokens of overlap between chunks
+
+
+def chunk_documents(
+    docs: DataFrame, window: int = CHUNK_W, stride: int = CHUNK_S
+) -> DataFrame:
+    """Overlapping token-window chunks per document. Chunk i covers
+    tokens [i*stride, i*stride + window); the final chunk may be short
+    (every token appears in >=1 chunk; none is silently dropped).
+    One explode over ceil(n/stride) starts per doc — row count grows
+    ~n/stride, bytes ~n*W/S; still a narrow map-side op."""
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") > 0)
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - 1, {stride}), "
+                f"s -> concat_ws(' ', slice(toks, s + 1, {window})))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+        F.size("toks").alias("n_doc_tokens"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("long").alias("chunk_start"),
+        F.least(
+            F.lit(window),
+            F.col("n_doc_tokens") - F.col("chunk_idx") * stride,
+        ).cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+@query(
+    "q_doc_chunk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE len(string_split(text, ' ')) > 0),
+         st AS (SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 1, {CHUNK_S}))
+                           AS s
+                FROM t)
+    SELECT doc_id,
+           CAST(s / {CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(LEAST({CHUNK_W}, len(toks) - s) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[s + 1 : s + {CHUNK_W}], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking of the corpus: 16-token windows, stride
+    12 (4-token overlap) — the packing step before tokenization."""
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_pii_scrub",
+    oracle=r"""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_masked,
+           CAST(length(props)
+                - length(regexp_replace(props, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digits_masked
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped span masking: replace every digit run with a <NUM>
+    sentinel and count masked characters (the audit metric). The
+    character-class regex behaves identically in Java regex (Spark)
+    and RE2 (DuckDB), so the masked text is engine-exact. At 100 TB:
+    narrow projection, no shuffle; real deployments swap in the full
+    pattern battery (emails, phones, SSNs) — same plan shape."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
+    return events.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_masked"),
+        (
+            F.length("props")
+            - F.length(F.regexp_replace("props", "[0-9]", ""))
+        ).cast("long").alias("n_digits_masked"),
+    )
+
+
+# per-language keep-rate (percent): downsample the dominant language,
+# keep the long tail — the mix-rebalancing step of corpus curation
+_LANG_RATES = {"en": 10, "de": 40, "es": 40, "fr": 40, "zh": 40}
+_RATE_SQL = (
+    "CASE lang " +
+    " ".join(f"WHEN '{k}' THEN {v}" for k, v in _LANG_RATES.items()) +
+    " ELSE 20 END"
+)
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substring(md5('strata:' || CAST(doc_id AS VARCHAR)),
+                                       1, 6)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(bucket AS BIGINT) AS bucket
+    FROM b WHERE bucket < {_RATE_SQL}
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates via
+    the portable hash bucket (en keeps 10%, minority languages 40%).
+    Membership is a pure function of (doc_id, lang) — reproducible
+    across runs, engines, and shard orders; narrow, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.expr(_RATE_SQL)
+    return docs.select(
+        "doc_id", "lang", "source", portable_bucket("doc_id", "strata")
+    ).filter(F.col("bucket") < rate)

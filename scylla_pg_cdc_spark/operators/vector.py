@@ -405,3 +405,111 @@ def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unit_norm_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory-bound scale path
+# ---------------------------------------------------------------------------
+
+_QZ_SQL = f"""
+    SELECT vec_id, label,
+           list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /
+                   GREATEST(list_aggregate(
+                       list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+                       'max'), 1e-12)) AS BIGINT)) AS q
+    FROM embeddings
+"""
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization: q_i = floor(x_i * 127 /
+    max|x|). Every step is IEEE-double element arithmetic (no
+    accumulation), so the integer codes are bit-identical across
+    engines — which is what makes quantized operators exactly
+    oracle-checkable, unlike float similarity scores."""
+    v = vec.cast("array<double>")
+    m = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    return F.transform(v, lambda x: F.floor(x * 127.0 / m).cast("long"))
+
+
+@query(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH qz AS ({_QZ_SQL})
+    SELECT vec_id, label, q,
+           CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(q, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(q, 'max') AS BIGINT) AS q_max
+    FROM qz
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantize the embedding table (4x memory cut: float32 ->
+    int8 codes + one scale per vector). At 100 TB of embeddings this
+    is what lets the ANN working set fit executor memory; the codes
+    here are exact integers, checked element-wise against the oracle
+    plus sum/min/max checksums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        "label",
+        q.alias("q"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
+@query(
+    "q_vector_int8_knn",
+    oracle=f"""
+    WITH qz AS ({_QZ_SQL}),
+    qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0)
+    SELECT z.vec_id, z.label,
+           CAST(SUM(z.q[CAST(i AS INT) + 1] * qv.qq[CAST(i AS INT) + 1])
+                AS BIGINT) AS dot_q
+    FROM qz z, qv, range(0, {DIM}) t(i)
+    WHERE z.vec_id <> 0
+    GROUP BY z.vec_id, z.label
+    ORDER BY dot_q DESC, z.vec_id
+    LIMIT 10
+    """,
+)
+def q_vector_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized brute-force top-k: integer dot products over int8
+    codes — the compute shape of a production scan over quantized
+    shards (SIMD int8 dot on real hardware). All-integer arithmetic =
+    EXACT oracle, unlike the float cosine variants; ranking uses
+    (dot_q DESC, vec_id) so the k-boundary is engine-stable. The
+    query's codes are computed driver-side from one row (same
+    IEEE-double ops, identical codes) and folded in as literals —
+    no join needed for a 64-int probe."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).head()
+    xs = [float(x) for x in row["embedding"]]
+    m = max(max(abs(x) for x in xs), 1e-12)
+    qq = [int(math.floor(x * 127.0 / m)) for x in xs]
+    qlit = F.array(*[F.lit(v).cast("long") for v in qq])
+    q = quantize_int8(F.col("embedding"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with(q, qlit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
+        .limit(10)
+    )
