@@ -172,3 +172,72 @@ def running_user_stats(change_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 native arbitrary state: transformWithStateInPandas
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0; guarded so the module imports everywhere
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStatsProcessor(StatefulProcessor):
+        """transformWithState port of ``running_user_stats``: one
+        ValueState per user, updated from Arrow batches. The v2 API
+        (Spark 4) replaces the (state, timeout) tuple-juggling of
+        applyInPandasWithState with named state variables + timers and
+        runs on the RocksDB state store — the deployment target where
+        keyed state outgrows executor heap (exactly the 100 TB case).
+        NOTE: the v2 state protocol is protobuf-over-socket; in
+        environments without the protobuf wheel the equivalence test
+        skips (tests/test_stateful.py gates on google.protobuf) and
+        ``running_user_stats`` remains the executable path."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, vsum, last = (
+                self._stats.get() if self._stats.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                vsum += float(pdf["value"].fillna(0.0).sum())
+                ts_max = pdf["ts_ms"].dropna().max()
+                if pd.notna(ts_max):
+                    last = max(last, int(ts_max))
+            self._stats.update((n, vsum, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [round(vsum, 2)],
+                    "last_ms": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_stats_tws(change_stream: DataFrame) -> DataFrame:
+        """Spark-4-native face of ``running_user_stats`` (same input
+        and output contract) via transformWithStateInPandas. Requires
+        the RocksDB state store provider:
+
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
+        """
+        return change_stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_RunningStatsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - Spark < 4
+    pass

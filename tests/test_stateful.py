@@ -132,3 +132,68 @@ def test_event_time_ttl_evicts_stale_keys(spark, tmp_path):
     assert max(r["n_events"] for r in u2) == 3
     live_u1 = [r for r in rows if r["user_id"] == 1 and not r["evicted"]]
     assert len(live_u1) == 1 and live_u1[0]["n_events"] == 1
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
+    """The Spark-4 transformWithState face must produce the same final
+    per-user totals as the applyInPandasWithState implementation (same
+    reducer, different state API + RocksDB store)."""
+    import pytest
+
+    from scylla_pg_cdc_spark.streaming import stateful
+
+    if not hasattr(stateful, "running_user_stats_tws"):
+        pytest.skip("transformWithState needs Spark >= 4")
+    # the transformWithState state protocol is protobuf-based; without
+    # the protobuf wheel the driver worker can't start (verified: it
+    # crashes in StateMessage_pb2). Same gating pattern as the
+    # spark-avro cross-check in test_avro_codec.py.
+    pytest.importorskip("google.protobuf")
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, SF_SMALL).select(
+            "user_id", "value", F.unix_millis("ts").alias("ts_ms")
+        )
+        out = stateful.running_user_stats_tws(stream)
+        name = "tws_" + os.path.basename(tempfile.mkdtemp()).replace("-", "_")
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {}
+        for r in spark.table(name).collect():
+            got[r["user_id"]] = (r["n_events"], r["value_sum"], r["last_ms"])
+        events = load_table(spark, SF_SMALL, "events")
+        want = {
+            r["user_id"]: (r["n"], r["s"], r["m"])
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("s"),
+                F.max(F.unix_millis("ts")).alias("m"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for uid in want:
+            assert got[uid][0] == want[uid][0], uid
+            assert abs(got[uid][1] - want[uid][1]) < 0.02, uid
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

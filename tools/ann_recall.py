@@ -6,7 +6,15 @@ recall@10 and the average fraction of the corpus scanned — the
 measured basis for choosing the plane count at scale (more planes =
 smaller buckets = cheaper search, lower recall).
 
-Usage: python tools/ann_recall.py [sf_dir]
+Usage: python tools/ann_recall.py [sf_dir] [--clustered [N]]
+
+``--clustered`` swaps the uniform test corpus for a synthesized
+CLUSTERED one (50 centroids + 0.15-amplitude noise, all deterministic
+expressions — no stored data): real embedding spaces are clustered,
+and LSH recall there is decided by whether buckets respect cluster
+boundaries, not by uniform-random luck. The operating points measured
+on the clustered corpus are the ones that transfer to production
+(NEXT r2 #8).
 """
 
 from __future__ import annotations
@@ -31,13 +39,37 @@ K = 10
 N_QUERIES = 12
 
 
+def clustered_corpus(spark, n: int, n_clusters: int = 50):
+    """Deterministic clustered embeddings: vec = centroid(label) +
+    0.15 * per-(id,dim) noise, both sin-hash expressions. Nearest
+    neighbors are overwhelmingly same-cluster — the structure real
+    embedding spaces have and uniform test data lacks."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {DIM - 1}), d -> "
+            f"sin((id % {n_clusters}) * 131.0 + d * 17.0) "
+            f"+ 0.15 * sin(id * 7919.0 + d * 101.0))"
+        ).alias("vec"),
+    )
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:]]
+    clustered = "--clustered" in args
+    if clustered:
+        i = args.index("--clustered")
+        args.pop(i)
+        n_clustered = int(args.pop(i)) if i < len(args) and args[i].isdigit() else 500
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_session("ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    ).persist()
+    if clustered:
+        emb = clustered_corpus(spark, n_clustered).persist()
+    else:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+        ).persist()
     n_total = emb.count()
     queries = [
         (r["vec_id"], r["vec"])
@@ -52,7 +84,7 @@ def main() -> None:
                 "vec_id", cosine(F.col("vec"), q).alias("s")
             )
             .orderBy(F.col("s").desc(), "vec_id")
-            .limit(k + 1)
+            .limit(k)
             .collect()
         ]
 
