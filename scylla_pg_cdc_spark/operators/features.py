@@ -1,0 +1,167 @@
+"""Feature-engineering operators: per-entity time-series features and
+corpus-statistics scores for training-data pipelines.
+
+Three shapes a feature platform computes at 100 TB:
+- EWMA-style decayed aggregates per entity (one window, no shuffle
+  beyond the user_id partition — clustered-by-user layouts run it
+  in place);
+- corpus-frequency-derived scores (two aggregations + one join back,
+  the TF-IDF plan shape, integer-exact here);
+- per-group deterministic reservoirs (hash-ranked top-k per group —
+  reproducible "random" samples with zero stored state).
+
+All outputs are integers (floor-quantized where a float intermediate
+exists), so every query carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+_DECAY = 0.8
+_EWMA_TAPS = 8
+# a^k literals precomputed in Python (IEEE doubles — the same values
+# both engines multiply by)
+_POWS = [_DECAY**k for k in range(_EWMA_TAPS)]
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"COALESCE(LAG(value, {k}) OVER w * {_POWS[k]!r}, 0)"
+        for k in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG(value, {k}) OVER w IS NOT NULL"
+        f" THEN {_POWS[k]!r} ELSE 0 END)"
+        for k in range(_EWMA_TAPS)
+    )
+    return f"""
+    SELECT user_id, event_id,
+           CAST(FLOOR(({num}) / ({den}) * 1000000 + 0.5) AS BIGINT)
+               AS ewma_micro
+    FROM (SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms
+          FROM events WHERE value IS NOT NULL)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    """
+
+
+@query("q_event_ewma", oracle=_ewma_sql())
+def q_event_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values (decay 0.8, 8 taps) — the classic streaming-feature shape
+    (recency-weighted engagement). A true infinite-history EWMA is a
+    sequential recurrence; the 8-tap truncation (0.8^8 ~= 0.17 tail)
+    makes it ONE window over (user_id, ts) with fixed lag taps — no
+    recursion, no UDF, exact in both engines. Weights renormalize over
+    the taps that exist, so early rows aren't biased toward zero."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts"), F.col("event_id")
+    )
+    num = sum(
+        F.coalesce(F.lag("value", k).over(w) * F.lit(_POWS[k]), F.lit(0.0))
+        for k in range(_EWMA_TAPS)
+    )
+    den = sum(
+        F.when(F.lag("value", k).over(w).isNotNull(), F.lit(_POWS[k]))
+        .otherwise(F.lit(0.0))
+        for k in range(_EWMA_TAPS)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.floor((num / den) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("ewma_micro"),
+    )
+
+
+@query(
+    "q_token_rarity",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), dtok AS (
+        SELECT DISTINCT doc_id, token FROM tok WHERE length(token) > 0
+    ), freq AS (
+        SELECT token, COUNT(*) AS n_docs FROM dtok GROUP BY token
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(CAST(FLOOR(1000000000.0 / f.n_docs) AS BIGINT))
+                AS BIGINT) AS rarity_score
+    FROM dtok d JOIN freq f ON d.token = f.token
+    GROUP BY d.doc_id
+    """,
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-rarity document score: each distinct token contributes
+    floor(1e9 / document-frequency), so documents full of rare tokens
+    score high — the integer-exact cousin of IDF scoring used for
+    quality/diversity sampling. Plan: explode -> distinct -> one freq
+    aggregation -> join back -> per-doc sum (the TF-IDF shape; the
+    freq table is vocabulary-sized and broadcastable at any corpus
+    scale with a bounded vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    freq = dtok.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dtok.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(
+                F.floor(F.lit(1_000_000_000.0) / F.col("n_docs")).cast("long")
+            ).alias("rarity_score"),
+        )
+    )
+
+
+@query(
+    "q_group_sample",
+    oracle="""
+    SELECT event_type, event_id, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5('rsv:' || CAST(event_id AS VARCHAR)),
+                            event_id) AS rk
+        FROM events
+    )
+    WHERE rk <= 5
+    """,
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic reservoir: rank rows inside each group
+    by a portable hash and keep the 5 smallest — a uniform-without-
+    replacement sample per group that is a pure function of the data
+    (re-runs, engines, and shard orders all agree; a stored-state
+    reservoir can't promise that). One window per group; at scale this
+    is rank-within-partition with no global sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("rsv:"), F.col("event_id").cast("string"))),
+        F.col("event_id"),
+    )
+    return (
+        events.select(
+            "event_type",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )

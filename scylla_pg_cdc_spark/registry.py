@@ -109,6 +109,7 @@ def load_all() -> dict[str, QuerySpec]:
     import scylla_pg_cdc_spark.operators.tpch  # noqa: F401
     import scylla_pg_cdc_spark.operators.sampling  # noqa: F401
     import scylla_pg_cdc_spark.operators.preprocess  # noqa: F401
+    import scylla_pg_cdc_spark.operators.features  # noqa: F401
     import scylla_pg_cdc_spark.operators.temporal  # noqa: F401
     import scylla_pg_cdc_spark.operators.analytics  # noqa: F401
 
