@@ -1,0 +1,81 @@
+"""Plan-contract tests: the physical facts that decide 100 TB behavior
+must not silently regress.
+
+Local wall time can't see a plan getting worse (everything is fast at
+sf0.001), but shuffle counts, join strategies, and pushdown CAN be
+asserted exactly. Each budget below is the plan we audited and chose
+(PLANS.md); an edit that adds a shuffle, drops a broadcast to a
+sort-merge (or worse, a nested loop), or loses parquet pushdown on a
+flagship query fails here first — the bench-regression analog for
+plans (same idea as the reference's explain-plan assertions in its
+warehouse tests, `tests/integration/test_validation_queries.py`).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scylla_pg_cdc_spark.registry import load_all
+from tests.conftest import SF_SMALL
+from tools.audit_plans import plan_facts
+
+SPECS = load_all()
+
+# name -> (max_shuffles, min_bhj, max_smj, requires_pushdown)
+BUDGETS = {
+    # 1-shuffle aggregation with scan-level predicate pushdown
+    "q_agg_pricing_summary": (1, 0, 0, True),
+    # all four dims broadcast; ONE shuffle for the final agg
+    "q_join_multiway": (1, 4, 0, True),
+    # full-outer diff: 2 key shuffles + 1 SMJ is the floor
+    "q_reconcile_composite": (2, 0, 1, True),
+    # banded LSH: 3 shuffles total (audited; never per-band unions)
+    "q_text_minhash_dedup": (3, 1, 1, True),
+    # upsert compaction = one map-side-combined aggregation
+    "q_cdc_upsert_compact": (1, 0, 0, False),
+    "q_window_latest_per_key": (1, 0, 0, False),
+    # eval side broadcast, never shuffled
+    "q_decontaminate": (2, 2, 0, True),
+    # brute-force kNN: scan + TakeOrdered, ZERO shuffles
+    "q_vector_knn": (0, 0, 0, True),
+    "q_vector_int8_knn": (0, 0, 0, True),
+    # narrow per-row ops: no shuffle at any scale
+    "q_doc_chunk": (0, 0, 0, False),
+    "q_pii_scrub": (0, 0, 0, True),
+    "q_embed_quantize": (0, 0, 0, False),
+    "q_stratified_sample": (0, 0, 0, False),
+    # TPC-H Q3: dims broadcast, one agg shuffle
+    "q_tpch_q3": (1, 2, 0, True),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_budget(spark, name):
+    max_shuffles, min_bhj, max_smj, needs_pushdown = BUDGETS[name]
+    facts = plan_facts(SPECS[name].fn(spark, SF_SMALL))
+    assert facts["shuffles"] <= max_shuffles, facts
+    assert facts["bhj"] >= min_bhj, facts
+    assert facts["smj"] <= max_smj, facts
+    if needs_pushdown:
+        assert facts["pushed"], facts
+    assert facts["cartesian"] == 0, facts
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in SPECS
+        # Justified BroadcastNestedLoopJoin carve-outs, each with a
+        # broadcast side of bounded size: q_join_theta (inequality
+        # join on a 25-row dim), q_scalar_subquery / q_tpch_q22
+        # (uncorrelated scalar subquery = single-row broadcast).
+        if n not in ("q_join_theta", "q_scalar_subquery", "q_tpch_q22")
+    ),
+)
+def test_no_cartesian_anywhere(spark, name):
+    """No registered query may contain a CartesianProduct, and none
+    outside the documented carve-outs may contain a nested-loop join."""
+    facts = plan_facts(SPECS[name].fn(spark, SF_SMALL))
+    assert facts["cartesian"] == 0, (name, facts)
+    assert facts["bnlj"] == 0, (name, facts)

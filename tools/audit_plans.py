@@ -44,6 +44,23 @@ def _scan_width(schema_tail: str) -> int:
     return fields + (1 if seen_any else 0)
 
 
+def plan_facts(df) -> dict:
+    """The physical-plan facts that matter at 100 TB, as a dict —
+    shared by the CLI audit and the plan-contract pytest."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"ReadSchema: struct<(.*)", plan)
+    return {
+        "shuffles": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "sorts": len(re.findall(r"\+- Sort ", plan)),
+        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "scan_cols": [_scan_width(s) for s in scans],
+    }
+
+
 def audit(sf_dir: str, only: list[str] | None = None) -> None:
     specs = load_all()
     spark = get_session("plan-audit")
@@ -54,20 +71,14 @@ def audit(sf_dir: str, only: list[str] | None = None) -> None:
     for name in names:
         try:
             df = specs[name].fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            simple = df._jdf.queryExecution().simpleString()
+            facts = plan_facts(df)
         except Exception as e:  # noqa: BLE001
             print(f"{name:32s} ERROR {e}")
             continue
-        n_exchange = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
-        n_bhj = plan.count("BroadcastHashJoin")
-        n_smj = plan.count("SortMergeJoin")
-        n_sort = len(re.findall(r"\+- Sort ", plan))
-        pushed = "yes" if re.search(r"PushedFilters: \[[^\]]", plan) else "-"
-        scans = re.findall(r"ReadSchema: struct<(.*)", plan)
-        widths = ",".join(str(_scan_width(s)) for s in scans)
-        print(f"{name:32s} {n_exchange:8d} {n_bhj:4d} {n_smj:4d} "
-              f"{n_sort:5d} {pushed:>7s} [{widths}]")
+        widths = ",".join(str(w) for w in facts["scan_cols"])
+        print(f"{name:32s} {facts['shuffles']:8d} {facts['bhj']:4d} "
+              f"{facts['smj']:4d} {facts['sorts']:5d} "
+              f"{'yes' if facts['pushed'] else '-':>7s} [{widths}]")
 
 
 if __name__ == "__main__":
