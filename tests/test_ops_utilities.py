@@ -83,3 +83,42 @@ def test_resumable_reconcile_survives_crash(spark, tmp_path):
         {i for i in range(500) if i % 11 == 0 and i % 7 != 0 and i != 0}
     )
     assert by_type["missing"] + by_type["mismatch"] + by_type["match"] == 500
+
+
+def test_sql_face_over_registered_views(spark):
+    """The raw-SQL face (reference's warehouse entry point,
+    `docker/postgres/init.sql` views): register_views + spark.sql must
+    agree with the DataFrame API on the same aggregation, and the SQL
+    plan must keep scan-level pushdown (same Catalyst plan either way)."""
+    from pyspark.sql import functions as F
+
+    from scylla_pg_cdc_spark.sources.tables import load_table, register_views
+    from tests.conftest import SF_SMALL
+    from tools.audit_plans import plan_facts
+
+    register_views(spark, SF_SMALL)
+    sql_df = spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_totalprice > 1000
+        GROUP BY o_orderstatus
+        """
+    )
+    orders = load_table(spark, SF_SMALL, "orders")
+    api_df = (
+        orders.filter(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    got = {tuple(r) for r in sql_df.collect()}
+    want = {tuple(r) for r in api_df.collect()}
+    assert got == want and got
+    facts = plan_facts(sql_df)
+    assert facts["pushed"] and facts["shuffles"] <= 1, facts

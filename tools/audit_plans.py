@@ -48,6 +48,10 @@ def plan_facts(df) -> dict:
     """The physical-plan facts that matter at 100 TB, as a dict —
     shared by the CLI audit and the plan-contract pytest."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # after an action, AQE's toString appends the pre-optimization tree
+    # under "== Initial Plan ==" — keep only the executed (final) tree
+    # or every Exchange would be counted twice
+    plan = plan.split("== Initial Plan ==")[0]
     scans = re.findall(r"ReadSchema: struct<(.*)", plan)
     return {
         "shuffles": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
