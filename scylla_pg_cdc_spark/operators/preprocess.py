@@ -143,3 +143,61 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", "source", portable_bucket("doc_id", "strata")
     ).filter(F.col("bucket") < rate)
+
+
+PACK_BUDGET = 64  # tokens per packed training sequence
+
+
+@query(
+    "q_doc_pack",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS cum_before
+        FROM d
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id
+    order, per source shard) to fixed-budget training sequences by
+    token-offset arithmetic — pack_id = floor(cumulative-tokens-before
+    / budget). This is the streaming-concat packing used to build
+    training batches: one window per shard, no shuffle beyond the
+    source partition, and the assignment is a pure function of the
+    ordered token counts (rerun-stable). Documents spanning a boundary
+    start in pack_id at pack_offset and continue into the next — the
+    consumer splits at read time, exactly like a tokenized-dataset
+    loader."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (cum_before / PACK_BUDGET).cast("long").alias("pack_id"),
+        (cum_before % PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
