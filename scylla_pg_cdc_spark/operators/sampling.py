@@ -100,7 +100,7 @@ def decontaminate(
     train_docs: DataFrame,
     eval_docs: DataFrame,
     k: int = 13,
-    broadcast_row_budget: int = 5_000_000,
+    broadcast_row_budget: int | None = 5_000_000,
 ) -> DataFrame:
     """Flag training docs sharing any k-token shingle with the eval
     set (the GPT-3/PaLM n-gram decontamination rule; k=13 is the
@@ -114,12 +114,15 @@ def decontaminate(
     the executors — the plan switches to a shuffled hash semi join on
     the shingle key. The count() probe runs one aggregation over the
     SMALL side only; the 100 TB train side is never touched by the
-    probe."""
+    probe. Pass ``broadcast_row_budget=None`` when the eval set is
+    known-small to skip the probe job entirely (the bench differ
+    showed the probe itself costs one extra shuffle of the eval
+    shingles)."""
     from scylla_pg_cdc_spark.operators.text import shingles
 
     eval_sh = shingles(eval_docs, k=k).select("shingle").distinct()
     train_sh = shingles(train_docs, k=k)
-    if eval_sh.count() <= broadcast_row_budget:
+    if broadcast_row_budget is None or eval_sh.count() <= broadcast_row_budget:
         hit = train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
     else:
         hit = train_sh.join(
@@ -182,4 +185,5 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed.filter(F.col("bucket") < 98),
         bucketed.filter(F.col("bucket") >= 98),
         k=3,  # synthetic docs are ~30-120 tokens; 13-grams would never hit
+        broadcast_row_budget=None,  # 2% eval slice: known broadcast-safe
     )
