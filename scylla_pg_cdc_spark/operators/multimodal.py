@@ -436,3 +436,133 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_media_stats(media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# Frame-level audio features: two-segment corpus + windowed peaks
+# ---------------------------------------------------------------------------
+
+N_AUDIO_WINDOWS = 4
+
+
+def encode_wav_2seg(n_frames: int, amplitude: int,
+                    framerate: int = WAV_FRAMERATE) -> bytes:
+    """Mono PCM16 WAV whose LOUDNESS CHANGES MID-FILE: first half a
+    +/-amplitude square wave, second half +/-(amplitude // 2). Gives
+    windowed analysis something real to detect (constant-amplitude
+    audio makes every window identical)."""
+    import io
+    import wave
+    from array import array
+
+    half = n_frames // 2
+    samples = array(
+        "h",
+        (
+            (amplitude if k % 2 == 0 else -amplitude)
+            if k < half
+            else ((amplitude // 2) if k % 2 == 0 else -(amplitude // 2))
+            for k in range(n_frames)
+        ),
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("window_idx", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("peak", LongType(), False),
+    ]
+)
+
+
+def audio_window_peaks(media: DataFrame,
+                       n_windows: int = N_AUDIO_WINDOWS) -> DataFrame:
+    """Windowed audio features: decode PCM16, split the sample stream
+    into ``n_windows`` equal windows, emit per-window peak — the
+    frame-sampling shape for audio (one output row per window, like
+    ``sample_frames`` for video). Arrow-batched mapInPandas; bytes
+    never leave the executor."""
+    import io
+    import sys
+    import wave
+    from array import array
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_WINDOW_SCHEMA}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                samples = array("h")
+                samples.frombytes(raw)
+                if sys.byteorder == "big":
+                    samples.byteswap()
+                win = len(samples) // n_windows
+                for wi in range(n_windows):
+                    chunk = samples[wi * win : (wi + 1) * win]
+                    out["doc_id"].append(int(doc_id))
+                    out["window_idx"].append(wi)
+                    out["n_samples"].append(len(chunk))
+                    out["peak"].append(max((abs(s) for s in chunk), default=0))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, AUDIO_WINDOW_SCHEMA)
+
+
+def audio_corpus_2seg(docs: DataFrame) -> DataFrame:
+    """Two-segment WAV corpus over the odd doc_ids (same size/amplitude
+    rule as ``media_from_documents``; only the waveform differs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media_type": [],
+                                    "content": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 2 == 0:
+                    continue
+                _, p = _media_rule(doc_id)
+                out["doc_id"].append(doc_id)
+                out["media_type"].append("audio")
+                out["content"].append(
+                    encode_wav_2seg(p["n_frames"], p["amplitude"])
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_DOC_SCHEMA)
+
+
+@query(
+    "q_audio_window_peaks",
+    oracle="""
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS window_idx,
+           CAST((160 + (doc_id % 40) * 8) // 4 AS BIGINT) AS n_samples,
+           CAST(CASE WHEN w < 2 THEN 500 + (doc_id * 13) % 1000
+                     ELSE (500 + (doc_id * 13) % 1000) // 2 END AS BIGINT)
+               AS peak
+    FROM documents, unnest([0, 1, 2, 3]) AS u(w)
+    WHERE doc_id % 2 = 1
+    """,
+)
+def q_audio_window_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio analysis end-to-end: synthesize two-segment
+    WAVs -> REAL stdlib decode -> 4-window peak extraction. The oracle
+    predicts each window's peak from the generation rule (windows 0-1
+    at full amplitude, 2-3 at half), so a windowing bug — off-by-one
+    at the segment boundary, wrong sample slicing, byte-order slip —
+    breaks the hash. n_frames is a multiple of 8, so windows divide
+    evenly and the boundary sits exactly between windows 1 and 2."""
+    from scylla_pg_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_peaks(audio_corpus_2seg(docs))

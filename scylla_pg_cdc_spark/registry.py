@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: list[str] = [
     # rows per round; unlisted new queries slot right after this block,
     # so this explicit order decides who makes the cut) --------------
     "q_multimodal_stats",
+    "q_audio_window_peaks",
     "q_asof_join",
     "q_range_join",
     "q_funnel_conversion",

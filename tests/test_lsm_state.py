@@ -246,3 +246,39 @@ def test_parallel_compaction_matches_serial(spark, tmp_path):
         (r["key"], r["event_id"], r["op"]) for r in _want_rows(spark, epochs)
     }
     assert got_par == got_serial == want
+
+
+def test_compaction_safe_beside_racing_append(spark, tmp_path):
+    """The standalone compactor's claimed safety property: an append
+    that lands AFTER the compactor listed its victim files (but before
+    it finishes) is never lost — the compactor only unlinks files it
+    listed at start, and duplicates collapse under the idempotent
+    reducer. Simulated by interleaving: list -> racing append ->
+    compact with the stale list."""
+    state = str(tmp_path / "state")
+    epochs = []
+    for e in range(6):
+        b = _mk_batch(
+            spark, range(50), base_event_id=1000 * e, commit_ms=1_000 * (e + 1)
+        )
+        epochs.append(b)
+        append_epoch(b, state, n_buckets=4)
+
+    todo = buckets_needing_compaction(state, file_threshold=3)
+    assert todo
+    # the compactor would list victims now; a racing epoch lands first
+    racer = _mk_batch(
+        spark, range(25), base_event_id=9_000, commit_ms=99_000
+    )
+    epochs.append(racer)
+    append_epoch(racer, state, n_buckets=4)
+    # compact with the todo list computed BEFORE the racer arrived
+    compact_buckets_parallel(spark, state, todo)
+
+    got = {
+        (r["key"], r["event_id"], r["op"])
+        for r in read_latest(spark, state).collect()
+    }
+    assert got == {
+        (r["key"], r["event_id"], r["op"]) for r in _want_rows(spark, epochs)
+    }
