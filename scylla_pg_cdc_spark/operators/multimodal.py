@@ -566,3 +566,130 @@ def q_audio_window_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_window_peaks(audio_corpus_2seg(docs))
+
+
+# ---------------------------------------------------------------------------
+# Tile-level image features: row-gradient corpus + per-quadrant sums
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm_gradient(width: int, height: int, fill: int) -> bytes:
+    """Binary PPM whose rows BRIGHTEN DOWN THE IMAGE: every channel of
+    row r is (fill + r). Gives tile statistics spatial structure to
+    detect (a constant-fill image makes every tile identical)."""
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    rows = b"".join(
+        bytes([(fill + r) % 256]) * (width * 3) for r in range(height)
+    )
+    return header + rows
+
+
+IMAGE_TILE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("tile_row", LongType(), False),
+        StructField("tile_col", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_sum", LongType(), False),
+    ]
+)
+
+
+def image_tile_sums(media: DataFrame) -> DataFrame:
+    """2x2 tile decomposition of decoded images: per-quadrant byte
+    count + byte sum over the REAL parsed payload — the image analog
+    of video frame sampling (one output row per tile). Top/left tiles
+    take floor(h/2)/floor(w/2); bottom/right take the remainder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in IMAGE_TILE_SCHEMA}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(blob)
+                w, h, _ = decode_ppm(blob)
+                payload = blob[-w * h * 3 :]
+                h2, w2 = h // 2, w // 2
+                for tr, (r0, r1) in enumerate(((0, h2), (h2, h))):
+                    for tc, (c0, c1) in enumerate(((0, w2), (w2, w))):
+                        s = n = 0
+                        for r in range(r0, r1):
+                            row = payload[
+                                (r * w + c0) * 3 : (r * w + c1) * 3
+                            ]
+                            s += sum(row)
+                            n += len(row)
+                        out["doc_id"].append(int(doc_id))
+                        out["tile_row"].append(tr)
+                        out["tile_col"].append(tc)
+                        out["n_bytes"].append(n)
+                        out["byte_sum"].append(s)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, IMAGE_TILE_SCHEMA)
+
+
+def image_corpus_gradient(docs: DataFrame) -> DataFrame:
+    """Row-gradient PPM corpus over the even doc_ids. fill is capped at
+    200 so fill + height (<= 11) never wraps mod 256 — keeping the SQL
+    oracle's closed-form row sums exact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media_type": [],
+                                    "content": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 2 == 1:
+                    continue
+                _, p = _media_rule(doc_id)
+                out["doc_id"].append(doc_id)
+                out["media_type"].append("image")
+                out["content"].append(
+                    encode_ppm_gradient(
+                        p["width"], p["height"], (doc_id * 7) % 200
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_DOC_SCHEMA)
+
+
+@query(
+    "q_image_tile_sums",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               8 + doc_id % 8 AS w,
+               6 + doc_id % 6 AS h,
+               (doc_id * 7) % 200 AS fill
+        FROM documents WHERE doc_id % 2 = 0
+    ), tiles AS (
+        SELECT doc_id, w, h, fill,
+               tr, tc,
+               CASE WHEN tr = 0 THEN 0 ELSE h // 2 END AS r0,
+               CASE WHEN tr = 0 THEN h // 2 ELSE h END AS r1,
+               CASE WHEN tc = 0 THEN w // 2 ELSE w - w // 2 END AS ncols
+        FROM img, unnest([0, 1]) AS a(tr), unnest([0, 1]) AS b(tc)
+    )
+    SELECT doc_id,
+           CAST(tr AS BIGINT) AS tile_row,
+           CAST(tc AS BIGINT) AS tile_col,
+           CAST((r1 - r0) * ncols * 3 AS BIGINT) AS n_bytes,
+           CAST(3 * ncols * ((r1 - r0) * fill
+                + (r1 * (r1 - 1) - r0 * (r0 - 1)) // 2) AS BIGINT)
+               AS byte_sum
+    FROM tiles
+    """,
+)
+def q_image_tile_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-level image analysis end-to-end: synthesize row-gradient
+    PPMs -> real stdlib decode -> 2x2 quadrant byte sums. The oracle
+    computes each tile's sum in closed form (sum over rows r of
+    3*ncols*(fill+r) — triangular-number arithmetic), so any slicing
+    bug (row stride, channel math, quadrant boundary on odd dims)
+    breaks the hash. Both multimodal families now have frame/tile-level
+    coverage, not just whole-file stats."""
+    from scylla_pg_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_tile_sums(image_corpus_gradient(docs))

@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: list[str] = [
     # so this explicit order decides who makes the cut) --------------
     "q_multimodal_stats",
     "q_audio_window_peaks",
+    "q_image_tile_sums",
     "q_asof_join",
     "q_range_join",
     "q_funnel_conversion",
