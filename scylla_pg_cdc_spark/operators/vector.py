@@ -466,6 +466,344 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization — the third scale path (sign-LSH, int8, PQ)
+# ---------------------------------------------------------------------------
+#
+# PQ splits the 64-dim vector into M=4 subspaces of 16 dims and learns a
+# K=8-centroid codebook per subspace with k-means (deterministic seeds,
+# 2 unrolled Lloyd iterations).  A vector is then 4 small codes (3 bits
+# each here) instead of 64 floats — the memory shape that lets a 100 TB
+# embedding corpus keep its ANN working set in RAM, with ADC (asymmetric
+# distance computation) scans touching only a 4x8 lookup table per
+# candidate.
+#
+# Everything is INTEGER-exact so the full train->encode->search pipeline
+# has an exact DuckDB oracle:
+# - input codes are the int8 quantization (exact, see quantize_int8),
+#   shifted +127 to be non-negative;
+# - centroids live in integer milli-units; the Lloyd mean update is
+#   round-half-up computed with pure integer floor division
+#   ((2000*S + n) div (2n), everything positive), identical in Spark,
+#   DuckDB and Python;
+# - assignment argmin compares integer squared distances with a cid
+#   tiebreak, so the partition of vectors into cells is engine-stable.
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = DIM // PQ_M  # 16 dims per subspace
+PQ_K = 8  # centroids per subspace
+PQ_ITERS = 2  # unrolled Lloyd iterations
+
+
+def _pq_u_col() -> Column:
+    """Non-negative integer codes: int8 quantization shifted +127."""
+    return F.transform(quantize_int8(F.col("embedding")), lambda x: x + F.lit(127))
+
+
+def _pq_dist_expr(subvec: Column, cent: list[int]) -> Column:
+    """Integer squared distance between a subvector (raw units) and a
+    centroid (milli-units): sum_d (1000*x_d - c_d)^2."""
+    c = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+    return F.aggregate(
+        F.zip_with(subvec, c, lambda x, cc: (x * 1000 - cc) * (x * 1000 - cc)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_argmin(subvec: Column, cents_for_sub: dict[int, list[int]]) -> Column:
+    """(min_dist, cid) struct via array_min over per-centroid structs —
+    lexicographic struct ordering = argmin with lowest-cid tiebreak,
+    mirroring the oracle's ROW_NUMBER() ... ORDER BY d, cid."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _pq_dist_expr(subvec, cents_for_sub[j]).alias("d"),
+                    F.lit(j).cast("long").alias("cid"),
+                )
+                for j in range(PQ_K)
+            ]
+        )
+    )
+
+
+def _pq_train(spark: SparkSession, sf_dir: str) -> dict[tuple[int, int], list[int]]:
+    """Train the PQ codebook: centroids keyed (sub_id, cid), values =
+    16 integer milli-unit components.
+
+    Classic Spark k-means shape (what MLlib KMeans does): centroids are
+    broadcast as literals into a narrow map for assignment, and the
+    update is one (sub_id, cid, pos)-keyed aggregation whose result —
+    the codebook itself, M*K*SUBDIM = 512 integers — is collected to the
+    driver per iteration.  The collect is the codebook, never the data:
+    O(K) regardless of corpus size, the same 'tiny driver action' class
+    as the IVF probe pick above."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _pq_u_col().alias("u"))
+
+    # deterministic init: centroid j of every subspace = vec_id j+1's
+    # subvector (distance 0 to itself at iteration 1 => never empty
+    # unless two seed vectors collide, which the coalesce below absorbs)
+    seed_rows = base.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K)
+    ).collect()
+    cents: dict[tuple[int, int], list[int]] = {}
+    for r in seed_rows:
+        for s in range(PQ_M):
+            cents[(s, int(r["vec_id"]) - 1)] = [
+                1000 * int(x)
+                for x in r["u"][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            ]
+
+    subs = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub_id"),
+                        F.slice("u", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                            "subvec"
+                        ),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("sv"),
+    ).select("vec_id", F.col("sv.sub_id").alias("sub_id"), F.col("sv.subvec").alias("subvec"))
+
+    for _ in range(PQ_ITERS):
+        # assignment: dispatch the per-subspace argmin on sub_id
+        amin = F.element_at(
+            F.array(
+                *[
+                    _pq_argmin(
+                        F.col("subvec"),
+                        {j: cents[(s, j)] for j in range(PQ_K)},
+                    )
+                    for s in range(PQ_M)
+                ]
+            ),
+            F.col("sub_id") + 1,
+        )
+        assigned = subs.select("sub_id", amin["cid"].alias("cid"), "subvec")
+        upd = assigned.select("sub_id", "cid", F.posexplode("subvec")).toDF(
+            "sub_id", "cid", "pos", "val"
+        )
+        rows = (
+            upd.groupBy("sub_id", "cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[tuple[int, int], dict[int, int]] = {}
+        for r in rows:
+            by_cell.setdefault((int(r["sub_id"]), int(r["cid"])), {})[
+                int(r["pos"])
+            ] = (2000 * int(r["s"]) + int(r["n"])) // (2 * int(r["n"]))
+        nxt = dict(cents)  # empty cells keep their previous centroid
+        for cell, comp in by_cell.items():
+            nxt[cell] = [comp[p] for p in range(PQ_SUBDIM)]
+        cents = nxt
+    return cents
+
+
+def _pq_assign_cols(
+    cents: dict[tuple[int, int], list[int]],
+) -> list[Column]:
+    """Per-subspace (dist, cid) structs over the unexploded ``u`` col."""
+    return [
+        _pq_argmin(
+            F.slice("u", s * PQ_SUBDIM + 1, PQ_SUBDIM),
+            {j: cents[(s, j)] for j in range(PQ_K)},
+        )
+        for s in range(PQ_M)
+    ]
+
+
+def _pq_sql(iters: int = PQ_ITERS) -> tuple[str, str]:
+    """CTE blocks reproducing training in DuckDB; returns (sql, final
+    centroid CTE name).  Generated by the same loop structure as the
+    Spark side so the unrolled iterations can't drift apart."""
+    sql = f"""
+    qz AS ({_QZ_SQL}),
+    shifted AS (
+        SELECT vec_id, label, list_transform(q, x -> x + 127) AS u FROM qz
+    ),
+    subs AS (
+        SELECT vec_id, label, CAST(s AS INT) AS sub_id,
+               list_slice(u, CAST(s AS INT) * {PQ_SUBDIM} + 1,
+                          CAST(s AS INT) * {PQ_SUBDIM} + {PQ_SUBDIM}) AS subvec
+        FROM shifted, range(0, {PQ_M}) t(s)
+    ),
+    cent0 AS (
+        SELECT sub_id, CAST(vec_id - 1 AS INT) AS cid,
+               list_transform(subvec, x -> x * 1000) AS cent
+        FROM subs WHERE vec_id BETWEEN 1 AND {PQ_K}
+    )"""
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        sql += f""",
+    dist{it} AS (
+        SELECT v.vec_id, v.sub_id, c.cid,
+               SUM((1000 * v.subvec[CAST(i AS INT) + 1] - c.cent[CAST(i AS INT) + 1])
+                   * (1000 * v.subvec[CAST(i AS INT) + 1] - c.cent[CAST(i AS INT) + 1])) AS d
+        FROM subs v JOIN {prev} c ON v.sub_id = c.sub_id,
+             range(0, {PQ_SUBDIM}) t(i)
+        GROUP BY v.vec_id, v.sub_id, c.cid
+    ),
+    asg{it} AS (
+        SELECT vec_id, sub_id, cid FROM dist{it}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id, sub_id ORDER BY d, cid) = 1
+    ),
+    upd{it} AS (
+        SELECT a.sub_id, a.cid, CAST(i AS INT) AS pos,
+               (2000 * SUM(v.subvec[CAST(i AS INT) + 1]) + COUNT(*))
+                   // (2 * COUNT(*)) AS c
+        FROM asg{it} a
+        JOIN subs v ON a.vec_id = v.vec_id AND a.sub_id = v.sub_id,
+             range(0, {PQ_SUBDIM}) t(i)
+        GROUP BY a.sub_id, a.cid, i
+    ),
+    newc{it} AS (
+        SELECT sub_id, cid, list(c ORDER BY pos) AS cent
+        FROM upd{it} GROUP BY sub_id, cid
+    ),
+    cent{it} AS (
+        SELECT p.sub_id, p.cid, COALESCE(n.cent, p.cent) AS cent
+        FROM {prev} p
+        LEFT JOIN newc{it} n ON p.sub_id = n.sub_id AND p.cid = n.cid
+    )"""
+        prev = f"cent{it}"
+    return sql, prev
+
+
+_PQ_BLOCKS, _PQ_FINAL = _pq_sql()
+
+
+@query(
+    "q_embed_pq_codes",
+    oracle=f"""
+    WITH {_PQ_BLOCKS},
+    fdist AS (
+        SELECT v.vec_id, v.label, v.sub_id, c.cid,
+               SUM((1000 * v.subvec[CAST(i AS INT) + 1] - c.cent[CAST(i AS INT) + 1])
+                   * (1000 * v.subvec[CAST(i AS INT) + 1] - c.cent[CAST(i AS INT) + 1])) AS d
+        FROM subs v JOIN {_PQ_FINAL} c ON v.sub_id = c.sub_id,
+             range(0, {PQ_SUBDIM}) t(i)
+        GROUP BY v.vec_id, v.label, v.sub_id, c.cid
+    ),
+    fasg AS (
+        SELECT vec_id, label, sub_id, cid, d FROM fdist
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id, sub_id ORDER BY d, cid) = 1
+    )
+    SELECT vec_id, label,
+           string_agg(CAST(cid AS VARCHAR), '|' ORDER BY sub_id) AS pq_code,
+           CAST(SUM(d) AS BIGINT) AS recon_err
+    FROM fasg GROUP BY vec_id, label
+    """,
+)
+def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize the embedding table: train the M=4 x K=8
+    codebook (deterministic k-means, 2 Lloyd iterations), then encode
+    every vector as 4 codes + its integer reconstruction error.  64
+    floats -> 4 codes is a ~50x footprint cut for the ANN index; the
+    checked surface (code string + exact recon error) pins both the
+    codebook AND the assignment, so the oracle verifies training
+    itself, not just the final projection."""
+    cents = _pq_train(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", _pq_u_col().alias("u"))
+    asg = _pq_assign_cols(cents)
+    return base.select(
+        "vec_id",
+        "label",
+        F.concat_ws(
+            "|", *[a["cid"].cast("string") for a in asg]
+        ).alias("pq_code"),
+        sum(
+            (a["d"] for a in asg), F.lit(0).cast("long")
+        ).alias("recon_err"),
+    )
+
+
+@query(
+    "q_vector_pq_knn",
+    oracle=f"""
+    WITH {_PQ_BLOCKS},
+    qsub AS (SELECT sub_id, subvec FROM subs WHERE vec_id = 0),
+    adct AS (
+        SELECT c.sub_id, c.cid,
+               SUM((1000 * q.subvec[CAST(i AS INT) + 1] - c.cent[CAST(i AS INT) + 1])
+                   * (1000 * q.subvec[CAST(i AS INT) + 1] - c.cent[CAST(i AS INT) + 1])) AS d
+        FROM {_PQ_FINAL} c JOIN qsub q ON c.sub_id = q.sub_id,
+             range(0, {PQ_SUBDIM}) t(i)
+        GROUP BY c.sub_id, c.cid
+    ),
+    fdist AS (
+        SELECT v.vec_id, v.label, v.sub_id, c.cid,
+               SUM((1000 * v.subvec[CAST(i AS INT) + 1] - c.cent[CAST(i AS INT) + 1])
+                   * (1000 * v.subvec[CAST(i AS INT) + 1] - c.cent[CAST(i AS INT) + 1])) AS d
+        FROM subs v JOIN {_PQ_FINAL} c ON v.sub_id = c.sub_id,
+             range(0, {PQ_SUBDIM}) t(i)
+        WHERE v.vec_id <> 0
+        GROUP BY v.vec_id, v.label, v.sub_id, c.cid
+    ),
+    fasg AS (
+        SELECT vec_id, label, sub_id, cid FROM fdist
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id, sub_id ORDER BY d, cid) = 1
+    )
+    SELECT f.vec_id, f.label, CAST(SUM(a.d) AS BIGINT) AS adc_dist
+    FROM fasg f JOIN adct a ON f.sub_id = a.sub_id AND f.cid = a.cid
+    GROUP BY f.vec_id, f.label
+    ORDER BY adc_dist, f.vec_id
+    LIMIT 10
+    """,
+)
+def q_vector_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance) top-k over PQ codes: per candidate the
+    distance is 4 table lookups into the query's 4x8 distance table —
+    the production PQ scan shape (the candidate's floats are never
+    touched).  The table is computed driver-side from the trained
+    codebook + query vector (32 integers); candidates rank by integer
+    ADC distance with a vec_id tiebreak, so the top-10 boundary is
+    engine-stable and the oracle exact."""
+    cents = _pq_train(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", _pq_u_col().alias("u"))
+    qu = [int(x) for x in base.filter(F.col("vec_id") == 0).head()["u"]]
+    adc_tab: dict[int, list[int]] = {}
+    for s in range(PQ_M):
+        qsub = qu[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        adc_tab[s] = [
+            sum(
+                (1000 * x - c) * (1000 * x - c)
+                for x, c in zip(qsub, cents[(s, j)])
+            )
+            for j in range(PQ_K)
+        ]
+    asg = _pq_assign_cols(cents)
+    adc = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(v).cast("long") for v in adc_tab[s]]),
+                asg[s]["cid"].cast("int") + 1,
+            )
+            for s in range(PQ_M)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return (
+        base.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", adc.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
 @query(
     "q_vector_int8_knn",
     oracle=f"""
