@@ -439,7 +439,8 @@ def quantize_int8(vec: Column) -> Column:
     "q_embed_quantize",
     oracle=f"""
     WITH qz AS ({_QZ_SQL})
-    SELECT vec_id, label, q,
+    SELECT vec_id, label,
+           array_to_string(q, ',') AS q_codes,
            CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
            CAST(list_aggregate(q, 'min') AS BIGINT) AS q_min,
            CAST(list_aggregate(q, 'max') AS BIGINT) AS q_max
@@ -451,13 +452,15 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8 codes + one scale per vector). At 100 TB of embeddings this
     is what lets the ANN working set fit executor memory; the codes
     here are exact integers, checked element-wise against the oracle
-    plus sum/min/max checksums."""
+    plus sum/min/max checksums. Codes are emitted as a comma-joined
+    string (not a raw array) so the driver's pandas-sort canonicalizer
+    can hash the column."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = quantize_int8(F.col("embedding"))
     return emb.select(
         "vec_id",
         "label",
-        q.alias("q"),
+        F.array_join(q.cast("array<string>"), ",").alias("q_codes"),
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias(
             "q_sum"
         ),

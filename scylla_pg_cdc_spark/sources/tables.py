@@ -43,12 +43,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``nanosAsLong``) and floored to microseconds with integer `div`
     (double division would lose sub-us precision at 1.7e18 ns
     magnitudes and could flip ms boundaries vs the DuckDB oracle).
+
+    µs-precision *no-timezone* parquet timestamps read as TIMESTAMP_NTZ
+    in Spark 4; every NTZ column is normalized to session-tz
+    ``timestamp`` so time arithmetic (``unix_millis`` et al.) analyzes.
+    Session tz is forced to UTC first, so the wall-clock instant is
+    unchanged and DuckDB parity holds — the reference applies the same
+    "naive timestamps are UTC" rule (`src/reconciliation/comparer.py:214-218`).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -42,7 +42,7 @@ from pyspark.sql.types import (
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # int64 nanoseconds (see sources/tables.py)
+        StructField("ts", LongType()),  # int64 epoch ticks, ns or us (see read_event_stream)
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -89,7 +89,19 @@ def read_event_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # The declared LongType schema reads the parquet INT64 physical
+    # values raw, whatever the logical annotation: ns-precision files
+    # yield epoch-nanos, us-precision (TIMESTAMP_NTZ) files yield
+    # epoch-micros. Disambiguate by magnitude — epoch-nanos pass 5e17
+    # from 1985 on, epoch-micros would not until year ~17000 — so one
+    # stream reader handles both generations of the testdata encoder.
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "IF(ts > 500000000000000000,"
+            " timestamp_micros(ts div 1000), timestamp_micros(ts))"
+        ),
+    )
 
 
 def to_change_events(stream: DataFrame) -> DataFrame:
