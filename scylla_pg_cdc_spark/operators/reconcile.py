@@ -248,6 +248,72 @@ def generate_repair_actions(
     )
 
 
+def apply_repairs(
+    target: DataFrame,
+    actions: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Execute repair actions against a target DataFrame — the engine
+    face of the reference's row-at-a-time repair loop
+    (`scripts/reconcile.py:490-522`: cursor.execute per action).
+
+    Spark-first: instead of executing rendered SQL statements, the
+    merge is two keyed joins —
+
+      1. anti-join the target against ALL actioned keys (drops the
+         DELETE rows and the stale halves of UPDATEs), then
+      2. union in the source image of every INSERT / UPDATE key.
+
+    Removing every actioned key first (not just DELETE/UPDATE) makes
+    the merge a pure "set keyed rows to source state" operation, so
+    re-applying the same actions is a no-op — idempotency the
+    reference gets from SQL primary-key semantics.
+
+    At scale: both joins shuffle by the repair keys only; the action
+    set is normally tiny relative to the target, so AQE converts them
+    to broadcast joins at runtime.  On a transactional table format
+    (Delta/Iceberg) this whole function is one MERGE INTO.
+    """
+    drop_keys = actions.select(*keys).distinct()
+    add_keys = (
+        actions.filter(F.col("action_type") != "DELETE")
+        .select(*keys)
+        .distinct()
+    )
+    kept = target.join(drop_keys, on=keys, how="left_anti")
+    inserted = source.join(add_keys, on=keys, how="left_semi")
+    return kept.unionByName(inserted.select(*target.columns))
+
+
+def apply_repairs_to_parquet(
+    spark: SparkSession,
+    target_path: str,
+    actions: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+) -> None:
+    """Materialize ``apply_repairs`` onto a parquet target in place.
+
+    Parquet files are immutable, so the repaired image is written to a
+    staging directory first and swapped in afterwards (write-ahead then
+    rename — the repaired data is fully durable before the old target
+    is touched, mirroring the reference's execute-then-commit per
+    connection; on Delta/Iceberg this would be a single MERGE commit).
+    """
+    import shutil
+
+    target = spark.read.parquet(target_path)
+    repaired = apply_repairs(target, actions, source, keys)
+    staging = target_path.rstrip("/") + ".__repair_staging__"
+    repaired.write.mode("overwrite").parquet(staging)
+    backup = target_path.rstrip("/") + ".__repair_old__"
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.move(target_path, backup)
+    shutil.move(staging, target_path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic perturbed target for the checkable queries
 # ---------------------------------------------------------------------------
@@ -394,6 +460,31 @@ def q_repair_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "action_type",
         "o_orderkey",
         F.col("priority").cast("long").alias("priority"),
+    )
+
+
+@query(
+    "q_repair_roundtrip",
+    oracle="""
+    SELECT 'match' AS diff_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    """,
+)
+def q_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-loop repair (D3 + the executor the reference runs at
+    `scripts/reconcile.py:490-522`): diff orders vs the perturbed
+    target, generate actions, APPLY them, and re-diff.  The checked
+    output is the post-repair class histogram — one 'match' row per
+    source key and nothing else, which pins that the executor healed
+    every missing/extra/mismatch discrepancy."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = _perturbed_target(spark, sf_dir)
+    diff = diff_datasets(orders, target, keys=["o_orderkey"])
+    actions = generate_repair_actions(diff, orders, ["o_orderkey"], "orders")
+    repaired = apply_repairs(target, actions, orders, ["o_orderkey"])
+    rediff = diff_datasets(orders, repaired, keys=["o_orderkey"])
+    return diff_summary(rediff).select(
+        "diff_type", F.col("n").cast("long").alias("n")
     )
 
 

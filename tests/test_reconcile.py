@@ -203,3 +203,72 @@ def test_null_key_rows_classified_by_presence_not_key_null(spark):
     t = spark.createDataFrame([(None, "a", 1.0, None)], SCHEMA)
     d = diff_datasets(s, t, ["id"]).collect()
     assert len(d) == 1 and d[0]["diff_type"] == "match"
+
+
+def test_apply_repairs_roundtrip(spark, src, tgt):
+    """diff -> actions -> apply -> re-diff shows zero discrepancies
+    (the executor the reference runs at scripts/reconcile.py:490-522,
+    as a distributed merge)."""
+    from scylla_pg_cdc_spark.operators.reconcile import apply_repairs
+
+    diff = diff_datasets(src, tgt, ["id"])
+    actions = generate_repair_actions(diff, src, ["id"], "t")
+    repaired = apply_repairs(tgt, actions, src, ["id"])
+    rediff = diff_datasets(src, repaired, ["id"])
+    assert {r["diff_type"] for r in rediff.collect()} == {"match"}
+    assert repaired.count() == src.count()
+
+
+def test_apply_repairs_idempotent(spark, src, tgt):
+    """Applying the same action set twice must equal applying it once —
+    the merge removes every actioned key before re-inserting."""
+    from scylla_pg_cdc_spark.operators.reconcile import apply_repairs
+
+    diff = diff_datasets(src, tgt, ["id"])
+    actions = generate_repair_actions(diff, src, ["id"], "t")
+    once = apply_repairs(tgt, actions, src, ["id"])
+    twice = apply_repairs(once, actions, src, ["id"])
+    assert sorted(once.collect()) == sorted(twice.collect())
+    assert twice.count() == src.count()
+
+
+def test_apply_repairs_composite_keys(spark):
+    """Composite-key merge must not touch sibling rows sharing a key
+    component."""
+    from scylla_pg_cdc_spark.operators.reconcile import apply_repairs
+
+    sch = "k1 long, k2 string, v double"
+    s = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)], sch
+    )
+    t = spark.createDataFrame(
+        [(1, "a", 9.0), (1, "b", 2.0), (3, "z", 7.0)], sch
+    )
+    diff = diff_datasets(s, t, ["k1", "k2"])
+    actions = generate_repair_actions(diff, s, ["k1", "k2"], "t")
+    repaired = apply_repairs(t, actions, s, ["k1", "k2"])
+    rediff = diff_datasets(s, repaired, ["k1", "k2"])
+    assert {r["diff_type"] for r in rediff.collect()} == {"match"}
+    # untouched sibling row survived as-is
+    assert repaired.filter(
+        (F.col("k1") == 1) & (F.col("k2") == "b") & (F.col("v") == 2.0)
+    ).count() == 1
+
+
+def test_apply_repairs_to_parquet_swaps_in_place(spark, src, tgt, tmp_path):
+    """Parquet executor: staging write + swap leaves the target path
+    holding the repaired image."""
+    from scylla_pg_cdc_spark.operators.reconcile import (
+        apply_repairs_to_parquet,
+    )
+
+    target_path = str(tmp_path / "target.parquet")
+    tgt.write.parquet(target_path)
+    diff = diff_datasets(src, spark.read.parquet(target_path), ["id"])
+    actions = generate_repair_actions(diff, src, ["id"], "t")
+    apply_repairs_to_parquet(spark, target_path, actions, src, ["id"])
+    rediff = diff_datasets(src, spark.read.parquet(target_path), ["id"])
+    assert {r["diff_type"] for r in rediff.collect()} == {"match"}
+    # no staging/backup litter
+    assert not (tmp_path / "target.parquet.__repair_staging__").exists()
+    assert not (tmp_path / "target.parquet.__repair_old__").exists()
