@@ -162,6 +162,7 @@ def compact_buckets_parallel(
     state_dir: str,
     buckets: list[int],
     key: str = "key",
+    _before_unlink=None,
 ) -> None:
     """Bucket-parallel variant of ``compact_buckets`` for a standalone
     background compactor (`tools/compact_state.py`): ONE Spark job
@@ -176,7 +177,12 @@ def compact_buckets_parallel(
 
     ``__bucket`` is functional on ``key``, so it rides through the
     per-key max_by untouched and the writer re-partitions the output
-    into exactly the input buckets."""
+    into exactly the input buckets.
+
+    ``_before_unlink`` is a test seam: called after the compacted
+    files land in the live bucket dirs but before the superseded files
+    unlink — the exact window where a live appender can race the
+    compactor (see tests/test_lsm_state.py)."""
     import shutil
 
     from scylla_pg_cdc_spark.operators.cdc import compact_latest_agg
@@ -217,6 +223,8 @@ def compact_buckets_parallel(
                 os.path.join(src, p),
                 os.path.join(dst, f"compact-{uuid.uuid4().hex}-{i}.parquet"),
             )
+    if _before_unlink is not None:
+        _before_unlink()
     for b, files in old_files.items():
         for f in files:
             os.remove(os.path.join(state_dir, dirs[b], f))

@@ -282,3 +282,91 @@ def test_compaction_safe_beside_racing_append(spark, tmp_path):
     assert got == {
         (r["key"], r["event_id"], r["op"]) for r in _want_rows(spark, epochs)
     }
+
+
+def test_append_inside_compaction_unlink_window(spark, tmp_path):
+    """An epoch that lands AFTER the compactor snapshotted its victim
+    list and read the data, but BEFORE it unlinked the superseded
+    files, must survive intact: the new delta file is not in the
+    victim list, so unlink cannot touch it, and merge-on-read folds it
+    in. This is the exact live-appender-beside-compactor race
+    (deterministically pinned via the _before_unlink seam)."""
+    state = str(tmp_path / "state")
+    epochs = []
+    for e in range(6):
+        b = _mk_batch(
+            spark, range(50), base_event_id=1000 * e, commit_ms=1_000 * (e + 1)
+        )
+        epochs.append(b)
+        append_epoch(b, state, n_buckets=4)
+
+    todo = buckets_needing_compaction(state, file_threshold=3)
+    assert todo
+
+    def racing_append():
+        racer = _mk_batch(
+            spark, range(25), base_event_id=9_000, commit_ms=99_000
+        )
+        epochs.append(racer)
+        append_epoch(racer, state, n_buckets=4)
+
+    compact_buckets_parallel(spark, state, todo, _before_unlink=racing_append)
+
+    got = {
+        (r["key"], r["event_id"], r["op"])
+        for r in read_latest(spark, state).collect()
+    }
+    assert got == {
+        (r["key"], r["event_id"], r["op"]) for r in _want_rows(spark, epochs)
+    }
+
+
+def test_live_appender_thread_beside_compaction_loop(spark, tmp_path):
+    """Full-interleaving smoke: a background thread appends epochs
+    while the foreground repeatedly compacts whatever crosses the file
+    threshold. Whatever the interleaving, the final merge-on-read view
+    must equal the latest-per-key reduction of everything appended."""
+    import threading
+
+    state = str(tmp_path / "state")
+    # base epoch so the compactor always has something to chew on
+    first = _mk_batch(spark, range(40), base_event_id=0, commit_ms=1_000)
+    append_epoch(first, state, n_buckets=4)
+    epochs = [first]
+    appended = []  # thread-built; joined before use
+    errs = []
+
+    def appender():
+        try:
+            for e in range(1, 9):
+                b = _mk_batch(
+                    spark,
+                    range(40),
+                    base_event_id=1000 * e,
+                    commit_ms=1_000 * (e + 1),
+                )
+                appended.append(b)
+                append_epoch(b, state, n_buckets=4)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    t = threading.Thread(target=appender)
+    t.start()
+    for _ in range(5):
+        todo = buckets_needing_compaction(state, file_threshold=2)
+        compact_buckets_parallel(spark, state, todo)
+    t.join()
+    assert not errs
+    # one more pass so the final state is compacted too
+    compact_buckets_parallel(
+        spark, state, buckets_needing_compaction(state, file_threshold=2)
+    )
+    epochs.extend(appended)
+
+    got = {
+        (r["key"], r["event_id"], r["op"])
+        for r in read_latest(spark, state).collect()
+    }
+    assert got == {
+        (r["key"], r["event_id"], r["op"]) for r in _want_rows(spark, epochs)
+    }
