@@ -223,6 +223,22 @@ def sink_params_from_connector(cfg: dict[str, object]) -> dict[str, object]:
     }
 
 
+def kafka_sql_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka data source is on the classpath.
+    Constructing the streaming DataFrame is metadata-only (no broker
+    contact), so this is a cheap capability probe for gated tests."""
+    try:
+        (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:1")
+            .option("subscribe", "probe")
+            .load()
+        )
+        return True
+    except Exception:  # noqa: BLE001 - absence signals via several types
+        return False
+
+
 def read_kafka_stream(
     spark: SparkSession, bootstrap_servers: str, **kwargs
 ) -> DataFrame:
