@@ -187,3 +187,50 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,  # synthetic docs are ~30-120 tokens; 13-grams would never hit
         broadcast_row_budget=None,  # 2% eval slice: known broadcast-safe
     )
+
+
+_MIX_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6))"
+    " AS BIGINT) % 1000"
+)
+
+
+@query(
+    "q_domain_mix",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {_MIX_BUCKET_SQL} <
+                    GREATEST(1000 - 45 * CAST(substring(source, 4) AS BIGINT),
+                             100)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN {_MIX_BUCKET_SQL} <
+                    GREATEST(1000 - 45 * CAST(substring(source, 4) AS BIGINT),
+                             100)
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture downsampling: each source gets a
+    keep rate in permille (1000 - 45*source_index, floored at 100) and
+    documents are kept by portable hash bucket — the per-domain
+    sampling-weight pass a training-data pipeline runs to hit a target
+    corpus mixture. Membership is a pure function of doc_id, so
+    re-running, resharding, or incrementally appending data never
+    migrates a document in or out of the mix. Narrow until the final
+    per-source rollup (one partial-agg shuffle of 20 rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 8).cast("long")
+    rate = F.greatest(F.lit(1000) - F.lit(45) * idx, F.lit(100))
+    h = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 1000
+    keep = bucket < rate
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_kept"),
+    )

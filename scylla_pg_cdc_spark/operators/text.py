@@ -809,3 +809,127 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tf") >= 3)
         .select("doc_id", "term", "tf", "df")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hygiene filters (Gopher/C4-style rules, integer-exact)
+# ---------------------------------------------------------------------------
+
+_EN_STOP_SQL = (
+    "len(list_filter(string_split(text, ' '), "
+    "t -> t IN ('the', 'a', 'of', 'and', 'to')))"
+)
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               len(l) AS n_words,
+               len(l) - len(list_distinct(l)) AS n_dup_words,
+               len(l) - 1 AS n_bigrams,
+               list_transform(range(2, len(l) + 1),
+                              i -> l[i - 1] || ' ' || l[i]) AS bgs
+        FROM w
+    ),
+    bgc AS (
+        SELECT doc_id, bg, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(bgs) AS bg FROM base)
+        GROUP BY doc_id, bg
+    ),
+    top AS (SELECT doc_id, MAX(n) AS top_bigram_n FROM bgc GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(b.n_dup_words AS BIGINT) AS n_dup_words,
+           CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(t.top_bigram_n AS BIGINT) AS top_bigram_n,
+           (t.top_bigram_n * 5 > b.n_bigrams) AS is_repetitive
+    FROM base b JOIN top t USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher repetition-filter
+    family): duplicate-word count and the most-frequent-bigram share,
+    all integer-exact.  The bigram list is built row-locally with
+    zip_with over two shifted slices (no join), so the only shuffle is
+    the per-(doc, bigram) count — map-side partial agg bounds it by
+    distinct bigrams, not word occurrences.  A doc whose top bigram
+    covers >20% of its bigrams flags as repetitive boilerplate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bgs = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        (F.size(words) - F.size(F.array_distinct(words)))
+        .cast("long")
+        .alias("n_dup_words"),
+        (F.size(words) - 1).cast("long").alias("n_bigrams"),
+        bgs.alias("bgs"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"))
+    )
+    return base.drop("bgs").join(top, on="doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_dup_words",
+        "n_bigrams",
+        "top_bigram_n",
+        (F.col("top_bigram_n") * 5 > F.col("n_bigrams")).alias(
+            "is_repetitive"
+        ),
+    )
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               {_EN_STOP_SQL} AS en_stop
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CASE WHEN n_words < 30 THEN 'too_short'
+                WHEN n_words > 90 THEN 'too_long'
+                WHEN 2 * n_distinct < n_words THEN 'low_diversity'
+                WHEN en_stop = 0 THEN 'no_stopword'
+                ELSE 'keep' END AS verdict
+    FROM base
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-quality gate (C4/Gopher rule stack): first
+    failing rule wins — length band, lexical diversity (distinct/total
+    word ratio as a cross-multiplied integer compare, no floats),
+    stopword presence.  One narrow projection, no shuffle; at 100 TB
+    this is the map-side keep/drop pass in front of dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_distinct = F.size(F.array_distinct(F.split("text", " ")))
+    en_stop = _stopword_hits("en")
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words < 30, "too_short")
+        .when(n_words > 90, "too_long")
+        .when(2 * n_distinct < n_words, "low_diversity")
+        .when(en_stop == 0, "no_stopword")
+        .otherwise("keep")
+        .alias("verdict"),
+    )

@@ -14,7 +14,8 @@ from scylla_pg_cdc_spark.operators.vector import (
     PQ_K,
     PQ_M,
     PQ_SUBDIM,
-    _pq_assign_cols,
+    _pq_code_structs,
+    _pq_codebook_df,
     _pq_train,
     _pq_u_col,
     q_embed_pq_codes,
@@ -65,9 +66,10 @@ def test_lloyd_iterations_do_not_increase_recon_err(spark):
             ]
 
     def total_err(cents):
-        asg = _pq_assign_cols(cents)
+        joined = base.crossJoin(F.broadcast(_pq_codebook_df(spark, cents)))
+        asg = _pq_code_structs()
         err = sum((a["d"] for a in asg), F.lit(0).cast("long"))
-        return base.agg(F.sum(err)).head()[0]
+        return joined.agg(F.sum(err)).head()[0]
 
     err0 = total_err(cents0)
     errN = total_err(_pq_train(spark, SF_SMALL))
