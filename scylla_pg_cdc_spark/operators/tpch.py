@@ -10,8 +10,12 @@ Adaptations (the driver's TPC-H-ish schema omits some columns; each
 query keeps its *shape* — the join/agg/subquery structure Catalyst has
 to plan — and swaps the missing column for an available analog):
 
-- no ``partsupp``/``p_mfgr``/``p_container`` -> Q2/Q9/Q11/Q16/Q20
-  are not expressible and are intentionally absent.
+- no ``partsupp``/``p_mfgr``/``p_container`` -> Q2/Q9/Q11/Q16/Q20 run
+  against lineitem-derived part-supplier facts instead: supplycost :=
+  min line price (Q2) / p_retailprice (Q9/Q11), availqty := shipped
+  quantity (Q11/Q20), the partsupp relation := DISTINCT (l_partkey,
+  l_suppkey) (Q16).  Every join/agg/subquery shape of the canonical
+  query is preserved — only the missing column is proxied.
 - no ``l_commitdate``/``l_receiptdate`` -> "late" is
   ``l_shipdate > o_orderdate + INTERVAL N DAYS`` (Q4/Q12/Q21).
 - no ``l_shipmode`` -> Q12 buckets by lateness instead.
@@ -790,4 +794,312 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(bal).cast("long").alias("totacctbal_cents"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q9/Q11/Q16/Q20 — partsupp-family, adapted to lineitem-derived facts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+        SELECT c.l_partkey, c.cost_cents, s.s_name, s.s_acctbal, n.n_name
+        FROM costs c
+        JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT CAST(ROUND(e.s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+           e.s_name, e.n_name, p.p_partkey, e.cost_cents
+    FROM eur e JOIN part p ON e.l_partkey = p.p_partkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+      AND e.cost_cents = (SELECT MIN(e2.cost_cents) FROM eur e2
+                          WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier (adapted: supplycost := the supplier's
+    cheapest line price for the part, exact integer cents). Keeps the
+    canonical correlated-MIN-subquery shape as a window min over the
+    region-filtered costs; dims broadcast."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents("l_extendedprice")).alias("cost_cents")
+    )
+    eur = (
+        costs.join(
+            F.broadcast(supp), costs.l_suppkey == supp.s_suppkey
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("l_partkey", "cost_cents", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = eur.withColumn("min_cost", F.min("cost_cents").over(w)).filter(
+        F.col("cost_cents") == F.col("min_cost")
+    )
+    return (
+        best.join(
+            F.broadcast(
+                part.filter(
+                    F.col("p_size").between(10, 20)
+                    & (F.col("p_type") == "STANDARD")
+                )
+            ),
+            best.l_partkey == part.p_partkey,
+        )
+        .select(
+            cents("s_acctbal").alias("s_acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "cost_cents",
+        )
+        .orderBy(
+            F.col("s_acctbal_cents").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle=f"""
+    SELECT n_name,
+           strftime(o_orderdate, '%Y') AS o_year,
+           CAST(SUM({_CPCT_SQL}
+                    - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_quantity) AS BIGINT) * 100)
+                AS BIGINT) AS profit_cpct
+    FROM lineitem, part, supplier, orders, nation
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit by nation and year (adapted: supplycost
+    := p_retailprice, so profit = revenue − retail cost of the shipped
+    quantity, in exact cent-pct integer units)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    profit = _cpct() - cents("p_retailprice") * qty * 100
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.date_format("o_orderdate", "yyyy").alias("o_year")
+        )
+        .agg(F.sum(profit).alias("profit_cpct"))
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH avail AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS availqty
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    asia AS (
+        SELECT a.l_partkey, a.availqty
+        FROM avail a
+        JOIN supplier s ON a.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    val AS (
+        SELECT a.l_partkey AS p_partkey,
+               CAST(SUM(a.availqty
+                        * CAST(ROUND(p.p_retailprice * 100) AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM asia a JOIN part p ON a.l_partkey = p.p_partkey
+        GROUP BY a.l_partkey
+    )
+    SELECT p_partkey, value_cents FROM val
+    WHERE value_cents * (SELECT COUNT(*) FROM val)
+          > 2 * (SELECT SUM(value_cents) FROM val)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock (adapted: availqty := shipped quantity,
+    supplycost := p_retailprice). Canonical scalar-subquery threshold
+    kept scale-free and integer-exact: a part qualifies when its value
+    exceeds 2x the mean part value (cross-multiplied, no division)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    avail = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("availqty")
+    )
+    asia = (
+        avail.join(F.broadcast(supp), avail.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("l_partkey", "availqty")
+    )
+    val = (
+        asia.join(F.broadcast(part), asia.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(F.col("availqty") * cents("p_retailprice")).alias(
+                "value_cents"
+            )
+        )
+    )
+    tot = val.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("t")
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n") > 2 * F.col("t"))
+        .select("p_partkey", "value_cents")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs pr JOIN part p ON pr.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND pr.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier-count per part attribute (adapted: the partsupp
+    relation := DISTINCT (l_partkey, l_suppkey) observed in lineitem;
+    'complaint' suppliers := s_acctbal < 1000, excluded by anti join
+    — the canonical NOT IN shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .join(F.broadcast(pf), pairs.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH avail AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM avail GROUP BY l_partkey),
+    excess AS (
+        SELECT a.l_suppkey
+        FROM avail a
+        JOIN tot t ON a.l_partkey = t.l_partkey
+        JOIN part p ON a.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'small%' AND a.qty * 10 > t.total_qty * 3
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM excess)
+      AND n.n_regionkey IN (
+          SELECT r_regionkey FROM region WHERE r_name = 'AFRICA')
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 suppliers with excess availability (adapted: availqty :=
+    quantity shipped in 1996; 'excess' := the supplier moved >30% of
+    the part's 1996 volume, cross-multiplied integer compare). Keeps
+    the canonical nested-IN chain as semi joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    avail = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
+    )
+    tot = avail.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    excess = (
+        avail.join(tot, on="l_partkey")
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("small%"))),
+            avail.l_partkey == part.p_partkey,
+        )
+        .filter(F.col("qty") * 10 > F.col("total_qty") * 3)
+        .select("l_suppkey")
+    )
+    afr = region.filter(F.col("r_name") == "AFRICA").select("r_regionkey")
+    return (
+        supp.join(
+            excess, supp.s_suppkey == excess.l_suppkey, "left_semi"
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(afr),
+            nation.n_regionkey == afr.r_regionkey,
+            "left_semi",
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )

@@ -68,9 +68,15 @@ def test_plan_budget(spark, name):
         for n in SPECS
         # Justified BroadcastNestedLoopJoin carve-outs, each with a
         # broadcast side of bounded size: q_join_theta (inequality
-        # join on a 25-row dim), q_scalar_subquery / q_tpch_q22
-        # (uncorrelated scalar subquery = single-row broadcast).
-        if n not in ("q_join_theta", "q_scalar_subquery", "q_tpch_q22")
+        # join on a 25-row dim), q_scalar_subquery / q_tpch_q22 /
+        # q_tpch_q11 (uncorrelated scalar subquery = single-row
+        # broadcast), q_embed_pq_codes / q_vector_pq_knn (trained
+        # codebook attached as a broadcast ONE-ROW nested-array column
+        # — O(n) scan, not a quadratic join; see _pq_codebook_df).
+        if n not in (
+            "q_join_theta", "q_scalar_subquery", "q_tpch_q22",
+            "q_tpch_q11", "q_embed_pq_codes", "q_vector_pq_knn",
+        )
     ),
 )
 def test_no_cartesian_anywhere(spark, name):
