@@ -110,6 +110,21 @@ def check(sf_dir: str, only: list[str] | None = None) -> int:
             continue
 
         problems = []
+        # The driver canonicalizes with a pandas sort over every column;
+        # unhashable cell types (list/dict from array/map/struct columns)
+        # die there even though this tool's tuple-compare tolerates them
+        # (round-3 lesson: q_embed_quantize passed locally, errored in
+        # CORRECTNESS_r03).  Enforce driver-hashability here.
+        unhashable = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.simpleString().startswith(("array", "map", "struct"))
+        ]
+        if unhashable:
+            problems.append(
+                f"driver-unhashable output columns {unhashable} "
+                "(emit as comma-joined string / to_json / checksum)"
+            )
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols spark={spark_cols} duck={duck_cols}")
         else:
