@@ -137,3 +137,31 @@ def test_partial_update_merge_matches_reference_semantics(spark, seq):
         want[key] = (a if a is not None else prev_a,
                      b if b is not None else prev_b)
     assert got == want
+
+
+@SETTINGS
+@given(src_rows=row_strategy, tgt_rows=row_strategy)
+def test_repair_roundtrip_always_converges(spark, src_rows, tgt_rows):
+    """For ANY source/target pair: diff -> actions -> apply yields a
+    target whose re-diff against the source is all-match, and applying
+    the same actions twice equals applying them once (idempotence).
+    This is the algebraic contract of the repair executor
+    (scripts/reconcile.py:490-522 analog) under arbitrary data."""
+    from scylla_pg_cdc_spark.operators.reconcile import (
+        apply_repairs,
+        generate_repair_actions,
+    )
+
+    schema = "k long, v long"
+    src = spark.createDataFrame(src_rows or [], schema)
+    tgt = spark.createDataFrame(tgt_rows or [], schema)
+    diff = diff_datasets(src, tgt, ["k"])
+    actions = generate_repair_actions(diff, src, ["k"], "t")
+    once = apply_repairs(tgt, actions, src, ["k"])
+    rediff = diff_datasets(src, once, ["k"]).collect()
+    assert all(r["diff_type"] == "match" for r in rediff)
+    assert len(rediff) == len(src_rows)
+    twice = apply_repairs(once, actions, src, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
