@@ -1015,3 +1015,54 @@ def q_vector_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("qd", "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+PROJ_DIMS = 8
+
+
+@query(
+    "q_embed_project",
+    oracle=f"""
+    SELECT e.vec_id, e.label, CAST(p.i AS BIGINT) AS proj_dim,
+           CAST(FLOOR(SUM(
+               CAST(e.embedding[CAST(j AS INT) + 1] AS DOUBLE)
+               * (CAST((1103515245 * (p.i * {DIM} + j + 12345) + 54321)
+                       % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
+           ) * 1000000 + 0.5) AS BIGINT) AS comp_micro
+    FROM embeddings e, range(0, {PROJ_DIMS}) p(i), range(0, {DIM}) t(j)
+    GROUP BY e.vec_id, e.label, p.i
+    """,
+)
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (the
+    Johnson-Lindenstrauss preprocessing step before clustering /
+    coarse ANN): project 64-dim embeddings onto {PROJ_DIMS}
+    deterministic LCG hyperplanes — the same engine-reproducible
+    planes the sign-LSH family uses, so the oracle replays them in
+    SQL. Components are half-up micro-units (1e-6 quantization
+    absorbs float64 summation-order noise). Pure narrow expression:
+    zero shuffles, one scan emitting (vec, dim) rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _pseudo_planes(PROJ_DIMS, DIM)
+    v = F.col("embedding").cast("array<double>")
+    comps = F.array(
+        *[
+            F.floor(
+                dot(v, F.array(*[F.lit(x) for x in p])) * 1_000_000
+                + F.lit(0.5)
+            ).cast("long")
+            for p in planes
+        ]
+    )
+    return emb.select(
+        "vec_id", "label", F.posexplode(comps)
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("long").alias("proj_dim"),
+        F.col("col").alias("comp_micro"),
+    )
