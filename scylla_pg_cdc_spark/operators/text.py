@@ -933,3 +933,137 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (2 unrolled merge rounds, exact oracle)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 2
+
+
+def _bpe_merge(arr: Column, a: Column, b: Column) -> Column:
+    """One BPE merge applied to a token array: left-to-right fold that
+    replaces each non-overlapping (a, b) adjacency with a||b.  The
+    accumulator-last-element comparison reproduces exact BPE scan
+    semantics (a run 'xxx' under pair (x,x) becomes [xx, x])."""
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(a, b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled DuckDB reproduction: per round, weighted pair counts ->
+    top pair (count DESC, pair ASC) -> recursive-CTE merge walk over
+    each distinct word (pos jumps 2 on merge = the same left-to-right
+    non-overlapping scan as the Spark fold)."""
+    sql = """
+    wc AS (
+        SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t
+    ),
+    wt0 AS (SELECT w, cnt, string_split(w, '') AS toks FROM wc)"""
+    prev = "wt0"
+    for r in range(1, rounds + 1):
+        top = f"(SELECT pair FROM top{r})"
+        sql += f""",
+    pr{r} AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS pair, cnt
+        FROM {prev}
+    ),
+    pc{r} AS (SELECT pair, SUM(cnt) AS n FROM pr{r} GROUP BY pair),
+    top{r} AS (SELECT pair FROM pc{r} ORDER BY n DESC, pair LIMIT 1),
+    m{r}(w, cnt, toks, pos, out) AS (
+        SELECT w, cnt, toks, 1, CAST([] AS VARCHAR[]) FROM {prev}
+        UNION ALL
+        SELECT w, cnt, toks,
+            CASE WHEN pos < len(toks)
+                  AND toks[pos] = string_split({top}, ' ')[1]
+                  AND toks[pos+1] = string_split({top}, ' ')[2]
+                 THEN pos + 2 ELSE pos + 1 END,
+            CASE WHEN pos < len(toks)
+                  AND toks[pos] = string_split({top}, ' ')[1]
+                  AND toks[pos+1] = string_split({top}, ' ')[2]
+                 THEN list_append(out, replace({top}, ' ', ''))
+                 ELSE list_append(out, toks[pos]) END
+        FROM m{r} WHERE pos <= len(toks)
+    ),
+    wt{r} AS (
+        SELECT w, cnt, out AS toks FROM m{r} WHERE pos = len(toks) + 1
+    )"""
+        prev = f"wt{r}"
+    return sql + f"""
+    SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM (SELECT unnest(toks) AS tok, cnt FROM {prev})
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 25
+    """
+
+
+@query("q_bpe_train", oracle="WITH RECURSIVE " + _bpe_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a byte-pair-encoding tokenizer (2 unrolled merge rounds)
+    and emit the resulting top-25 token histogram — the
+    vocabulary-learning pass a training-data pipeline runs before
+    tokenizing a corpus.
+
+    Scales the way real BPE trainers do: merges are learned from and
+    applied to the DISTINCT-WORD histogram (corpus-size-independent;
+    one groupBy builds it), pair counting aggregates over that
+    histogram weighted by word frequency (shuffle bounded by |vocab|,
+    not corpus tokens), and each round's winning pair rides along as a
+    broadcast one-row cross join — the merge itself is a row-local
+    array fold, zero shuffle. The oracle unrolls the identical
+    training in SQL (recursive-CTE merge walk), so codegen pins the
+    learned merges, not just the final counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wt = wc.select("w", "cnt", F.split("w", "").alias("toks"))
+    for _ in range(_BPE_ROUNDS):
+        pairs = wt.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda x, y: F.concat(x, F.lit(" "), y),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .select(F.split("pair", " ").alias("pq"))
+        )
+        wt = wt.crossJoin(F.broadcast(top)).select(
+            "w",
+            "cnt",
+            _bpe_merge(
+                F.col("toks"),
+                F.element_at("pq", 1),
+                F.element_at("pq", 2),
+            ).alias("toks"),
+        )
+    return (
+        wt.select(F.explode("toks").alias("tok"), "cnt")
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(25)
+    )

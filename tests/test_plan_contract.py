@@ -76,7 +76,7 @@ def test_plan_budget(spark, name):
         if n not in (
             "q_join_theta", "q_scalar_subquery", "q_tpch_q22",
             "q_tpch_q11", "q_embed_pq_codes", "q_vector_pq_knn",
-            "q_vector_ivf_trained",
+            "q_vector_ivf_trained", "q_bpe_train",
         )
     ),
 )
