@@ -483,3 +483,85 @@ def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history + point-in-time lookup (temporal-table family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           epoch_ms(ts) AS valid_from_ms,
+           COALESCE(lead(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+           ), -1) AS valid_to_ms,
+           (lead(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+           ) IS NULL) AS is_current
+    FROM events
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history: every change event
+    becomes a validity interval [valid_from, valid_to) per key, with
+    the open interval marked current — the full-history
+    materialization next to the latest-state one the reference's
+    upsert sink keeps (`postgres-sink.json:22-24`). One shuffle by
+    key + per-partition sort (lead window); no self-join. At 100 TB,
+    write this partitioned by key-hash bucket and time-travel queries
+    become partition-pruned interval filters."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts"), F.col("event_id")
+    )
+    vt = F.lead(F.unix_millis("ts")).over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_millis("ts").alias("valid_from_ms"),
+        # -1 sentinel keeps the open interval in exact-integer space
+        # (a NULL bigint would round-trip as float64 through pandas)
+        F.coalesce(vt, F.lit(-1)).alias("valid_to_ms"),
+        vt.isNull().alias("is_current"),
+    )
+
+
+_ASOF_MS = 1706400000000  # 2024-01-28T00:00:00Z, inside the event range
+
+
+@query(
+    "q_state_asof",
+    oracle=f"""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events WHERE epoch_ms(ts) <= {_ASOF_MS}
+    ) WHERE rn = 1
+    """,
+)
+def q_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) state lookup: the keyed state AS OF
+    a pinned timestamp — filter history to ts <= t, latest-per-key.
+    Equivalent to querying the SCD2 intervals with
+    valid_from <= t < valid_to, but expressed filter-first so the
+    time predicate reaches the parquet scan and the window only sees
+    the surviving prefix (verified PushedFilters)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.filter(F.unix_millis("ts") <= _ASOF_MS)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
