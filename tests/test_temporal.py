@@ -59,3 +59,54 @@ def test_asof_single_shuffle_plan(spark):
         .toString()
     )
     assert "Join" not in plan
+
+
+def test_scd2_intervals_partition_history(spark):
+    """SCD2 invariants: per key, intervals are disjoint, chained
+    (valid_to == next valid_from), exactly one open interval, and the
+    interval count equals the event count."""
+    from scylla_pg_cdc_spark.operators.cdc import q_scd2_history
+    from scylla_pg_cdc_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    hist = q_scd2_history(spark, SF_SMALL).collect()
+    events = load_table(spark, SF_SMALL, "events")
+    assert len(hist) == events.count()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for rows in by_key.values():
+        rows.sort(key=lambda r: (r["valid_from_ms"], r["event_id"]))
+        opens = [r for r in rows if r["is_current"]]
+        assert len(opens) == 1 and rows[-1]["is_current"]
+        for cur, nxt in zip(rows, rows[1:]):
+            assert not cur["is_current"] and cur["valid_to_ms"] == nxt["valid_from_ms"]
+        assert all(r["valid_to_ms"] == -1 for r in opens)
+
+
+def test_state_asof_equals_scd2_interval_lookup(spark):
+    """Point-in-time lookup == the SCD2 interval covering t: the two
+    temporal faces must agree on the state at the pinned timestamp."""
+    from scylla_pg_cdc_spark.operators.cdc import (
+        _ASOF_MS,
+        q_scd2_history,
+        q_state_asof,
+    )
+    from tests.conftest import SF_SMALL
+
+    asof = {
+        r["user_id"]: r["event_id"]
+        for r in q_state_asof(spark, SF_SMALL).collect()
+    }
+    hist = q_scd2_history(spark, SF_SMALL).collect()
+    covering = {}
+    for r in hist:
+        if r["valid_from_ms"] <= _ASOF_MS and (
+            r["valid_to_ms"] == -1 or _ASOF_MS < r["valid_to_ms"]
+        ):
+            # ties on valid_from resolve to the larger event_id (the
+            # later write wins, mirroring the compaction order)
+            k = r["user_id"]
+            if k not in covering or r["event_id"] > covering[k]:
+                covering[k] = r["event_id"]
+    assert asof == covering and len(asof) > 0
