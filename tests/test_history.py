@@ -87,3 +87,31 @@ def test_incremental_history_single_epoch_equals_batch(spark, work_dir):
     hist = work_dir + "/hist"
     merge_batch_into_history(change, hist, epoch=0)
     assert _got(spark, hist) == _batch_expected(change)
+
+
+def test_compact_history_preserves_view_and_bounds_files(spark, work_dir):
+    import os
+
+    change = as_change_stream(load_table(spark, SF_SMALL, "events"))
+    hist = work_dir + "/hist"
+    for e in range(4):
+        merge_batch_into_history(
+            change.filter(F.col("event_id") % 4 == e), hist, epoch=e
+        )
+    before = _got(spark, hist)
+
+    from scylla_pg_cdc_spark.streaming.history import compact_history
+
+    compact_history(spark, hist)
+    assert _got(spark, hist) == before
+    # every bucket folded to a bounded file count
+    for entry in os.listdir(hist):
+        if entry.startswith("__bucket="):
+            n = len(
+                [
+                    f
+                    for f in os.listdir(os.path.join(hist, entry))
+                    if f.endswith(".parquet")
+                ]
+            )
+            assert n <= 2
