@@ -283,12 +283,21 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """k independent min-hashes per doc: min over md5(i || shingle)
-    hex strings (engine-portable total order)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
-        for i in range(n_hashes)
-    ]
+    """k min-hashes per doc from k/4 md5 calls: each 128-bit digest is
+    sliced into four 8-hex-char (32-bit) hash values — disjoint md5
+    bits behave as independent hash functions for min-hash purposes,
+    and the slicing cuts the dominant per-(doc, shingle) md5 cost 4x.
+    Min over hex substrings stays an engine-portable total order."""
+    assert n_hashes % 4 == 0
+    aggs = []
+    for i in range(n_hashes // 4):
+        digest = F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        for j in range(4):
+            aggs.append(
+                F.min(F.substring(digest, j * 8 + 1, 8)).alias(
+                    f"sig{i * 4 + j}"
+                )
+            )
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -344,14 +353,14 @@ def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFram
     ),
     sigs AS (
         SELECT doc_id,
-               MIN(md5('0:' || shingle)) AS sig0,
-               MIN(md5('1:' || shingle)) AS sig1,
-               MIN(md5('2:' || shingle)) AS sig2,
-               MIN(md5('3:' || shingle)) AS sig3,
-               MIN(md5('4:' || shingle)) AS sig4,
-               MIN(md5('5:' || shingle)) AS sig5,
-               MIN(md5('6:' || shingle)) AS sig6,
-               MIN(md5('7:' || shingle)) AS sig7
+               MIN(substring(md5('0:' || shingle), 1, 8)) AS sig0,
+               MIN(substring(md5('0:' || shingle), 9, 8)) AS sig1,
+               MIN(substring(md5('0:' || shingle), 17, 8)) AS sig2,
+               MIN(substring(md5('0:' || shingle), 25, 8)) AS sig3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS sig4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS sig5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS sig6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS sig7
         FROM sh GROUP BY doc_id
     ),
     banded AS (
