@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from scylla_pg_cdc_spark.functions.money import cents
 from scylla_pg_cdc_spark.registry import query
 from scylla_pg_cdc_spark.sources.tables import load_table
 
@@ -564,4 +565,57 @@ def q_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@query(
+    "q_rollup_hypertable",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(day, 'ALL') AS day,
+           COALESCE(CAST(hour AS VARCHAR), 'ALL') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS value_sum
+    FROM (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               value
+        FROM events
+    )
+    GROUP BY ROLLUP (event_type, day, hour)
+    """,
+)
+def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: ONE pass over the event
+    stream materializes the whole time-hierarchy lattice —
+    (type, day, hour), (type, day), (type), and the grand total — via
+    ROLLUP, the set-enumeration generalization of the reference's
+    UNION-ALL-of-summaries views (`init.sql:479-488`). Money-exact
+    integer cents with one presentation division. At 100 TB this is
+    the downsampling pass that turns a raw event hypertable into its
+    hour/day rollup tables in a single shuffle (Spark expands the
+    grouping sets map-side; partial aggregation still applies)."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+        "value",
+    )
+    return (
+        base.rollup("event_type", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("value_sum"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("hour").cast("string"), F.lit("ALL")).alias(
+                "hour"
+            ),
+            "n",
+            "value_sum",
+        )
     )
