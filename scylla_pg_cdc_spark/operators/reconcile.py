@@ -300,15 +300,29 @@ def apply_repairs_to_parquet(
     rename — the repaired data is fully durable before the old target
     is touched, mirroring the reference's execute-then-commit per
     connection; on Delta/Iceberg this would be a single MERGE commit).
+
+    Crash recovery: the only window where the target path is absent is
+    between the two renames, and in that window both the backup (old
+    image) and the fully-written staging (new image) exist. On entry
+    this function heals that state by rolling the BACKWARD direction —
+    restoring the backup — so a crashed repair simply re-runs from the
+    old image (the repair merge is idempotent, so re-running is safe).
     """
+    import os
     import shutil
+
+    staging = target_path.rstrip("/") + ".__repair_staging__"
+    backup = target_path.rstrip("/") + ".__repair_old__"
+    if not os.path.exists(target_path) and os.path.exists(backup):
+        # crashed mid-swap: restore the old image, drop the orphan
+        # staging (it will be rebuilt), and proceed normally
+        shutil.move(backup, target_path)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
 
     target = spark.read.parquet(target_path)
     repaired = apply_repairs(target, actions, source, keys)
-    staging = target_path.rstrip("/") + ".__repair_staging__"
     repaired.write.mode("overwrite").parquet(staging)
-    backup = target_path.rstrip("/") + ".__repair_old__"
-    shutil.rmtree(backup, ignore_errors=True)
     shutil.move(target_path, backup)
     shutil.move(staging, target_path)
     shutil.rmtree(backup, ignore_errors=True)

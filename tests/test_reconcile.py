@@ -272,3 +272,32 @@ def test_apply_repairs_to_parquet_swaps_in_place(spark, src, tgt, tmp_path):
     # no staging/backup litter
     assert not (tmp_path / "target.parquet.__repair_staging__").exists()
     assert not (tmp_path / "target.parquet.__repair_old__").exists()
+
+
+def test_apply_repairs_to_parquet_recovers_from_crashed_swap(
+    spark, src, tgt, tmp_path
+):
+    """Simulate a crash between the two swap renames (target absent,
+    backup + staging present): the next run must heal and converge."""
+    import shutil
+
+    from scylla_pg_cdc_spark.operators.reconcile import (
+        apply_repairs_to_parquet,
+    )
+
+    target_path = str(tmp_path / "target.parquet")
+    tgt.write.parquet(target_path)
+    diff = diff_datasets(src, spark.read.parquet(target_path), ["id"])
+    actions = generate_repair_actions(diff, src, ["id"], "t")
+
+    # manufacture the crash window: old image parked at backup, a
+    # half-baked staging dir, no live target
+    shutil.move(target_path, target_path + ".__repair_old__")
+    (tmp_path / "target.parquet.__repair_staging__").mkdir()
+    (tmp_path / "target.parquet.__repair_staging__" / "junk").write_text("x")
+
+    apply_repairs_to_parquet(spark, target_path, actions, src, ["id"])
+    rediff = diff_datasets(src, spark.read.parquet(target_path), ["id"])
+    assert {r["diff_type"] for r in rediff.collect()} == {"match"}
+    assert not (tmp_path / "target.parquet.__repair_old__").exists()
+    assert not (tmp_path / "target.parquet.__repair_staging__").exists()
