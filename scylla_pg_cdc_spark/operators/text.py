@@ -1076,3 +1076,62 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "tok")
         .limit(25)
     )
+
+
+@query(
+    "q_ngram_lm_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+        SELECT 1 AS n, unnest(l) AS gram FROM toks
+        UNION ALL
+        SELECT 2, unnest(list_transform(range(1, len(l)),
+                         i -> l[i] || ' ' || l[i+1])) FROM toks
+        UNION ALL
+        SELECT 3, unnest(list_transform(range(1, len(l) - 1),
+                         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))
+        FROM toks
+    ),
+    gc AS (
+        SELECT n, gram, COUNT(*) AS c FROM grams GROUP BY n, gram
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(c AS BIGINT) AS count_value,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM gc GROUP BY n, c
+    """,
+)
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model count-of-counts: for each n-gram order (1/2/3),
+    how many distinct grams occur exactly c times — the N_c table
+    Good-Turing / Katz / KN smoothing is estimated from, computed
+    before any LM training run. Two aggregations: per-(order, gram)
+    counts with map-side partial combine (shuffle bounded by distinct
+    grams), then the tiny count histogram. Grams are built row-locally
+    with zip_with over shifted slices — no joins, no explode until
+    after the per-doc arrays are formed."""
+    docs = load_table(spark, sf_dir, "documents")
+    l = F.split("text", " ")
+    g1 = l
+    g2 = F.zip_with(
+        F.slice(l, 1, F.size(l) - 1),
+        F.slice(l, 2, F.size(l) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g3 = F.zip_with(
+        F.slice(g2, 1, F.size(g2) - 1),
+        F.slice(l, 3, F.size(l) - 2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = None
+    for n, col in ((1, g1), (2, g2), (3, g3)):
+        part = docs.select(
+            F.lit(n).cast("long").alias("n"), F.explode(col).alias("gram")
+        )
+        grams = part if grams is None else grams.unionByName(part)
+    gc = grams.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return gc.groupBy("n", F.col("c").alias("count_value")).agg(
+        F.count(F.lit(1)).alias("n_types")
+    )
