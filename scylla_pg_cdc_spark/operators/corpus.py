@@ -1,0 +1,340 @@
+"""Corpus-statistics operators: collocation mining, inverted-index
+construction, domain-distribution divergence, and in-domain document
+scoring — the LM-training-data selection layer on top of the token
+pipeline in ``operators/text.py``.
+
+Reference anchor: the reference validates warehouse content with
+aggregate SQL probes (``tests/validation/warehouse_checks.sql``); these
+operators extend that idea to the corpus-quality checks an LLM data
+pipeline runs before training (collocation extraction, contamination
+layout via inverted index, domain drift, Moore-Lewis-style selection).
+
+Numeric portability rule (repo-wide): checked float paths use ONLY
+``+ - * /`` and ``sqrt`` — IEEE-correctly-rounded and therefore
+bit-identical across Spark and DuckDB — never libm transcendentals
+(``ln``/``exp``/``pow``), which differ in the last ulp between engines.
+Where a textbook metric is log-based (PMI, KL, cross-entropy
+perplexity), we compute the rank-equivalent *ratio* form (lift,
+chi-square, mean inverse-probability) and quantize each per-row term to
+an integer BEFORE any cross-row sum, so sums are order-independent
+exact integers. The quantized terms are computed by expression trees
+mirrored operation-for-operation in the DuckDB oracle.
+
+Scale shape (100 TB): every operator here is explode -> count
+aggregations (map-side partial combine, shuffle bounded by vocabulary
+or bigram-vocabulary size) -> broadcast joins of vocabulary-sized
+frequency tables back onto the token stream. Corpus totals ride along
+as a broadcast one-row cross join. No all-pairs joins, no windows over
+the full corpus, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, token) with repetition, empty tokens dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+
+
+_TOK_SQL = """
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+"""
+
+
+@query(
+    "q_bigram_colloc",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS l FROM documents
+    ), uni AS (
+        SELECT w, COUNT(*) AS c FROM (
+            SELECT unnest(l) AS w FROM toks
+        ) WHERE length(w) > 0 GROUP BY w
+    ), big AS (
+        SELECT w1, w2, COUNT(*) AS c_xy FROM (
+            SELECT l[i] AS w1, l[i + 1] AS w2
+            FROM (SELECT l, unnest(range(1, len(l))) AS i FROM toks)
+        ) WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY w1, w2
+    ), tot AS (
+        SELECT (SELECT SUM(c) FROM uni) AS n1,
+               (SELECT SUM(c_xy) FROM big) AS n2
+    )
+    SELECT b.w1, b.w2, b.c_xy,
+           u1.c AS c_x, u2.c AS c_y,
+           CAST(FLOOR(b.c_xy * 1.0 * t.n1 * t.n1
+                      / (t.n2 * 1.0 * u1.c * u2.c)
+                      * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+    FROM big b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w
+    CROSS JOIN tot t
+    WHERE b.c_xy >= 5
+      AND 10 * b.c_xy * t.n1 * t.n1 > 11 * t.n2 * u1.c * u2.c
+    ORDER BY b.c_xy DESC, b.w1, b.w2
+    LIMIT 200
+    """,
+)
+def q_bigram_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: bigrams occurring >= 5 times whose observed
+    count exceeds 1.1x the independence expectation — the ratio
+    (lift) form of PMI, which ranks identically to PMI (log is
+    monotone) without a cross-engine ln(). The independence test
+    ``10 * c_xy * N1^2 > 11 * N2 * c_x * c_y`` is exact bigint
+    cross-multiplication (no float in the filter), and the reported
+    lift is micro-quantized from a mirrored double expression.
+    Plan: two token-count aggregations (bigram counts built row-locally
+    with zip_with, no join), vocabulary-sized unigram table broadcast
+    back onto the bigram table, corpus totals as a broadcast one-row
+    cross join, top-200 via TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    l = F.split("text", " ")
+    uni = (
+        docs.select(F.explode(l).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(l, 1, F.size(l) - 1),
+                F.slice(l, 2, F.size(l) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = (
+        pairs.filter((F.length("w1") > 0) & (F.length("w2") > 0))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    tot = uni.agg(F.sum("c").alias("n1")).crossJoin(
+        big.agg(F.sum("c_xy").alias("n2"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    lift = (
+        F.col("c_xy") * F.lit(1.0) * F.col("n1") * F.col("n1")
+        / (F.col("n2") * F.lit(1.0) * F.col("c_x") * F.col("c_y"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("c_xy") >= 5)
+            & (
+                F.lit(10) * F.col("c_xy") * F.col("n1") * F.col("n1")
+                > F.lit(11) * F.col("n2") * F.col("c_x") * F.col("c_y")
+            )
+        )
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.floor(lift).cast("long").alias("lift_micro"),
+        )
+        .orderBy(F.col("c_xy").desc(), "w1", "w2")
+        .limit(200)
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH dtok AS (
+        SELECT DISTINCT doc_id, token FROM (
+""" + _TOK_SQL + """
+        ) WHERE length(token) > 0
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(
+               list_transform((list_sort(list(doc_id)))[1:15],
+                              x -> CAST(x AS VARCHAR)), ',') AS postings
+    FROM dtok
+    GROUP BY token
+    ORDER BY df DESC, token
+    LIMIT 100
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token -> document frequency + the
+    first 15 postings (doc_ids ascending, comma-joined) for the 100
+    highest-df tokens. The posting-list build is ONE aggregation
+    (collect_set bounded per token by df); truncating to 15 before
+    stringifying bounds row width, and at 100 TB the full untruncated
+    variant writes postings partitioned by token hash instead of
+    collecting them into one row group. This is the layout
+    contamination lookups and TF-IDF serving both read."""
+    dtok = _tokens(spark, sf_dir).select("token", "doc_id").distinct()
+    postings = F.array_join(
+        F.transform(
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, 15),
+            lambda x: x.cast("string"),
+        ),
+        ",",
+    )
+    return (
+        dtok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            postings.alias("postings"),
+        )
+        .orderBy(F.col("df").desc(), "token")
+        .limit(100)
+    )
+
+
+@query(
+    "q_domain_chisq",
+    oracle="""
+    WITH tok AS (
+        SELECT source, token FROM (
+""" + _TOK_SQL + """
+        ) WHERE length(token) > 0
+    ), stc AS (
+        SELECT source, token, COUNT(*) AS o FROM tok GROUP BY source, token
+    ), ctc AS (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), src AS (
+        SELECT source, COUNT(*) AS ns FROM tok GROUP BY source
+    ), tot AS (
+        SELECT COUNT(*) AS n1 FROM tok
+    ), terms AS (
+        SELECT s.source, src.ns,
+               s.o * 1.0 * t.n1 - ctc.c * 1.0 * src.ns AS num,
+               ctc.c * 1.0 * src.ns * t.n1 AS den
+        FROM stc s
+        JOIN ctc ON s.token = ctc.token
+        JOIN src ON s.source = src.source
+        CROSS JOIN tot t
+        WHERE ctc.c >= 5
+    )
+    SELECT source,
+           CAST(MIN(ns) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(CAST(FLOOR(num * num / den * 1000000.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS chisq_micro
+    FROM terms
+    GROUP BY source
+    """,
+)
+def q_domain_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus,
+    measured as the chi-square statistic Σ (observed - expected)² /
+    expected over tokens with corpus count >= 5 — the ratio-form
+    divergence that replaces KL (which needs ln) for detecting when
+    one ingest source's language shifts away from the corpus mix.
+    Each term is micro-quantized BEFORE the per-source sum, so the
+    sum is an order-independent exact integer under any partitioning.
+    Plan: three count aggregations, then vocabulary-sized broadcast
+    joins; output is one row per source."""
+    tok = _tokens(spark, sf_dir).select("source", "token")
+    stc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("o"))
+    ctc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    src = tok.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n1"))
+    num = (
+        F.col("o") * F.lit(1.0) * F.col("n1")
+        - F.col("c") * F.lit(1.0) * F.col("ns")
+    )
+    den = F.col("c") * F.lit(1.0) * F.col("ns") * F.col("n1")
+    terms = (
+        stc.join(F.broadcast(ctc), "token")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c") >= 5)
+        .select(
+            "source",
+            "ns",
+            num.alias("num"),
+            den.alias("den"),
+        )
+    )
+    term_micro = F.floor(
+        F.col("num") * F.col("num") / F.col("den") * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return terms.groupBy("source").agg(
+        F.min("ns").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(term_micro).alias("chisq_micro"),
+    )
+
+
+@query(
+    "q_doc_domain_lift",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, token FROM (
+""" + _TOK_SQL + """
+        ) WHERE length(token) > 0
+    ), stc AS (
+        SELECT source, token, COUNT(*) AS o FROM tok GROUP BY source, token
+    ), ctc AS (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), src AS (
+        SELECT source, COUNT(*) AS ns FROM tok GROUP BY source
+    ), tot AS (
+        SELECT COUNT(*) AS n1 FROM tok
+    )
+    SELECT tok.doc_id,
+           tok.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM((1000000 * stc.o * t.n1) // (ctc.c * src.ns))
+                // COUNT(*) AS BIGINT) AS domain_lift_ppm
+    FROM tok
+    JOIN stc ON tok.source = stc.source AND tok.token = stc.token
+    JOIN ctc ON tok.token = ctc.token
+    JOIN src ON tok.source = src.source
+    CROSS JOIN tot t
+    GROUP BY tok.doc_id, tok.source
+    """,
+)
+def q_doc_domain_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis-style in-domain document scoring, log-free: each
+    token contributes its source-LM/corpus-LM probability ratio
+    p_source(t)/p_corpus(t) = (o_st / Ns) / (c_t / N1) in exact ppm
+    via bigint floor-division, and the document score is the mean over
+    its tokens — documents whose vocabulary is characteristic of their
+    source score above 1e6, generic documents score below. This is the
+    selection signal used to pick in-domain training data without a
+    cross-engine ln(). Plan: the token stream joins two broadcast
+    vocabulary-sized count tables plus broadcast totals, then one
+    per-doc aggregation of exact integers."""
+    tok = _tokens(spark, sf_dir)
+    stc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("o"))
+    ctc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    src = tok.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        tok.join(F.broadcast(stc), ["source", "token"])
+        .join(F.broadcast(ctc), "token")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("CAST(SUM((1000000 * o * n1) DIV (c * ns)) DIV COUNT(1) AS BIGINT)").alias(
+                "domain_lift_ppm"
+            ),
+        )
+    )

@@ -131,6 +131,95 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_event_anomaly",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc,
+               epoch_ms(ts) AS ts_ms
+        FROM events WHERE value IS NOT NULL
+    ), stats AS (
+        SELECT user_id, event_id, vc,
+               COUNT(vc) OVER w AS n,
+               SUM(vc)   OVER w AS s,
+               SUM(vc * vc) OVER w AS q
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, CAST(n AS BIGINT) AS n_window,
+           CAST(FLOOR((vc * n - s) * 1.0
+                      / sqrt((n * q - s * s) * 1.0)
+                      * 1000.0 + 0.5) AS BIGINT) AS z_milli
+    FROM stats
+    WHERE n >= 10 AND n * q - s * s >= n * n
+      AND ABS(CAST(FLOOR((vc * n - s) * 1.0
+                         / sqrt((n * q - s * s) * 1.0)
+                         * 1000.0 + 0.5) AS BIGINT)) >= 2000
+    """,
+)
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection: flag events whose value is
+    >= 2 standard deviations from the mean of that user's previous
+    <= 20 events (a trailing window, so the flagged event never sees
+    itself — the online-scoring shape). Values quantize to exact
+    integer cents first, so the window sums S and Q are
+    order-independent bigints and the z-score
+    ``(v*n - S) / sqrt(n*Q - S^2)`` is built from +,-,*,/,sqrt only —
+    bit-identical across engines (no libm). The exact-integer variance
+    guard ``n*Q - S^2 >= n^2`` (variance >= 1 cent^2) keeps the sqrt
+    argument positive under any rounding. One window per user
+    partition; no shuffle beyond the user_id hash."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "vc",
+        F.count("vc").over(w).alias("n"),
+        F.sum("vc").over(w).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("q"),
+    )
+    z_milli = F.floor(
+        (F.col("vc") * F.col("n") - F.col("s")) * F.lit(1.0)
+        / F.sqrt((F.col("n") * F.col("q") - F.col("s") * F.col("s")) * F.lit(1.0))
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        stats.filter(
+            (F.col("n") >= 10)
+            & (
+                F.col("n") * F.col("q") - F.col("s") * F.col("s")
+                >= F.col("n") * F.col("n")
+            )
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("n").cast("long").alias("n_window"),
+            z_milli.alias("z_milli"),
+        )
+        .filter(F.abs(F.col("z_milli")) >= 2000)
+    )
+
+
+@query(
     "q_group_sample",
     oracle="""
     SELECT event_type, event_id, CAST(rk AS BIGINT) AS rk
