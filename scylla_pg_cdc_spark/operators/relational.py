@@ -362,6 +362,59 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_fuzzy_name_match",
+    oracle="""
+    SELECT a.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(levenshtein(a.c_name, b.c_name)) AS BIGINT)
+               AS sum_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    GROUP BY a.c_nationkey
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage with blocking: candidate customer-name
+    pairs within edit distance 2, compared ONLY inside a blocking key
+    (nation) — the entity-resolution join discipline. Levenshtein is
+    an exact integer DP in both engines, so the differential check is
+    exact. The blocking key is what makes this survive 100 TB: the
+    self-join shuffles once on the block and each block's pair count
+    is quadratic only in block size, never corpus size (pick blocks —
+    prefix/soundex/LSH bucket — so the largest block is bounded; AQE
+    skew-split handles residual imbalance)."""
+    a = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    b = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    # The quadratic work lives in the pair-expansion AFTER the join —
+    # a small single-file scan would otherwise run every pair on one
+    # task. Spreading the left side across tasks first keeps the
+    # comparison embarrassingly parallel (the right side broadcasts).
+    a = a.repartition(32, "k_a")
+    return (
+        a.join(b, "nationkey")
+        .filter(F.col("k_a") < F.col("k_b"))
+        .filter(dist <= 2)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(dist).alias("sum_dist"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------
