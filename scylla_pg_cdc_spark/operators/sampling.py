@@ -234,3 +234,72 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_kept"),
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, n_chars,
+               CAST((strpos('0123456789abcdef', substr(md5('ws:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+                  + (strpos('0123456789abcdef', substr(md5('ws:' ||
+                        CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+                  + (strpos('0123456789abcdef', substr(md5('ws:' ||
+                        CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+                  + (strpos('0123456789abcdef', substr(md5('ws:' ||
+                        CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+                  + (strpos('0123456789abcdef', substr(md5('ws:' ||
+                        CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5('ws:' ||
+                        CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5('ws:' ||
+                        CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5('ws:' ||
+                        CAST(doc_id AS VARCHAR)), 8, 1)) - 1)
+                 AS BIGINT) AS hv
+        FROM documents
+    ), tot AS (
+        SELECT SUM(n_chars) AS w_total,
+               COUNT(*) AS n_docs
+        FROM documents
+    )
+    SELECT w.doc_id, w.n_chars
+    FROM w CROSS JOIN tot t
+    WHERE w.hv * t.w_total < (t.n_docs // 10) * w.n_chars * 4294967296
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: document d is kept
+    with probability proportional to its length (n_chars), targeting
+    ~10% of the corpus in expectation — the size-biased sampling used
+    when a training mixture should weight by content volume, not
+    document count. Keep iff ``hash(d) * W_total < E * w_d * 2^32``
+    with E = n_docs/10: a pure exact-bigint comparison on a portable
+    md5-prefix hash, so the sample is a reproducible function of the
+    data (any engine, any partitioning, any re-run draws the same
+    docs). Plan: one total-weight aggregate broadcast onto a narrow
+    scan — fully map-parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    tot = docs.agg(
+        F.sum("n_chars").alias("w_total"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        docs.select("doc_id", "n_chars", hv.alias("hv"))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("hv") * F.col("w_total")
+            < F.expr("(n_docs DIV 10) * n_chars * 4294967296")
+        )
+        .select("doc_id", "n_chars")
+    )

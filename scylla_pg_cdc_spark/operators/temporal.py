@@ -173,3 +173,97 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_purchases"),
         )
     )
+
+
+@query(
+    "q_gapfill_locf",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               epoch_ms(ts) // 3600000 AS hb,
+               epoch_ms(ts) AS ts_ms,
+               event_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ), picked AS (
+        SELECT user_id, hb, vc FROM (
+            SELECT user_id, hb, vc,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, hb
+                                      ORDER BY ts_ms DESC, event_id DESC)
+                       AS rn
+            FROM ev
+        ) WHERE rn = 1
+    ), bounds AS (
+        SELECT user_id, MIN(hb) AS min_hb, MAX(hb) AS max_hb
+        FROM ev GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(min_hb, max_hb)) AS hb
+        FROM bounds
+    )
+    SELECT g.user_id, g.hb,
+           last_value(p.vc IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS vc_filled,
+           CAST(p.vc IS NOT NULL AS BOOLEAN) AS observed
+    FROM grid g
+    LEFT JOIN picked p ON g.user_id = p.user_id AND g.hb = p.hb
+    """,
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap-fill with last-observation-carried-forward —
+    the hypertable ``time_bucket_gapfill(..) + locf(..)`` shape
+    (TimescaleDB-style continuous time series from an irregular event
+    stream). Per user: hourly buckets from first to last event, each
+    empty bucket filled with the user's most recent observed value
+    (deterministic pick inside a bucket: latest (ts, event_id)).
+    The dense grid is generated ROW-LOCALLY per user with
+    sequence()/explode — no cross-join against a calendar table — so
+    grid size is Σ per-user spans; the fill is one
+    last(ignorenulls) window per user partition. At 100 TB,
+    partitioning the output by time bucket keeps downstream scans
+    partition-pruned; values are exact integer cents so the fill is
+    bit-stable cross-engine."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_millis(ts) DIV 3600000").alias("hb"),
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+        )
+    )
+    w_pick = Window.partitionBy("user_id", "hb").orderBy(
+        F.col("ts_ms").desc(), F.col("event_id").desc()
+    )
+    picked = (
+        ev.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hb", "vc")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("hb").alias("min_hb"), F.max("hb").alias("max_hb"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("min_hb", "max_hb")).alias("hb"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(picked, ["user_id", "hb"], "left")
+        .select(
+            "user_id",
+            "hb",
+            F.last("vc", ignorenulls=True).over(w_fill).alias("vc_filled"),
+            F.col("vc").isNotNull().alias("observed"),
+        )
+    )
