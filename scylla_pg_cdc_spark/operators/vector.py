@@ -659,61 +659,65 @@ def _pq_sql(
     m: int = PQ_M,
     subdim: int = PQ_SUBDIM,
     k: int = PQ_K,
+    prefix: str = "",
 ) -> tuple[str, str]:
     """CTE blocks reproducing training in DuckDB; returns (sql, final
     centroid CTE name).  Generated by the same loop structure as the
-    Spark side so the unrolled iterations can't drift apart."""
+    Spark side so the unrolled iterations can't drift apart.
+    ``prefix`` namespaces every CTE so two trainings (e.g. the IVF
+    coarse quantizer and the PQ codebook) can coexist in one query."""
+    p = prefix
     sql = f"""
-    qz AS ({_QZ_SQL}),
-    shifted AS (
-        SELECT vec_id, label, list_transform(q, x -> x + 127) AS u FROM qz
+    {p}qz AS ({_QZ_SQL}),
+    {p}shifted AS (
+        SELECT vec_id, label, list_transform(q, x -> x + 127) AS u FROM {p}qz
     ),
-    subs AS (
+    {p}subs AS (
         SELECT vec_id, label, CAST(s AS INT) AS sub_id,
                list_slice(u, CAST(s AS INT) * {subdim} + 1,
                           CAST(s AS INT) * {subdim} + {subdim}) AS subvec
-        FROM shifted, range(0, {m}) t(s)
+        FROM {p}shifted, range(0, {m}) t(s)
     ),
-    cent0 AS (
+    {p}cent0 AS (
         SELECT sub_id, CAST(vec_id - 1 AS INT) AS cid,
                list_transform(subvec, x -> x * 1000) AS cent
-        FROM subs WHERE vec_id BETWEEN 1 AND {k}
+        FROM {p}subs WHERE vec_id BETWEEN 1 AND {k}
     )"""
-    prev = "cent0"
+    prev = f"{p}cent0"
     for it in range(1, iters + 1):
         sql += f""",
-    dist{it} AS (
+    {p}dist{it} AS (
         SELECT v.vec_id, v.sub_id, c.cid,
                SUM((1000 * v.subvec[CAST(i AS INT) + 1] - c.cent[CAST(i AS INT) + 1])
                    * (1000 * v.subvec[CAST(i AS INT) + 1] - c.cent[CAST(i AS INT) + 1])) AS d
-        FROM subs v JOIN {prev} c ON v.sub_id = c.sub_id,
+        FROM {p}subs v JOIN {prev} c ON v.sub_id = c.sub_id,
              range(0, {subdim}) t(i)
         GROUP BY v.vec_id, v.sub_id, c.cid
     ),
-    asg{it} AS (
-        SELECT vec_id, sub_id, cid FROM dist{it}
+    {p}asg{it} AS (
+        SELECT vec_id, sub_id, cid FROM {p}dist{it}
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY vec_id, sub_id ORDER BY d, cid) = 1
     ),
-    upd{it} AS (
+    {p}upd{it} AS (
         SELECT a.sub_id, a.cid, CAST(i AS INT) AS pos,
                (2000 * SUM(v.subvec[CAST(i AS INT) + 1]) + COUNT(*))
                    // (2 * COUNT(*)) AS c
-        FROM asg{it} a
-        JOIN subs v ON a.vec_id = v.vec_id AND a.sub_id = v.sub_id,
+        FROM {p}asg{it} a
+        JOIN {p}subs v ON a.vec_id = v.vec_id AND a.sub_id = v.sub_id,
              range(0, {subdim}) t(i)
         GROUP BY a.sub_id, a.cid, i
     ),
-    newc{it} AS (
+    {p}newc{it} AS (
         SELECT sub_id, cid, list(c ORDER BY pos) AS cent
-        FROM upd{it} GROUP BY sub_id, cid
+        FROM {p}upd{it} GROUP BY sub_id, cid
     ),
-    cent{it} AS (
+    {p}cent{it} AS (
         SELECT p.sub_id, p.cid, COALESCE(n.cent, p.cent) AS cent
         FROM {prev} p
-        LEFT JOIN newc{it} n ON p.sub_id = n.sub_id AND p.cid = n.cid
+        LEFT JOIN {p}newc{it} n ON p.sub_id = n.sub_id AND p.cid = n.cid
     )"""
-        prev = f"cent{it}"
+        prev = f"{p}cent{it}"
     return sql, prev
 
 
@@ -1074,4 +1078,177 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("pos").cast("long").alias("proj_dim"),
         F.col("col").alias("comp_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition — coarse cell probe + ADC inside the probed cells
+# ---------------------------------------------------------------------------
+#
+# The production large-corpus ANN index (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011): a trained
+# coarse quantizer routes the query to a few inverted lists, and a PQ
+# code table ranks ONLY those lists' members by asymmetric distance —
+# the scan touches ~n*probes/K candidates and reads 4 small ints per
+# candidate instead of 64 floats. (Residual encoding — PQ over the
+# vector minus its cell centroid — is the refinement; this composition
+# keeps the globally-trained PQ codebook so both codebooks are shared
+# verbatim with q_vector_ivf_trained / q_vector_pq_knn and stay
+# memoized.)
+
+_IVFPQ_I_BLOCKS, _IVFPQ_I_FINAL = _pq_sql(m=1, subdim=DIM, k=IVF_K, prefix="i_")
+_IVFPQ_P_BLOCKS, _IVFPQ_P_FINAL = _pq_sql(prefix="p_")
+
+
+@query(
+    "q_vector_ivfpq_knn",
+    oracle=f"""
+    WITH {_IVFPQ_I_BLOCKS},
+    {_IVFPQ_P_BLOCKS},
+    qsub AS (SELECT subvec FROM i_subs WHERE vec_id = 0),
+    celld AS (
+        SELECT c.cid,
+               SUM((1000 * q.subvec[CAST(i AS INT) + 1]
+                    - c.cent[CAST(i AS INT) + 1])
+                   * (1000 * q.subvec[CAST(i AS INT) + 1]
+                      - c.cent[CAST(i AS INT) + 1])) AS d
+        FROM {_IVFPQ_I_FINAL} c JOIN qsub q ON TRUE, range(0, {DIM}) t(i)
+        GROUP BY c.cid
+    ),
+    probe AS (SELECT cid FROM celld ORDER BY d, cid LIMIT {IVF_PROBES}),
+    ivfd AS (
+        SELECT v.vec_id, v.label, c.cid,
+               SUM((1000 * v.subvec[CAST(i AS INT) + 1]
+                    - c.cent[CAST(i AS INT) + 1])
+                   * (1000 * v.subvec[CAST(i AS INT) + 1]
+                      - c.cent[CAST(i AS INT) + 1])) AS d
+        FROM i_subs v JOIN {_IVFPQ_I_FINAL} c ON v.sub_id = c.sub_id,
+             range(0, {DIM}) t(i)
+        WHERE v.vec_id <> 0
+        GROUP BY v.vec_id, v.label, c.cid
+    ),
+    ivfasg AS (
+        SELECT vec_id, label, cid AS cell FROM ivfd
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    cand AS (
+        SELECT vec_id, label, cell FROM ivfasg
+        WHERE cell IN (SELECT cid FROM probe)
+    ),
+    pqsub AS (SELECT sub_id, subvec FROM p_subs WHERE vec_id = 0),
+    adct AS (
+        SELECT c.sub_id, c.cid,
+               SUM((1000 * q.subvec[CAST(i AS INT) + 1]
+                    - c.cent[CAST(i AS INT) + 1])
+                   * (1000 * q.subvec[CAST(i AS INT) + 1]
+                      - c.cent[CAST(i AS INT) + 1])) AS d
+        FROM {_IVFPQ_P_FINAL} c JOIN pqsub q ON c.sub_id = q.sub_id,
+             range(0, {PQ_SUBDIM}) t(i)
+        GROUP BY c.sub_id, c.cid
+    ),
+    pqd AS (
+        SELECT v.vec_id, v.sub_id, c.cid,
+               SUM((1000 * v.subvec[CAST(i AS INT) + 1]
+                    - c.cent[CAST(i AS INT) + 1])
+                   * (1000 * v.subvec[CAST(i AS INT) + 1]
+                      - c.cent[CAST(i AS INT) + 1])) AS d
+        FROM p_subs v JOIN {_IVFPQ_P_FINAL} c ON v.sub_id = c.sub_id,
+             range(0, {PQ_SUBDIM}) t(i)
+        WHERE v.vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY v.vec_id, v.sub_id, c.cid
+    ),
+    pqasg AS (
+        SELECT vec_id, sub_id, cid FROM pqd
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id, sub_id ORDER BY d, cid) = 1
+    )
+    SELECT ca.vec_id, ca.label, CAST(ca.cell AS BIGINT) AS cell,
+           CAST(SUM(a.d) AS BIGINT) AS adc_dist
+    FROM cand ca
+    JOIN pqasg g ON ca.vec_id = g.vec_id
+    JOIN adct a ON g.sub_id = a.sub_id AND g.cid = a.cid
+    GROUP BY ca.vec_id, ca.label, ca.cell
+    ORDER BY adc_dist, ca.vec_id
+    LIMIT 10
+    """,
+)
+def q_vector_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k: the trained coarse quantizer (8 cells) routes the
+    query to its {IVF_PROBES} nearest cells, and candidates inside
+    those cells rank by PQ asymmetric distance — 4 integer table
+    lookups per candidate, the production big-corpus ANN scan. Both
+    codebooks come from the shared memoized trainer, cell assignment
+    and PQ encoding are each a zero-shuffle broadcast-codebook
+    expression over ONE scan, and the ADC table folds in as 32
+    literal ints — so the whole search is scan -> filter ->
+    TakeOrdered. Integer-exact end to end: the oracle re-trains both
+    codebooks and must reproduce the same top-10."""
+    cents_ivf = _pq_train(spark, sf_dir, m=1, subdim=DIM, k=IVF_K)
+    cents_pq = _pq_train(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base0 = emb.select("vec_id", "label", _pq_u_col().alias("u"))
+    qu = [int(x) for x in base0.filter(F.col("vec_id") == 0).head()["u"]]
+
+    cell_d = sorted(
+        (
+            sum(
+                (1000 * x - c) * (1000 * x - c)
+                for x, c in zip(qu, cents_ivf[(0, j)])
+            ),
+            j,
+        )
+        for j in range(IVF_K)
+    )
+    probes = [j for _, j in cell_d[:IVF_PROBES]]
+
+    adc_tab: dict[int, list[int]] = {}
+    for s in range(PQ_M):
+        qsub = qu[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        adc_tab[s] = [
+            sum(
+                (1000 * x - c) * (1000 * x - c)
+                for x, c in zip(qsub, cents_pq[(s, j)])
+            )
+            for j in range(PQ_K)
+        ]
+
+    ivf_asg = _pq_code_structs(m=1, subdim=DIM)[0]
+    routed = (
+        base0.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(_pq_codebook_df(spark, cents_ivf)))
+        .select("vec_id", "label", "u", ivf_asg["cid"].alias("cell"))
+        .filter(F.col("cell").isin([int(p) for p in probes]))
+        .drop("cb")
+    )
+    coded = routed.crossJoin(
+        F.broadcast(_pq_codebook_df(spark, cents_pq))
+    ).select(
+        "vec_id",
+        "label",
+        "cell",
+        *[
+            a["cid"].cast("int").alias(f"c{s}")
+            for s, a in enumerate(_pq_code_structs())
+        ],
+    )
+    adc = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(v).cast("long") for v in adc_tab[s]]),
+                F.col(f"c{s}") + 1,
+            )
+            for s in range(PQ_M)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return (
+        coded.select(
+            "vec_id",
+            "label",
+            F.col("cell").cast("long").alias("cell"),
+            adc.alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
     )
