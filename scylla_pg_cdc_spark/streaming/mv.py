@@ -110,3 +110,50 @@ def apply_delta(
         *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
     )
     return folded.filter(F.col("n_rows") > 0)
+
+
+def compute_join_view(
+    a: DataFrame, b: DataFrame, join_key: str
+) -> DataFrame:
+    """Full recompute face of an inner-join view A ⋈ B."""
+    return a.join(b, join_key)
+
+
+def maintain_join_view(
+    view_old: DataFrame | None,
+    a_new: DataFrame,
+    b_new: DataFrame,
+    touched_keys: DataFrame,
+    join_key: str,
+) -> DataFrame:
+    """Incrementally maintain the inner-join view A ⋈ B when an epoch
+    replaces/removes rows of A and/or B for a set of join keys.
+
+    Under keyed upsert semantics (the CDC state discipline everywhere
+    in this repo: a batch REPLACES each touched key's rows), the
+    textbook signed delta-join ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB collapses to a
+    partial recompute scoped to the touched keys:
+
+        V_new = (V_old ⟕anti touched) ∪ (A_new ⋈ B_new)|touched
+
+    which costs O(|touched| x fanout + one pruned pass), never
+    O(|A| x |B|). ``touched_keys`` must contain every join-key value
+    whose A- or B-side rows changed this epoch — including the OLD key
+    of any row whose join key itself was rewritten (both images are
+    affected; callers derive this from the change batch the same way
+    ``state_transition`` derives touched state keys).
+
+    At 100 TB: the anti-join prunes with a broadcast of the (small)
+    touched-key set, the replacement slice filters BOTH inputs down to
+    touched keys before joining, and because the update is
+    idempotent-by-construction (remove-then-reinsert of whole key
+    slices), re-running a failed epoch converges — same properties as
+    ``apply_repairs``."""
+    touched = touched_keys.select(join_key).distinct()
+    slice_a = a_new.join(F.broadcast(touched), join_key, "left_semi")
+    slice_b = b_new.join(F.broadcast(touched), join_key, "left_semi")
+    fresh = slice_a.join(slice_b, join_key)
+    if view_old is None:
+        return fresh
+    kept = view_old.join(F.broadcast(touched), join_key, "left_anti")
+    return kept.unionByName(fresh)

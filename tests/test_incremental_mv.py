@@ -161,3 +161,62 @@ def test_stale_upsert_after_delete_stays_deleted(spark):
     removed, added = state_transition(state, stale, "key")
     mv = apply_delta(None, removed, added, ["grp"], ["v"])
     assert mv.count() == 0  # tombstone outranks the stale upsert
+
+
+def test_join_view_incremental_equals_recompute(spark):
+    """Join-view maintenance under multi-epoch keyed churn == full
+    recompute, including key deletion (empty slice), fanout growth,
+    and a no-op epoch."""
+    from scylla_pg_cdc_spark.streaming.mv import (
+        compute_join_view,
+        maintain_join_view,
+    )
+
+    a_schema = "user_id long, a_val string"
+    b_schema = "user_id long, b_val long"
+    a_rows = {1: [(1, "x")], 2: [(2, "y")]}
+    b_rows = {1: [(1, 100)], 2: [(2, 200)], 3: [(3, 300)]}
+    view = None
+
+    def flat(d):
+        return [r for rows in d.values() for r in rows]
+
+    epochs = [
+        # epoch 1: everything is "touched" (initial build)
+        ({1: [(1, "x")], 2: [(2, "y")]}, {}, [1, 2, 3]),
+        # epoch 2: replace user 1's A rows with two rows (fanout 2),
+        # drop user 2's B rows entirely
+        ({1: [(1, "x1"), (1, "x2")]}, {2: []}, [1, 2]),
+        # epoch 3: no-op epoch (empty touched set)
+        ({}, {}, []),
+        # epoch 4: new user 4 on both sides
+        ({4: [(4, "z")]}, {4: [(4, 400), (4, 401)]}, [4]),
+    ]
+    for a_up, b_up, touched in epochs:
+        a_rows.update(a_up)
+        b_rows.update(b_up)
+        a_df = spark.createDataFrame(flat(a_rows), a_schema)
+        b_df = spark.createDataFrame(flat(b_rows), b_schema)
+        tk = spark.createDataFrame(
+            [(k,) for k in touched], "user_id long"
+        )
+        view = maintain_join_view(view, a_df, b_df, tk, "user_id")
+        view = spark.createDataFrame(view.collect(), view.schema)
+        want = sorted(
+            tuple(r) for r in compute_join_view(a_df, b_df, "user_id").collect()
+        )
+        got = sorted(tuple(r) for r in view.collect())
+        assert got == want, f"drift after touched={touched}"
+
+
+def test_join_view_rerun_epoch_is_idempotent(spark):
+    from scylla_pg_cdc_spark.streaming.mv import maintain_join_view
+
+    a_df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, a string")
+    b_df = spark.createDataFrame([(1, 10), (2, 20)], "k long, b long")
+    tk = spark.createDataFrame([(1,)], "k long")
+    v1 = maintain_join_view(None, a_df, b_df, tk, "k")
+    v2 = maintain_join_view(v1, a_df, b_df, tk, "k")
+    assert sorted(map(tuple, v1.collect())) == sorted(
+        map(tuple, v2.collect())
+    )
