@@ -73,10 +73,18 @@ def test_plan_budget(spark, name):
         # broadcast), q_embed_pq_codes / q_vector_pq_knn (trained
         # codebook attached as a broadcast ONE-ROW nested-array column
         # — O(n) scan, not a quadratic join; see _pq_codebook_df).
+        # The corpus/sketch/graph family (q_bigram_colloc,
+        # q_domain_chisq, q_doc_domain_lift, q_weighted_sample,
+        # q_graph_pagerank, q_vector_ivfpq_knn) attaches corpus totals
+        # / codebooks the same way: crossJoin(broadcast(single-row
+        # aggregate)) — bounded broadcast side by construction.
         if n not in (
             "q_join_theta", "q_scalar_subquery", "q_tpch_q22",
             "q_tpch_q11", "q_embed_pq_codes", "q_vector_pq_knn",
             "q_vector_ivf_trained", "q_bpe_train",
+            "q_bigram_colloc", "q_domain_chisq", "q_doc_domain_lift",
+            "q_weighted_sample", "q_graph_pagerank",
+            "q_vector_ivfpq_knn",
         )
     ),
 )
