@@ -14,7 +14,7 @@ the whole funnel without a single repartition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.registry import query
@@ -125,4 +125,108 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day_offset") <= 7)
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "q_copurchase_pairs",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM op a
+    JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-ordered in the same order,
+    ranked by support — the frequent-itemset primitive behind
+    'bought-together' recommendation and co-occurrence features. The
+    pair expansion is a self-join on the BASKET key, so fanout per
+    order is k(k-1)/2 for a k-line order (k <= 7 here) — bounded per
+    basket, never corpus-quadratic; the support aggregation gets
+    map-side partial combine. At 100 TB the same plan holds while
+    baskets stay bounded; degenerate mega-baskets (a key owning
+    thousands of lines) are the skew case — cap or salt them."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@query(
+    "q_event_twap",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc,
+               epoch_ms(ts) AS ts_ms,
+               LEAD(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS next_ms
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(vc * (next_ms - ts_ms))
+                // SUM(next_ms - ts_ms) AS BIGINT) AS twap_cents
+    FROM ev
+    WHERE next_ms IS NOT NULL AND next_ms > ts_ms
+    GROUP BY user_id
+    """,
+)
+def q_event_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP/metrics shape:
+    each observation counts for how long it was the live value, not
+    once per sample — irregular sampling stops biasing the mean).
+    Dwell = time to the next event (lead window); the weighted mean is
+    exact-bigint Σ(v*dwell) DIV Σ(dwell). One lead window + one
+    aggregation, both on the user_id partition."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    ev = ev.withColumn("next_ms", F.lead("ts_ms").over(w))
+    return (
+        ev.filter(F.col("next_ms").isNotNull() & (F.col("next_ms") > F.col("ts_ms")))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.expr(
+                "CAST(SUM(vc * (next_ms - ts_ms))"
+                " DIV SUM(next_ms - ts_ms) AS BIGINT)"
+            ).alias("twap_cents"),
+        )
     )

@@ -201,3 +201,44 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cum_before / PACK_BUDGET).cast("long").alias("pack_id"),
         (cum_before % PACK_BUDGET).cast("long").alias("pack_offset"),
     )
+
+
+@query(
+    "q_curriculum_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               NTILE(4) OVER (ORDER BY n_chars, doc_id) AS bin
+        FROM documents
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_score,
+           CAST(MAX(n_chars) AS BIGINT) AS max_score
+    FROM scored GROUP BY bin
+    """,
+)
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: rank documents easy-to-hard by a difficulty
+    proxy (length) and split into 4 equal-population stages with
+    NTILE — the stage boundaries and populations a curriculum-learning
+    schedule consumes. The (score, doc_id) ordering is total, so bin
+    assignment is deterministic and identical cross-engine (both
+    implement standard NTILE: earlier buckets absorb the remainder).
+    The global sort is the honest cost: at 100 TB swap NTILE for
+    approx-quantile cutpoints computed once and a broadcast range
+    join — the output contract (bin, population, score range) stays
+    the same."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("doc_id", "n_chars", F.ntile(4).over(w).alias("bin"))
+        .groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_score"),
+            F.max("n_chars").alias("max_score"),
+        )
+    )
