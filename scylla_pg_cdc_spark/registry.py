@@ -120,6 +120,7 @@ def load_all() -> dict[str, QuerySpec]:
     import scylla_pg_cdc_spark.operators.sketches  # noqa: F401
     import scylla_pg_cdc_spark.operators.graph  # noqa: F401
     import scylla_pg_cdc_spark.operators.layout  # noqa: F401
+    import scylla_pg_cdc_spark.operators.quality  # noqa: F401
 
     missing = [n for n in _FORCE_RECORD if n not in REGISTRY]
     assert not missing, f"_FORCE_RECORD names not registered: {missing}"
