@@ -230,3 +230,93 @@ def q_event_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap_cents"),
         )
     )
+
+
+@query(
+    "q_event_trend",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS y,
+               (epoch_ms(ts) - MIN(epoch_ms(ts)) OVER (PARTITION BY user_id))
+                   // 60000 AS x
+        FROM events WHERE value IS NOT NULL
+    ), s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM ev GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(FLOOR((n * sxy - sx * sy) * 1.0
+                      / ((n * sxx - sx * sx) * 1.0)
+                      * 1000000.0 + 0.5) AS BIGINT) AS slope_micro,
+           CAST(FLOOR((n * sxy - sx * sy) * 1.0
+                      / (sqrt((n * sxx - sx * sx) * 1.0)
+                         * sqrt((n * syy - sy * sy) * 1.0))
+                      * 1000.0 + 0.5) AS BIGINT) AS corr_milli
+    FROM s
+    WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trend detection: ordinary-least-squares slope of event
+    value over time (micro-cents per minute) plus the Pearson
+    correlation (milli-units) — the grouped-regression shape behind
+    drift monitors and engagement trend features. Time normalizes to
+    minutes since the user's first event (keeps every moment sum
+    inside exact bigint range) and values to integer cents, so all
+    five sufficient statistics are order-independent exact integers;
+    only the final slope/corr division is float, built from
+    +,-,*,/,sqrt on identical inputs — bit-stable cross-engine. One
+    window (per-user min) + one aggregation."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+        .withColumn(
+            "x",
+            F.expr(
+                "(ts_ms - MIN(ts_ms) OVER (PARTITION BY user_id)) DIV 60000"
+            ),
+        )
+    )
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.floor(
+        num * F.lit(1.0) / (denx * F.lit(1.0)) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    corr = F.floor(
+        num * F.lit(1.0)
+        / (F.sqrt(denx * F.lit(1.0)) * F.sqrt(deny * F.lit(1.0)))
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        s.filter((F.col("n") >= 10) & (denx > 0) & (deny > 0))
+        .select(
+            "user_id",
+            "n",
+            slope.alias("slope_micro"),
+            corr.alias("corr_milli"),
+        )
+    )
