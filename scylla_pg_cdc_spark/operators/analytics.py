@@ -320,3 +320,63 @@ def q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             corr.alias("corr_milli"),
         )
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id
+               ) AS prev_type
+        FROM events
+    ), c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), tot AS (
+        SELECT prev_type, SUM(n) AS row_total FROM c GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST((1000000 * c.n) // t.row_total AS BIGINT) AS p_ppm
+    FROM c JOIN tot t ON c.prev_type = t.prev_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream: count (prev -> next) adjacencies via one lag window, then
+    row-normalize to exact ppm probabilities — the sequence statistics
+    a session-based recommender or anomalous-flow detector trains on.
+    One window (user partition) + two vocabulary-sized aggregations;
+    the row-total join is broadcast (|event types|^2 rows)."""
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.unix_millis("ts"), F.col("event_id")
+            )
+        )
+        .alias("prev_type"),
+    )
+    c = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        c.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("CAST((1000000 * n) DIV row_total AS BIGINT)").alias(
+                "p_ppm"
+            ),
+        )
+    )

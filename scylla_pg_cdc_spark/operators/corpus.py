@@ -338,3 +338,49 @@ def q_doc_domain_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_doc_lexical_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, token FROM (
+""" + _TOK_SQL + """
+        ) WHERE length(token) > 0
+    ), tc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST((1000000 * COUNT(*)) // SUM(c) AS BIGINT) AS ttr_ppm,
+           CAST(1000000 - (1000000 * SUM(c * c))
+                // (SUM(c) * SUM(c)) AS BIGINT) AS gini_ppm
+    FROM tc GROUP BY doc_id
+    """,
+)
+def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity document scores, log-free: type-token ratio
+    and Gini impurity 1 - Σp² of the within-doc token distribution —
+    the diversity signals (low = repetitive/templated text) that
+    complement the Gopher repetition filters, computed as exact ppm
+    integers (Gini replaces Shannon entropy, which would need a
+    cross-engine ln; both rank repetitiveness identically). Two
+    aggregations, both keyed by doc — no joins, no windows."""
+    tc = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr("CAST((1000000 * COUNT(1)) DIV SUM(c) AS BIGINT)").alias(
+            "ttr_ppm"
+        ),
+        F.expr(
+            "CAST(1000000 - (1000000 * SUM(c * c))"
+            " DIV (SUM(c) * SUM(c)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
