@@ -165,3 +165,116 @@ def test_repair_roundtrip_always_converges(spark, src_rows, tgt_rows):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, twice.collect())
     )
+
+
+@SETTINGS
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_morton_code_matches_python_reference(spark, pairs):
+    """The Spark Morton-code expression equals a bit-twiddling Python
+    reference for arbitrary 16-bit pairs, and the code is injective."""
+    from scylla_pg_cdc_spark.operators.layout import _morton_spark
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [
+        r["z"]
+        for r in df.select(
+            _morton_spark(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    ]
+    assert got == [morton(a, b) for a, b in pairs]
+    assert len(set(got)) == len(set(pairs))
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 9),
+            st.one_of(st.none(), st.integers(-50, 150)),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_constraint_counts_match_python_reference(spark, rows):
+    """audit() violation counts equal a naive Python recount for
+    random (possibly-null, possibly-duplicate) data."""
+    from scylla_pg_cdc_spark.functions import constraints as C
+
+    df = spark.createDataFrame(rows, "id long, value long") if rows else (
+        spark.createDataFrame([], "id long, value long")
+    )
+    rules = [
+        C.not_null("nn", "t", "value"),
+        C.accepted_range("rng", "t", "value", 0, 100),
+        C.unique("uq", "t", "id"),
+    ]
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in C.audit({"t": df}, rules).collect()
+    }
+    want_nn = sum(1 for _, v in rows if v is None)
+    want_rng = sum(1 for _, v in rows if v is None or v < 0 or v > 100)
+    from collections import Counter
+
+    counts = Counter(i for i, _ in rows)
+    want_uq = sum(n - 1 for n in counts.values() if n > 1)
+    assert got == {"nn": want_nn, "rng": want_rng, "uq": want_uq}
+
+
+@SETTINGS
+@given(
+    epochs=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 99)),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_join_view_ivm_matches_recompute_under_random_churn(spark, epochs):
+    """maintain_join_view == full recompute for ANY sequence of keyed
+    replacements (last write per key wins within an epoch)."""
+    from scylla_pg_cdc_spark.streaming.mv import (
+        compute_join_view,
+        maintain_join_view,
+    )
+
+    dim = spark.createDataFrame(
+        [(k, f"t{k % 3}") for k in range(0, 7, 2)], "k long, tier string"
+    )
+    state: dict[int, int] = {}
+    view = None
+    for batch in epochs:
+        for k, v in batch:
+            state[k] = v
+        touched = spark.createDataFrame(
+            [(k,) for k in {k for k, _ in batch}] or [(None,)], "k long"
+        ).filter(F.col("k").isNotNull())
+        a_new = (
+            spark.createDataFrame(list(state.items()), "k long, v long")
+            if state
+            else spark.createDataFrame([], "k long, v long")
+        )
+        view = maintain_join_view(view, a_new, dim, touched, "k")
+        view = spark.createDataFrame(view.collect(), view.schema)
+        want = sorted(
+            tuple(r) for r in compute_join_view(a_new, dim, "k").collect()
+        )
+        got = sorted(tuple(r) for r in view.collect())
+        assert got == want
