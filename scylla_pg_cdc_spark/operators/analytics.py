@@ -380,3 +380,81 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SEQ_PATTERNS = (
+    ("triple_error_run", "eee"),
+    ("adjacent_view_click_purchase", "vcp"),
+    ("signup_first", "^s"),
+    ("repeat_purchase_run", "pp"),
+)
+
+
+@query(
+    "q_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY epoch_ms(ts), event_id) AS s
+        FROM events GROUP BY user_id
+    ), tot AS (SELECT COUNT(*) AS n_total FROM seq)
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS pattern,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(s, '{rx}'))
+                AS BIGINT) AS n_users,
+           CAST((1000000 * COUNT(*) FILTER (
+                     WHERE regexp_matches(s, '{rx}')))
+                // MIN(t.n_total) AS BIGINT) AS share_ppm
+    FROM seq CROSS JOIN tot t
+    """
+        for name, rx in _SEQ_PATTERNS
+    ),
+)
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event histories — the
+    MATCH_RECOGNIZE workaround: each user's events collapse to an
+    ordered initial-letter string (one aggregation, bounded by events
+    per user), and behavioral patterns become plain regexes evaluated
+    row-locally (triple error run, adjacent view->click->purchase,
+    signup-first, repeat purchases). Only regex constructs with
+    identical semantics in Java regex and RE2 are used (literals,
+    anchors — no backrefs/lookaround), so the DuckDB oracle is exact.
+    At 100 TB this is one user-keyed shuffle; the per-user string is
+    bounded by session length, and patterns extend without replanning
+    (they're data, not plan)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_millis("ts").alias("ts_ms"),
+            F.col("event_id").alias("eid"),
+            F.substring("event_type", 1, 1).alias("i"),
+        ).alias("x"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("x")), lambda x: x["i"]
+            ),
+            "",
+        ).alias("s")
+    )
+    tot = seq.agg(F.count(F.lit(1)).alias("n_total"))
+    parts = []
+    for name, rx in _SEQ_PATTERNS:
+        parts.append(
+            seq.crossJoin(F.broadcast(tot)).agg(
+                F.lit(name).alias("pattern"),
+                F.sum(F.col("s").rlike(rx).cast("long")).alias("n_users"),
+                F.expr(
+                    f"CAST((1000000 * SUM(CAST(s RLIKE '{rx}' AS LONG)))"
+                    " DIV MIN(n_total) AS BIGINT)"
+                ).alias("share_ppm"),
+            )
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
