@@ -254,3 +254,62 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 5)
     )
+
+
+@query(
+    "q_event_gaps",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               LAG(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS prev_ms
+        FROM events
+    ), gaps AS (
+        SELECT user_id, ts_ms - prev_ms AS gap_ms
+        FROM ev WHERE prev_ms IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE gap_ms > 21600000) AS BIGINT)
+               AS n_gaps,
+           CAST(MAX(gap_ms) // 60000 AS BIGINT) AS max_gap_minutes,
+           CAST(SUM(gap_ms) // COUNT(*) // 60000 AS BIGINT)
+               AS mean_gap_minutes
+    FROM gaps
+    GROUP BY user_id
+    HAVING COUNT(*) FILTER (WHERE gap_ms > 21600000) > 0
+    """,
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-gap detection: users whose event stream went silent for
+    more than 6 hours, with gap counts and extremes — the analog of
+    the reference's replication-lag monitoring (a CDC feed that stops
+    flowing is the incident its alerting exists for), generalized to
+    per-key silence detection. One lag window per user partition plus
+    one aggregation; all durations are exact integer milliseconds."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts"), F.col("event_id")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.lag(F.unix_millis("ts")).over(w).alias("prev_ms"),
+    )
+    gaps = ev.filter(F.col("prev_ms").isNotNull()).select(
+        "user_id", (F.col("ts_ms") - F.col("prev_ms")).alias("gap_ms")
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.sum((F.col("gap_ms") > 21_600_000).cast("long")).alias(
+                "n_gaps"
+            ),
+            F.expr("CAST(MAX(gap_ms) DIV 60000 AS BIGINT)").alias(
+                "max_gap_minutes"
+            ),
+            F.expr(
+                "CAST(SUM(gap_ms) DIV COUNT(1) DIV 60000 AS BIGINT)"
+            ).alias("mean_gap_minutes"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
