@@ -441,20 +441,29 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("s")
     )
-    tot = seq.agg(F.count(F.lit(1)).alias("n_total"))
-    parts = []
-    for name, rx in _SEQ_PATTERNS:
-        parts.append(
-            seq.crossJoin(F.broadcast(tot)).agg(
+    # ONE aggregation computes every pattern's count plus the total;
+    # the per-pattern rows then explode from a struct array — the
+    # string build and regex evaluation run in a single pass instead
+    # of once per pattern.
+    agg = seq.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum(F.col("s").rlike(rx).cast("long")).alias(f"m{i}")
+            for i, (_, rx) in enumerate(_SEQ_PATTERNS)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(name).alias("pattern"),
-                F.sum(F.col("s").rlike(rx).cast("long")).alias("n_users"),
-                F.expr(
-                    f"CAST((1000000 * SUM(CAST(s RLIKE '{rx}' AS LONG)))"
-                    " DIV MIN(n_total) AS BIGINT)"
-                ).alias("share_ppm"),
+                F.col(f"m{i}").alias("n_users"),
+                F.expr(f"CAST((1000000 * m{i}) DIV n_total AS BIGINT)").alias(
+                    "share_ppm"
+                ),
             )
-        )
-    res = parts[0]
-    for p in parts[1:]:
-        res = res.unionByName(p)
-    return res
+            for i, (name, _) in enumerate(_SEQ_PATTERNS)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.pattern", "r.n_users", "r.share_ppm"
+    )

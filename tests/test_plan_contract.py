@@ -85,7 +85,6 @@ def test_plan_budget(spark, name):
             "q_bigram_colloc", "q_domain_chisq", "q_doc_domain_lift",
             "q_weighted_sample", "q_graph_pagerank",
             "q_vector_ivfpq_knn", "q_zorder_layout",
-            "q_sequence_pattern",
         )
     ),
 )
