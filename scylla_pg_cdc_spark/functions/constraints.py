@@ -89,9 +89,26 @@ def _violation_col(rule: Rule) -> Column:
     raise ValueError(f"not a row-local rule: {rule.kind}")
 
 
-def audit(tables: dict[str, DataFrame], rules: list[Rule]) -> DataFrame:
+def audit(
+    tables: dict[str, DataFrame],
+    rules: list[Rule],
+    broadcast_parents: bool = True,
+) -> DataFrame:
     """One row per rule: (rule, kind, n_violations). Row-local rules
-    against the same table fuse into a single aggregate scan."""
+    against the same table fuse into a single aggregate scan.
+
+    ``broadcast_parents`` hints the FK parent side for broadcast; it
+    defaults True because FK parents are typically dim-sized, but MUST
+    be False when a parent is fact-sized (e.g. a lineitem->orders
+    check at 100 TB) — the anti-join then falls back to a shuffled
+    hash/sort-merge join instead of OOMing the driver. An empty rule
+    list returns an empty (rule, kind, n_violations) frame."""
+    if not rules:
+        if not tables:
+            raise ValueError("audit() needs at least one table or rule")
+        return next(iter(tables.values())).sparkSession.createDataFrame(
+            [], "rule string, kind string, n_violations long"
+        )
     out: list[DataFrame] = []
 
     row_local = [
@@ -148,8 +165,10 @@ def audit(tables: dict[str, DataFrame], rules: list[Rule]) -> DataFrame:
                     for c, rc in zip(r.cols, r.ref_cols)
                 ]
             ).distinct()
+            if broadcast_parents:
+                parent = F.broadcast(parent)
             orphans = (
-                child.join(F.broadcast(parent), list(r.cols), "left_anti")
+                child.join(parent, list(r.cols), "left_anti")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
             )
             out.append(

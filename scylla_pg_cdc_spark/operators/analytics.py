@@ -21,6 +21,20 @@ from scylla_pg_cdc_spark.registry import query
 from scylla_pg_cdc_spark.sources.tables import load_table
 
 
+def floordiv_sql(num: str, den: str) -> str:
+    """Exact integer ``floor(num/den)`` for ``den > 0`` as Spark SQL.
+
+    Spark's ``DIV`` truncates toward zero while DuckDB's ``//``
+    floors, so a bare DIV silently diverges from the oracle whenever
+    the numerator is negative; this rearrangement matches floor
+    semantics in pure int64 arithmetic (no float detour)."""
+    return (
+        f"((({num}) DIV ({den}))"
+        f" - (CASE WHEN ({num}) < 0 AND ({num}) % ({den}) != 0"
+        f" THEN 1 ELSE 0 END))"
+    )
+
+
 @query(
     "q_funnel_conversion",
     oracle="""
@@ -203,8 +217,12 @@ def q_event_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     each observation counts for how long it was the live value, not
     once per sample — irregular sampling stops biasing the mean).
     Dwell = time to the next event (lead window); the weighted mean is
-    exact-bigint Σ(v*dwell) DIV Σ(dwell). One lead window + one
-    aggregation, both on the user_id partition."""
+    exact-bigint floor(Σ(v*dwell) / Σ(dwell)) — FLOOR division, not
+    truncation, matched explicitly on the Spark side (Spark's DIV
+    truncates toward zero while DuckDB's // floors, so a negative
+    numerator would silently diverge; the denominator is always > 0
+    by the dwell filter). One lead window + one aggregation, both on
+    the user_id partition."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -225,8 +243,11 @@ def q_event_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
             F.expr(
-                "CAST(SUM(vc * (next_ms - ts_ms))"
-                " DIV SUM(next_ms - ts_ms) AS BIGINT)"
+                "CAST("
+                + floordiv_sql(
+                    "SUM(vc * (next_ms - ts_ms))", "SUM(next_ms - ts_ms)"
+                )
+                + " AS BIGINT)"
             ).alias("twap_cents"),
         )
     )
@@ -319,6 +340,88 @@ def q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             slope.alias("slope_micro"),
             corr.alias("corr_milli"),
         )
+    )
+
+
+@query(
+    "q_event_autocorr",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS y,
+               LEAD(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS ynext
+        FROM events WHERE value IS NOT NULL
+    ), s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sx,
+               CAST(SUM(ynext) AS BIGINT) AS sy,
+               CAST(SUM(y * ynext) AS BIGINT) AS sxy,
+               CAST(SUM(y * y) AS BIGINT) AS sxx,
+               CAST(SUM(ynext * ynext) AS BIGINT) AS syy
+        FROM ev WHERE ynext IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(FLOOR((n * sxy - sx * sy) * 1.0
+                      / (sqrt((n * sxx - sx * sx) * 1.0)
+                         * sqrt((n * syy - sy * sy) * 1.0))
+                      * 1000.0 + 0.5) AS BIGINT) AS autocorr_milli
+    FROM s
+    WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def q_event_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values: Pearson
+    correlation between consecutive observations (y_t, y_{t+1}) in
+    event order — the signal that separates trending/sticky metrics
+    (autocorr near 1) from noise (near 0) and oscillation (negative),
+    used for seasonality detection and anomaly-detector tuning. Same
+    exactness discipline as q_event_trend: values quantize to integer
+    cents, all six sufficient statistics are order-independent exact
+    bigints, and only the final correlation is float built from
+    +,-,*,/,sqrt — bit-stable cross-engine. One lead window + one
+    aggregation, both on the user_id partition (a clustered-by-user
+    layout runs this with zero extra shuffles at 100 TB)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pairs = (
+        ev.withColumn("ynext", F.lead("y").over(w))
+        .filter(F.col("ynext").isNotNull())
+    )
+    s = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sx"),
+        F.sum("ynext").alias("sy"),
+        F.sum(F.col("y") * F.col("ynext")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("sxx"),
+        F.sum(F.col("ynext") * F.col("ynext")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.floor(
+        num * F.lit(1.0)
+        / (F.sqrt(denx * F.lit(1.0)) * F.sqrt(deny * F.lit(1.0)))
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        s.filter((F.col("n") >= 10) & (denx > 0) & (deny > 0))
+        .select("user_id", "n", corr.alias("autocorr_milli"))
     )
 
 

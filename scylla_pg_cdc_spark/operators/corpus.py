@@ -82,7 +82,8 @@ _TOK_SQL = """
     JOIN uni u2 ON b.w2 = u2.w
     CROSS JOIN tot t
     WHERE b.c_xy >= 5
-      AND 10 * b.c_xy * t.n1 * t.n1 > 11 * t.n2 * u1.c * u2.c
+      AND CAST(10 AS HUGEINT) * b.c_xy * t.n1 * t.n1
+        > CAST(11 AS HUGEINT) * t.n2 * u1.c * u2.c
     ORDER BY b.c_xy DESC, b.w1, b.w2
     LIMIT 200
     """,
@@ -92,9 +93,14 @@ def q_bigram_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     count exceeds 1.1x the independence expectation — the ratio
     (lift) form of PMI, which ranks identically to PMI (log is
     monotone) without a cross-engine ln(). The independence test
-    ``10 * c_xy * N1^2 > 11 * N2 * c_x * c_y`` is exact bigint
-    cross-multiplication (no float in the filter), and the reported
-    lift is micro-quantized from a mirrored double expression.
+    ``10 * c_xy * N1^2 > 11 * N2 * c_x * c_y`` is exact integer
+    cross-multiplication (no float in the filter), widened past int64
+    (Spark decimal(38,0), DuckDB HUGEINT) because N1^2 alone overflows
+    bigint at ~3e9 tokens; the widened form is exact while
+    10*c_xy*N1^2 <= 1e38, i.e. to roughly 2e12 tokens (~10 TB of
+    text) in the adversarial c_xy≈N1 corner — beyond that, shard the
+    counts or drop to the float lift. The reported lift is
+    micro-quantized from a mirrored double expression.
     Plan: two token-count aggregations (bigram counts built row-locally
     with zip_with, no join), vocabulary-sized unigram table broadcast
     back onto the bigram table, corpus totals as a broadcast one-row
@@ -139,8 +145,10 @@ def q_bigram_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("c_xy") >= 5)
             & (
-                F.lit(10) * F.col("c_xy") * F.col("n1") * F.col("n1")
-                > F.lit(11) * F.col("n2") * F.col("c_x") * F.col("c_y")
+                F.expr(
+                    "CAST(10 AS DECIMAL(38,0)) * c_xy * n1 * n1"
+                    " > CAST(11 AS DECIMAL(38,0)) * n2 * c_x * c_y"
+                )
             )
         )
         .select(
@@ -299,7 +307,8 @@ def q_domain_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tok.doc_id,
            tok.source,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM((1000000 * stc.o * t.n1) // (ctc.c * src.ns))
+           CAST(SUM((CAST(1000000 AS HUGEINT) * stc.o * t.n1)
+                     // (CAST(ctc.c AS HUGEINT) * src.ns))
                 // COUNT(*) AS BIGINT) AS domain_lift_ppm
     FROM tok
     JOIN stc ON tok.source = stc.source AND tok.token = stc.token
@@ -313,7 +322,10 @@ def q_doc_domain_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moore-Lewis-style in-domain document scoring, log-free: each
     token contributes its source-LM/corpus-LM probability ratio
     p_source(t)/p_corpus(t) = (o_st / Ns) / (c_t / N1) in exact ppm
-    via bigint floor-division, and the document score is the mean over
+    via integer floor-division widened past int64 (Spark
+    decimal(38,0), DuckDB HUGEINT — 1e6*o*N1 overflows bigint near
+    1e9 tokens; widened it is exact to ~3e15 tokens, ~10 PB of
+    text), and the document score is the mean over
     its tokens — documents whose vocabulary is characteristic of their
     source score above 1e6, generic documents score below. This is the
     selection signal used to pick in-domain training data without a
@@ -333,9 +345,11 @@ def q_doc_domain_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.expr("CAST(SUM((1000000 * o * n1) DIV (c * ns)) DIV COUNT(1) AS BIGINT)").alias(
-                "domain_lift_ppm"
-            ),
+            F.expr(
+                "CAST(SUM((CAST(1000000 AS DECIMAL(38,0)) * o * n1)"
+                " DIV (CAST(c AS DECIMAL(38,0)) * ns))"
+                " DIV COUNT(1) AS BIGINT)"
+            ).alias("domain_lift_ppm"),
         )
     )
 

@@ -174,3 +174,214 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_pico").desc(), "node")
         .limit(25)
     )
+
+
+# Part co-purchase graph shared by the triangle / component queries:
+# nodes = parts, undirected edge (a, b) iff parts a < b appear in the
+# same order at least twice (support >= 2 keeps the edge list sparse —
+# the same pruning q_copurchase_pairs applies).
+_EDGE_SQL = """
+    ed AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH """ + _EDGE_SQL + """,
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM ed UNION ALL SELECT b AS n FROM ed
+        ) GROUP BY n
+    ), orient AS (
+        -- orient each edge from the lower-(degree, id) endpoint: every
+        -- triangle then has exactly one "apex" with two out-edges
+        SELECT CASE WHEN (da.d, ed.a) < (db.d, ed.b)
+                    THEN ed.a ELSE ed.b END AS src,
+               CASE WHEN (da.d, ed.a) < (db.d, ed.b)
+                    THEN ed.b ELSE ed.a END AS dst
+        FROM ed
+        JOIN deg da ON ed.a = da.n
+        JOIN deg db ON ed.b = db.n
+    ), wedge AS (
+        SELECT e1.src, e1.dst AS v, e2.dst AS w
+        FROM orient e1 JOIN orient e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+    ), tri AS (
+        -- wedge emits v < w and ed stores a < b, so the closing edge
+        -- can only be (a, b) = (v, w): a pure equi-join, hash-joinable
+        SELECT COUNT(*) AS n_tri
+        FROM wedge g JOIN ed ON g.v = ed.a AND g.w = ed.b
+    ), wtot AS (
+        SELECT SUM((d * (d - 1)) // 2) AS n_wedges FROM deg
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM ed) AS BIGINT) AS n_edges,
+           CAST(t.n_tri AS BIGINT) AS n_triangles,
+           CAST((3000000 * t.n_tri) // w.n_wedges AS BIGINT)
+               AS clustering_ppm
+    FROM tri t CROSS JOIN wtot w
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    part co-purchase graph, via degree-ordered orientation (the
+    compact-forward / node-iterator++ scheme): orient every edge from
+    its lower-(degree, id) endpoint, enumerate wedges only from each
+    node's OUT-edges, and close them against the edge list. The
+    orientation bounds per-node wedge fan-out by out-degree <=
+    O(sqrt(m)) on any graph, so the wedge join never explodes on hub
+    nodes — the property that makes distributed triangle counting
+    survive power-law graphs at 100 TB, where the naive wedge count
+    on an unoriented hub is quadratic in its degree. Plan: edge build
+    (one self-join on order), two hash joins for degrees, wedge
+    self-join on src, closure hash join back to the edge list, one
+    global count. Clustering = 3 * triangles / wedges in exact ppm."""
+    ed = _edges(spark, sf_dir)
+    deg = (
+        ed.select(F.col("a").alias("n"))
+        .unionAll(ed.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = (
+        ed.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    e1 = orient.select("src", F.col("dst").alias("v"))
+    e2 = orient.select("src", F.col("dst").alias("w"))
+    wedge = e1.join(e2, "src").filter(F.col("v") < F.col("w"))
+    # wedge emits v < w and ed stores a < b, so the closing edge can
+    # only be (a, b) = (v, w) — keep it an equi-join (hash join), never
+    # an OR-of-conjunctions (nested loop)
+    closed = wedge.join(ed, (wedge.v == ed.a) & (wedge.w == ed.b))
+    tri = closed.agg(F.count(F.lit(1)).alias("n_tri"))
+    wtot = deg.agg(
+        F.expr("CAST(SUM((d * (d - 1)) DIV 2) AS BIGINT)").alias("n_wedges")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = ed.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(wtot)
+        .crossJoin(nn)
+        .crossJoin(ne)
+        .select(
+            F.col("n_nodes").cast("long"),
+            F.col("n_edges").cast("long"),
+            F.col("n_tri").cast("long").alias("n_triangles"),
+            F.expr("CAST((3000000 * n_tri) DIV n_wedges AS BIGINT)").alias(
+                "clustering_ppm"
+            ),
+        )
+    )
+
+
+_CC_ROUNDS = 5
+
+
+def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
+    sql = """
+    WITH """ + _EDGE_SQL + """,
+    me AS (
+        SELECT a AS src, b AS dst FROM ed
+        UNION ALL SELECT b AS src, a AS dst FROM ed
+    ), l0 AS (
+        SELECT DISTINCT src AS n, src AS lbl FROM me
+    )"""
+    prev = "l0"
+    for it in range(1, rounds + 1):
+        sql += f""",
+    l{it} AS (
+        SELECT x.n, MIN(x.l) AS lbl FROM (
+            SELECT m.dst AS n, p.lbl AS l
+            FROM me m JOIN {prev} p ON m.src = p.n
+            UNION ALL SELECT n, lbl FROM {prev}
+        ) x GROUP BY x.n
+    )"""
+        prev = f"l{it}"
+    sql += f"""
+    , comp AS (
+        SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz FROM {prev} GROUP BY lbl
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(sz) AS BIGINT) AS n_nodes,
+           CAST(MAX(sz) AS BIGINT) AS largest,
+           CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons
+    FROM comp
+    """
+    return sql
+
+
+@query("q_graph_components", oracle=_cc_sql())
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph by
+    synchronized min-label propagation, unrolled to exactly 5 rounds
+    (both engines run the identical bounded iteration, so the output
+    is well-defined even if a long-diameter component has not yet
+    converged — the declared semantics are "labels after k rounds",
+    the same bounded-superstep contract Pregel gives). Each round is
+    one hash join of the mirrored edge list against the node-sized
+    label frame plus a min-aggregation — shuffle bounded by edge
+    count, no driver state. The unbounded-until-fixpoint variant
+    (with the hybrid driver/distributed switch) lives in
+    ``operators/text.py`` for near-dup clustering; this is its
+    checkable fixed-round form. Returns component count, node count,
+    largest-component size, and singleton count."""
+    ed = _edges(spark, sf_dir)
+    me = ed.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(ed.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    me = me.localCheckpoint()
+    lbl = me.select(F.col("src").alias("n")).distinct().withColumn(
+        "lbl", F.col("n")
+    )
+    for _ in range(_CC_ROUNDS):
+        prop = me.join(
+            lbl.withColumnRenamed("n", "src"), "src"
+        ).select(F.col("dst").alias("n"), F.col("lbl"))
+        lbl = (
+            prop.unionByName(lbl)
+            .groupBy("n")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    comp = lbl.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+    return comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.max("sz").cast("long").alias("largest"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+    )

@@ -266,7 +266,9 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT w.doc_id, w.n_chars
     FROM w CROSS JOIN tot t
-    WHERE w.hv * t.w_total < (t.n_docs // 10) * w.n_chars * 4294967296
+    WHERE CAST(w.hv AS HUGEINT) * CAST(t.w_total AS HUGEINT)
+        < CAST(t.n_docs // 10 AS HUGEINT)
+          * CAST(w.n_chars AS HUGEINT) * CAST(4294967296 AS HUGEINT)
     """,
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,11 +277,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10% of the corpus in expectation — the size-biased sampling used
     when a training mixture should weight by content volume, not
     document count. Keep iff ``hash(d) * W_total < E * w_d * 2^32``
-    with E = n_docs/10: a pure exact-bigint comparison on a portable
+    with E = n_docs/10: a pure exact-integer comparison on a portable
     md5-prefix hash, so the sample is a reproducible function of the
     data (any engine, any partitioning, any re-run draws the same
-    docs). Plan: one total-weight aggregate broadcast onto a narrow
-    scan — fully map-parallel at any corpus size."""
+    docs). Both sides widen past int64 before multiplying — Spark
+    decimal(38,0), DuckDB HUGEINT — because hv*W_total overflows
+    bigint once the corpus passes ~2^31 chars (~2 GB of text); the
+    widened comparison is exact to products of 1e38, i.e. corpora to
+    ~1e28 chars, far past 100 TB. Plan: one total-weight aggregate
+    broadcast onto a narrow scan — fully map-parallel at any corpus
+    size."""
     docs = load_table(spark, sf_dir, "documents")
     hv = F.conv(
         F.substring(
@@ -298,8 +305,13 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "n_chars", hv.alias("hv"))
         .crossJoin(F.broadcast(tot))
         .filter(
-            F.col("hv") * F.col("w_total")
-            < F.expr("(n_docs DIV 10) * n_chars * 4294967296")
+            F.col("hv").cast("decimal(38,0)")
+            * F.col("w_total").cast("decimal(38,0)")
+            < F.expr(
+                "CAST(n_docs DIV 10 AS DECIMAL(38,0))"
+                " * CAST(n_chars AS DECIMAL(38,0))"
+                " * CAST(4294967296 AS DECIMAL(38,0))"
+            )
         )
         .select("doc_id", "n_chars")
     )

@@ -1,0 +1,154 @@
+"""Exact set-similarity join with prefix filtering (PPJoin-style).
+
+The MinHash/LSH dedup family in ``operators/text.py`` is probabilistic:
+banding can miss pairs and surfaces false candidates that need a
+confirm pass. This module adds the EXACT similarity join — every pair
+of documents whose token-set Jaccard >= t, no misses, no extras —
+using the prefix-filtering principle (Chaudhuri et al. ICDE'06,
+Xiao et al. WWW'08 / PPJoin): order each document's tokens by global
+rarity; if J(x, y) >= t then the first ``|x| - ceil(t*|x|) + 1``
+tokens of x and the corresponding prefix of y must share at least one
+token. So only documents sharing a PREFIX token ever meet in the
+join — the frequent tokens that would blow up a naive token self-join
+(every pair of English documents shares "the") are excluded from
+blocking unless a document is short enough that they fall inside its
+prefix.
+
+Scale shape (100 TB): the candidate join is keyed by prefix token —
+shuffle bounded by Σ prefix lengths ~ (1-t) * corpus token count, and
+the rarity ordering makes prefix-token buckets SMALL by construction
+(the rarest tokens of each doc); the verify step joins candidates to
+per-doc token arrays (bounded by document length) and computes exact
+intersections with no further shuffle fan-out. The per-doc rank
+window partitions by doc_id — never a global vocabulary sort.
+
+The whole pipeline is deterministic integer/string expressions, so the
+DuckDB oracle runs the NAIVE exact join (all token-sharing pairs,
+feasible at oracle scale) and must produce the identical pair set —
+differentially proving the prefix filter is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.registry import query
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+# Jaccard threshold t = 0.9, kept as the exact fraction 9/10 so every
+# filter is integer cross-multiplication (no float thresholds). The
+# synthetic docs are template-generated with heavy token overlap, so
+# 0.9 is the band that separates true near-dups; a higher t also means
+# a SHORTER prefix (~(1-t)*n + 1 tokens), i.e. cheaper blocking.
+_T_NUM, _T_DEN = 9, 10
+
+
+@query(
+    "q_jaccard_prefix_join",
+    oracle=f"""
+    WITH dtok AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ) WHERE length(token) > 0
+    ), sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dtok GROUP BY doc_id
+    ), ov AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM dtok a JOIN dtok b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT ov.da AS doc_a, ov.db AS doc_b,
+           sa.n AS n_a, sb.n AS n_b, ov.c AS n_common,
+           CAST((1000000 * ov.c) // (sa.n + sb.n - ov.c) AS BIGINT)
+               AS jaccard_ppm
+    FROM ov
+    JOIN sz sa ON ov.da = sa.doc_id
+    JOIN sz sb ON ov.db = sb.doc_id
+    WHERE {_T_DEN} * ov.c >= {_T_NUM} * (sa.n + sb.n - ov.c)
+    """,
+)
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with token-set Jaccard >= 0.6, EXACT (the
+    lossless counterpart of the MinHash/LSH near-dup path — see module
+    docstring). Spark runs the prefix-filtered plan: (1) per-doc
+    tokens ranked by global rarity (df ASC, token ASC — a per-doc
+    window, not a global sort); (2) blocking join restricted to each
+    doc's first ``n - ceil(t*n) + 1`` rarest tokens; (3) exact verify
+    on per-doc token arrays with ``array_intersect``. The integer
+    filter ``10*c >= 6*(n_a + n_b - c)`` and ppm score are exact in
+    both engines; the DuckDB oracle runs the naive all-sharing-pairs
+    join, so a hash match proves the prefix filter lost nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    df_tok = dtok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = dtok.join(F.broadcast(df_tok), "token").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "token")
+        ),
+    )
+    sz = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # prefix length n - ceil(t*n) + 1, ceil via exact integer arithmetic
+    plen = F.expr(
+        f"n - (({_T_NUM} * n + {_T_DEN} - 1) DIV {_T_DEN}) + 1"
+    )
+    prefix = (
+        ranked.join(F.broadcast(sz), "doc_id")
+        .filter(F.col("pos") <= plen)
+        .select("doc_id", "token")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "token")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "token")
+    cand = (
+        pa.join(pb, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = dtok.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("token")).alias("toks"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    aa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    ab = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    verified = (
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
+        )
+        .filter(
+            F.lit(_T_DEN) * F.col("n_common")
+            >= F.lit(_T_NUM) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.expr(
+            "CAST((1000000 * n_common) DIV (n_a + n_b - n_common) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )

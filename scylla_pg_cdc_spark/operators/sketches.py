@@ -112,3 +112,121 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "exact_distinct",
     )
+
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+
+
+def _cm_bucket_duck(expr: str, row: int) -> str:
+    """DuckDB bucket for count-min row ``row``: md5-hash mod width."""
+    salted = f"'cm{row}:' || {expr}"
+    return f"({_duck_hex_poly(salted)} % {_CM_WIDTH})"
+
+
+def _cm_bucket_spark(col, row: int):
+    """Spark bucket for count-min row ``row`` — same md5-prefix hash."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{row}:"), col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _CM_WIDTH
+    )
+
+
+def _cm_oracle() -> str:
+    key = "CAST(l_partkey AS VARCHAR)"
+    counter_rows = "\n        UNION ALL\n".join(
+        f"""        SELECT {r} AS r, {_cm_bucket_duck(key, r)} AS bucket
+        FROM lineitem"""
+        for r in range(_CM_DEPTH)
+    )
+    est_terms = ", ".join(
+        f"MIN(CASE WHEN c.r = {r} AND c.bucket = t.b{r}"
+        f" THEN c.cnt END)"
+        for r in range(_CM_DEPTH)
+    )
+    top_buckets = ", ".join(
+        f"{_cm_bucket_duck('CAST(l_partkey AS VARCHAR)', r)} AS b{r}"
+        for r in range(_CM_DEPTH)
+    )
+    return f"""
+    WITH cells AS (
+{counter_rows}
+    ), counters AS (
+        SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY r, bucket
+    ), top AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+               {top_buckets}
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY exact_cnt DESC, l_partkey LIMIT 20
+    )
+    SELECT t.l_partkey, t.exact_cnt,
+           CAST(LEAST({est_terms}) AS BIGINT) AS est_cnt
+    FROM top t CROSS JOIN counters c
+    GROUP BY t.l_partkey, t.exact_cnt
+    """
+
+
+@query("q_sketch_countmin", oracle=_cm_oracle())
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 256) over lineitem part
+    frequencies, evaluated against the 20 true heaviest parts: the
+    mergeable heavy-hitter structure streams keep when exact per-key
+    counts would need an unbounded-key shuffle. Sketch state is
+    depth*width = 1024 integer cells — additive across partitions and
+    across time windows (counter merge = cell-wise sum), so at 100 TB
+    each executor folds its partition into 1024 cells and the reduce
+    is constant-size. Estimate = min over rows of the hashed cell
+    (classic Cormode-Muthukrishnan bound: overestimate only). The
+    md5-prefix hash is the engine-portable one used by every sketch
+    in this module, so DuckDB reproduces the cells bit-for-bit.
+    Output: part, exact count, sketch estimate (est >= exact always;
+    equal when no collision)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k"), "l_partkey"
+    )
+    cells = None
+    for r in range(_CM_DEPTH):
+        c = li.select(
+            F.lit(r).alias("r"), _cm_bucket_spark(F.col("k"), r).alias("bucket")
+        )
+        cells = c if cells is None else cells.unionAll(c)
+    counters = cells.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "l_partkey")
+        .limit(20)
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            *[
+                _cm_bucket_spark(
+                    F.col("l_partkey").cast("string"), r
+                ).alias(f"b{r}")
+                for r in range(_CM_DEPTH)
+            ],
+        )
+    )
+    est = F.least(
+        *[
+            F.min(
+                F.when(
+                    (F.col("r") == r) & (F.col("bucket") == F.col(f"b{r}")),
+                    F.col("cnt"),
+                )
+            )
+            for r in range(_CM_DEPTH)
+        ]
+    )
+    return (
+        top.crossJoin(F.broadcast(counters))
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(est.cast("long").alias("est_cnt"))
+    )

@@ -72,20 +72,6 @@ def _correctness_status() -> dict[str, tuple[bool, int]]:
     return status
 
 
-# Queries whose r1/r2 green rows went stale when the driver regenerated
-# events.parquet with TIMESTAMP_NTZ timestamps (fixed in round 4,
-# sources/tables.py): force these into the driver's round-4 recording
-# window so CORRECTNESS carries fresh green rows for them.  Remove once
-# re-recorded — the staleness ordering below handles steady state.
-_FORCE_RECORD: tuple[str, ...] = (
-    "q_window_latest_per_key", "q_window_lag_gap", "q_window_first_last",
-    "q_scalar_interval", "q_cdc_upsert_compact", "q_cdc_partial_update",
-    "q_cdc_delete_rewrite", "q_stream_dedup", "q_stream_session",
-    "q_stream_session_native", "q_asof_join", "q_range_join",
-    "q_funnel_conversion",
-)
-
-
 # The driver records CORRECTNESS rows for roughly the first 50 registered
 # queries, in registration order (see VERDICT.md round 1, "What's wrong"
 # #1).  ``load_all`` therefore orders the registry:
@@ -118,12 +104,11 @@ def load_all() -> dict[str, QuerySpec]:
     import scylla_pg_cdc_spark.operators.analytics  # noqa: F401
     import scylla_pg_cdc_spark.operators.corpus  # noqa: F401
     import scylla_pg_cdc_spark.operators.sketches  # noqa: F401
+    import scylla_pg_cdc_spark.operators.simjoin  # noqa: F401
     import scylla_pg_cdc_spark.operators.graph  # noqa: F401
     import scylla_pg_cdc_spark.operators.layout  # noqa: F401
     import scylla_pg_cdc_spark.operators.quality  # noqa: F401
 
-    missing = [n for n in _FORCE_RECORD if n not in REGISTRY]
-    assert not missing, f"_FORCE_RECORD names not registered: {missing}"
     status = _correctness_status()
     broken = [n for n in REGISTRY if n in status and not status[n][0]]
     new = [n for n in REGISTRY if n not in status]
@@ -131,5 +116,5 @@ def load_all() -> dict[str, QuerySpec]:
         (n for n in REGISTRY if n in status and status[n][0]),
         key=lambda n: (status[n][1], n),
     )
-    ordered = dict.fromkeys(broken + list(_FORCE_RECORD) + new + tail)
+    ordered = dict.fromkeys(broken + new + tail)
     return {n: REGISTRY[n] for n in ordered}

@@ -1,0 +1,143 @@
+"""Round-5 operators: independent in-Spark/Python recomputations of
+the graph, sketch, and similarity-join queries (the DuckDB differential
+runs in tools/check_oracle.py; these prove the algorithms against a
+DIFFERENT formulation, not just a mirrored one)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.operators.analytics import q_event_autocorr
+from scylla_pg_cdc_spark.operators.graph import (
+    _edges,
+    q_graph_components,
+    q_graph_triangles,
+)
+from scylla_pg_cdc_spark.operators.simjoin import q_jaccard_prefix_join
+from scylla_pg_cdc_spark.operators.sketches import q_sketch_countmin
+from scylla_pg_cdc_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_triangles_match_naive_unoriented_count(spark):
+    """Degree-oriented count must equal the naive a<b<c three-join
+    count (a completely different join shape)."""
+    got = q_graph_triangles(spark, SF_SMALL).head()
+    ed = _edges(spark, SF_SMALL)
+    e1 = ed.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ed.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = ed.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    naive = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    assert got["n_triangles"] == naive
+    assert got["n_edges"] == ed.count()
+    if got["n_triangles"] > 0:
+        assert got["clustering_ppm"] > 0
+
+
+def test_components_match_python_simulation(spark):
+    """5-round min-label propagation must equal a pure-Python
+    synchronous simulation of the same rounds on the collected edge
+    list (edge list at sf0.001 is tiny)."""
+    rows = _edges(spark, SF_SMALL).collect()
+    adj: dict[int, set[int]] = {}
+    for r in rows:
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    lbl = {n: n for n in adj}
+    for _ in range(5):
+        lbl = {
+            n: min([lbl[n]] + [lbl[m] for m in adj[n]]) for n in adj
+        }
+    sizes: dict[int, int] = {}
+    for v in lbl.values():
+        sizes[v] = sizes.get(v, 0) + 1
+    got = q_graph_components(spark, SF_SMALL).head()
+    assert got["n_nodes"] == len(adj)
+    assert got["n_components"] == len(sizes)
+    assert got["largest"] == max(sizes.values())
+    assert got["n_singletons"] == sum(1 for s in sizes.values() if s == 1)
+
+
+def test_countmin_never_underestimates(spark):
+    rows = q_sketch_countmin(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"] > 0
+
+
+def test_prefix_join_lossless_vs_naive_token_join(spark):
+    """The prefix-filtered pair set must equal the naive
+    all-sharing-pairs join's qualifying set — no misses, no extras."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    dtok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") > 0)
+        .distinct()
+    )
+    sz = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = dtok.select(F.col("doc_id").alias("da"), "t")
+    b = dtok.select(F.col("doc_id").alias("db"), "t")
+    ov = (
+        a.join(b, "t")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    naive = (
+        ov.join(sz.withColumnRenamed("doc_id", "da")
+                .withColumnRenamed("n", "na"), "da")
+        .join(sz.withColumnRenamed("doc_id", "db")
+              .withColumnRenamed("n", "nb"), "db")
+        .filter(
+            F.lit(10) * F.col("c")
+            >= F.lit(9) * (F.col("na") + F.col("nb") - F.col("c"))
+        )
+        .select("da", "db")
+        .collect()
+    )
+    want = {(r["da"], r["db"]) for r in naive}
+    got_rows = q_jaccard_prefix_join(spark, SF_SMALL).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert got == want
+    for r in got_rows:
+        union = r["n_a"] + r["n_b"] - r["n_common"]
+        assert r["jaccard_ppm"] == (1_000_000 * r["n_common"]) // union
+        assert 10 * r["n_common"] >= 9 * union
+
+
+def test_autocorr_matches_direct_pearson(spark):
+    """One user's lag-1 autocorrelation must match a direct float
+    Pearson on the collected (y_t, y_{t+1}) pairs."""
+    rows = q_event_autocorr(spark, SF_SMALL).collect()
+    assert rows, "sf0.001 must yield at least one qualifying user"
+    uid = rows[0]["user_id"]
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .filter((F.col("user_id") == uid) & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+            F.unix_millis("ts").alias("ms"),
+        )
+        .orderBy("ms", "event_id")
+        .collect()
+    )
+    ys = [r["y"] for r in ev]
+    xs, yn = ys[:-1], ys[1:]
+    n = len(xs)
+    sx, sy = sum(xs), sum(yn)
+    sxy = sum(a * b for a, b in zip(xs, yn))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in yn)
+    num = n * sxy - sx * sy
+    want = math.floor(
+        num / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+        * 1000.0
+        + 0.5
+    )
+    assert rows[0]["autocorr_milli"] == want
+    assert rows[0]["n"] == n

@@ -41,7 +41,12 @@ def test_zorder_prunes_second_dimension(spark):
     prune."""
     from tools.zorder_demo import run
 
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    block_before = hconf.get("parquet.block.size")
     out = run(SF_MED)
+    # the demo shrinks parquet.block.size on the SHARED Hadoop conf;
+    # it must restore it or every later write inherits 256 KB groups
+    assert hconf.get("parquet.block.size") == block_before
     pk_adm, pk_tot = out["partkey_sort/suppkey_pred"]
     z_adm, z_tot = out["zorder/suppkey_pred"]
     assert pk_adm == pk_tot, "partkey sort should admit every row group"

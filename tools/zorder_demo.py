@@ -60,10 +60,12 @@ def run(sf_dir: str) -> dict[str, tuple[int, int]]:
     spark = get_session("zorder-demo")
     spark.sparkContext.setLogLevel("ERROR")
     # small row groups so the file carries many prunable units
-    # (256 KB blocks => ~55 groups at sf0.1)
-    spark.sparkContext._jsc.hadoopConfiguration().set(
-        "parquet.block.size", str(256 * 1024)
-    )
+    # (256 KB blocks => ~55 groups at sf0.1); the Hadoop conf is
+    # shared session state, so restore the previous value on exit
+    # lest every later parquet write inherit tiny row groups
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(256 * 1024))
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
@@ -102,6 +104,10 @@ def run(sf_dir: str) -> dict[str, tuple[int, int]]:
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        if prev_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev_block)
 
 
 if __name__ == "__main__":
