@@ -574,3 +574,121 @@ def q_reconcile_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = diff_datasets(src, tgt, keys)
     return diff.filter(F.col("diff_type") != "match").select(*keys, "diff_type")
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy bucket digests (Merkle-style reconciliation at scale)
+# ---------------------------------------------------------------------------
+
+_MERKLE_BUCKETS = 512
+
+# canonical row string: every field quantized/stringified identically
+# in both engines (cents for the float, ISO date, raw strings)
+_CANON_DUCK = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " || '|' || o_orderstatus || '|' ||"
+    " CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR)"
+    " || '|' || CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority"
+)
+
+
+def _merkle_side_duck(rel: str) -> str:
+    from scylla_pg_cdc_spark.operators.sketches import _duck_hex_poly
+
+    return f"""
+        SELECT o_orderkey % {_MERKLE_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM({_duck_hex_poly(_CANON_DUCK)}) AS BIGINT) AS digest
+        FROM {rel} GROUP BY 1
+    """
+
+
+def _merkle_side_spark(df: DataFrame) -> DataFrame:
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    hv = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return (
+        df.select(
+            (F.col("o_orderkey") % _MERKLE_BUCKETS).alias("bucket"),
+            hv.alias("hv"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("hv").alias("digest"),
+        )
+    )
+
+
+@query(
+    "q_merkle_diff",
+    oracle=f"""
+    WITH target AS ({_TARGET_SQL}),
+    sb AS ({_merkle_side_duck("orders")}),
+    tb AS ({_merkle_side_duck("target")})
+    SELECT COALESCE(sb.bucket, tb.bucket) AS bucket,
+           COALESCE(sb.n_rows, 0) AS src_rows,
+           COALESCE(tb.n_rows, 0) AS tgt_rows,
+           COALESCE(sb.digest, 0) AS src_digest,
+           COALESCE(tb.digest, 0) AS tgt_digest
+    FROM sb FULL OUTER JOIN tb ON sb.bucket = tb.bucket
+    WHERE sb.bucket IS NULL OR tb.bucket IS NULL
+       OR sb.n_rows <> tb.n_rows OR sb.digest <> tb.digest
+    """,
+)
+def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation stage 1: compare per-bucket row
+    counts and order-independent content digests instead of rows —
+    the Merkle/hash-tree scheme Cassandra repair and DynamoDB
+    anti-entropy use, flattened to one level. Each side reduces to
+    512 (bucket, count, sum-of-row-hash) cells; only
+    buckets whose cells differ need the row-level full-outer diff
+    (``q_reconcile_diff``), so at 100 TB the network cost of "are
+    these replicas in sync, and where not?" drops from shipping both
+    tables to shipping two 512-row digest frames, then
+    running the expensive diff ONLY on the differing key ranges
+    (bucket pruning pushes down to the scan when the layout is
+    bucketed by key). The digest is a SUM of per-row md5-prefix
+    hashes — commutative, so it is partitioning- and
+    order-independent, and mergeable across sub-buckets (what makes
+    the full tree recursion work). Reference semantics anchor:
+    `scripts/reconcile.py` row-window comparison, restated as digest
+    comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    sb = _merkle_side_spark(orders)
+    tb = _merkle_side_spark(_perturbed_target(spark, sf_dir))
+    sb = sb.select(
+        F.col("bucket"),
+        F.col("n_rows").alias("s_rows"),
+        F.col("digest").alias("s_digest"),
+    )
+    tb = tb.select(
+        F.col("bucket"),
+        F.col("n_rows").alias("t_rows"),
+        F.col("digest").alias("t_digest"),
+    )
+    j = sb.join(tb, "bucket", "full_outer")
+    return (
+        j.filter(
+            F.col("s_rows").isNull()
+            | F.col("t_rows").isNull()
+            | (F.col("s_rows") != F.col("t_rows"))
+            | (F.col("s_digest") != F.col("t_digest"))
+        )
+        .select(
+            "bucket",
+            F.coalesce("s_rows", F.lit(0)).alias("src_rows"),
+            F.coalesce("t_rows", F.lit(0)).alias("tgt_rows"),
+            F.coalesce("s_digest", F.lit(0)).alias("src_digest"),
+            F.coalesce("t_digest", F.lit(0)).alias("tgt_digest"),
+        )
+    )

@@ -512,3 +512,102 @@ def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(sc) / cnt / F.lit(100.0)).alias("acctbal_avg"),
         )
     )
+
+
+@query(
+    "q_bloom_semijoin",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join of lineitem against urgent orders, executed with an
+    explicit Bloom-filter pre-filter (the "sideways information
+    passing" / runtime-filter strategy Spark's own
+    ``runtime.bloomFilter`` optimization and Trino's dynamic filters
+    apply): the build side's keys fold into a 16384-bit Bloom bitmap
+    (k=2 md5-prefix hashes, stored as 256 x 64-bit words via BIT_OR —
+    a few KB regardless of build-side row count), the bitmap
+    broadcast-joins onto the probe side so ~all non-matching lineitem
+    rows drop BEFORE the real join, and the exact semi-join then runs
+    over the survivors — false positives are eliminated there, so the
+    result is exactly the plain semi-join (which is the oracle). At
+    100 TB this is the difference between shuffling the full probe
+    table into the join and shuffling only the ~selectivity fraction
+    that can match. Plan: one aggregation to 256 words, two broadcast
+    hash joins for the two bit probes, one broadcast semi-join."""
+    m_bits = 16384
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+
+    def bit_pos(col, salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    def words(df, key, salt):
+        return (
+            df.select(bit_pos(F.col(key), salt).alias("p"))
+            .select(
+                F.expr("p DIV 64").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+                .alias("bit"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("bit").alias("bits"))
+        )
+
+    w1 = words(urgent, "o_orderkey", "bf1:")
+    w2 = words(urgent, "o_orderkey", "bf2:")
+    probed = (
+        li.withColumn("p1", bit_pos(F.col("l_orderkey"), "bf1:"))
+        .withColumn("p2", bit_pos(F.col("l_orderkey"), "bf2:"))
+        .withColumn("w1", F.expr("p1 DIV 64"))
+        .withColumn(
+            "b1",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p1 % 64 AS INT))"),
+        )
+        .withColumn("w2", F.expr("p2 DIV 64"))
+        .withColumn(
+            "b2",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p2 % 64 AS INT))"),
+        )
+        .join(F.broadcast(w1.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("bits", "bits1")), "w1")
+        .join(F.broadcast(w2.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("bits", "bits2")), "w2")
+        .filter(
+            (F.expr("bits1 & b1") != 0) & (F.expr("bits2 & b2") != 0)
+        )
+    )
+    exact = probed.join(
+        F.broadcast(urgent),
+        probed.l_orderkey == urgent.o_orderkey,
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("revenue_cents"),
+    )

@@ -69,8 +69,11 @@ def test_countmin_never_underestimates(spark):
 
 def test_prefix_join_lossless_vs_naive_token_join(spark):
     """The prefix-filtered pair set must equal the naive
-    all-sharing-pairs join's qualifying set — no misses, no extras."""
-    docs = load_table(spark, SF_SMALL, "documents")
+    all-sharing-pairs join's qualifying set — no misses, no extras.
+    Same src0 scope as the query."""
+    docs = load_table(spark, SF_SMALL, "documents").filter(
+        F.col("source") == "src0"
+    )
     dtok = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
         .filter(F.length("t") > 0)
@@ -141,3 +144,73 @@ def test_autocorr_matches_direct_pearson(spark):
     )
     assert rows[0]["autocorr_milli"] == want
     assert rows[0]["n"] == n
+
+
+def test_merkle_diff_covers_every_discrepant_key(spark):
+    """Stage-1 bucket digests must flag (at least) every bucket that
+    holds a row-level discrepancy found by the full-outer diff — the
+    anti-entropy drill-down would otherwise miss repairs."""
+    from scylla_pg_cdc_spark.operators.reconcile import (
+        _MERKLE_BUCKETS,
+        q_merkle_diff,
+        q_reconcile_diff,
+    )
+
+    flagged = {
+        r["bucket"] for r in q_merkle_diff(spark, SF_SMALL).collect()
+    }
+    for r in q_reconcile_diff(spark, SF_SMALL).collect():
+        assert r["o_orderkey"] % _MERKLE_BUCKETS in flagged
+
+
+def test_bloom_semijoin_equals_plain_semijoin(spark):
+    from scylla_pg_cdc_spark.operators.relational import q_bloom_semijoin
+
+    got = {
+        r["l_returnflag"]: (r["n_lines"], r["revenue_cents"])
+        for r in q_bloom_semijoin(spark, SF_SMALL).collect()
+    }
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    plain = (
+        li.join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == orders.o_orderkey,
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("rev"),
+        )
+        .collect()
+    )
+    want = {r["l_returnflag"]: (r["n"], r["rev"]) for r in plain}
+    assert got == want
+
+
+def test_sorted_neighborhood_emits_only_true_pairs(spark):
+    """SNM is recall-bounded blocking: every pair it emits must be a
+    TRUE >= 0.9 token-set-Jaccard pair (verified directly on the
+    collected token sets — sf0.001 is tiny)."""
+    from scylla_pg_cdc_spark.operators.simjoin import q_sorted_neighborhood
+
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    toks = {
+        r["doc_id"]: {t for t in r["text"].split(" ") if t}
+        for r in docs
+    }
+    snm = q_sorted_neighborhood(spark, SF_SMALL).collect()
+    assert snm, "SNM should find at least one pair at sf0.001"
+    for r in snm:
+        a, b = toks[r["doc_a"]], toks[r["doc_b"]]
+        inter = len(a & b)
+        union = len(a | b)
+        assert r["n_common"] == inter
+        assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+        assert 10 * inter >= 9 * union
+        assert r["jaccard_ppm"] == (1_000_000 * inter) // union
