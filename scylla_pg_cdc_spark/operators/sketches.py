@@ -214,19 +214,18 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    est = F.least(
-        *[
-            F.min(
-                F.when(
-                    (F.col("r") == r) & (F.col("bucket") == F.col(f"b{r}")),
-                    F.col("cnt"),
-                )
-            )
-            for r in range(_CM_DEPTH)
-        ]
-    )
-    return (
-        top.crossJoin(F.broadcast(counters))
-        .groupBy("l_partkey", "exact_cnt")
-        .agg(est.cast("long").alias("est_cnt"))
+    # one broadcast equi-join per sketch row: each top key picks up
+    # its 4 hashed cells by (row, bucket) lookup — no cross join
+    out = top
+    for r in range(_CM_DEPTH):
+        cr = counters.filter(F.col("r") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("cnt").alias(f"c{r}")
+        )
+        out = out.join(F.broadcast(cr), f"b{r}")
+    return out.select(
+        "l_partkey",
+        "exact_cnt",
+        F.least(*[F.col(f"c{r}") for r in range(_CM_DEPTH)])
+        .cast("long")
+        .alias("est_cnt"),
     )

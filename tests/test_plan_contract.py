@@ -46,6 +46,19 @@ BUDGETS = {
     "q_stratified_sample": (0, 0, 0, False),
     # TPC-H Q3: dims broadcast, one agg shuffle
     "q_tpch_q3": (1, 2, 0, True),
+    # 5-round label propagation: ONE broadcast join + min-agg per
+    # round (the union-form plan exploded to 96 shuffles — see
+    # q_graph_components docstring; this budget pins the fix)
+    "q_graph_components": (8, 5, 0, False),
+    # bloom prefilter: 2 broadcast word joins + broadcast semi-join,
+    # never a shuffled probe side
+    "q_bloom_semijoin": (3, 3, 0, True),
+    # digest compare: one agg per side + bucket join
+    "q_merkle_diff": (2, 0, 1, True),
+    # 4 broadcast cell lookups, no cross join
+    "q_sketch_countmin": (5, 4, 0, False),
+    # lead window + agg share the user_id partitioning: ONE shuffle
+    "q_event_autocorr": (1, 0, 0, True),
 }
 
 
@@ -85,6 +98,9 @@ def test_plan_budget(spark, name):
             "q_bigram_colloc", "q_domain_chisq", "q_doc_domain_lift",
             "q_weighted_sample", "q_graph_pagerank",
             "q_vector_ivfpq_knn", "q_zorder_layout",
+            # q_graph_triangles attaches its four single-row summary
+            # aggregates (tri/wedges/nodes/edges) the same way
+            "q_graph_triangles",
         )
     ),
 )
