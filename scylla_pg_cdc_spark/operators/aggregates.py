@@ -19,7 +19,7 @@ nondeterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.functions.money import cents, pct_units
@@ -578,4 +578,61 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("c_name", ord_key).alias("richest_customer"),
         F.min_by("c_name", ord_key).alias("poorest_customer"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_equidepth",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), t AS (
+        SELECT l_returnflag, cents,
+               NTILE(16) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY cents, l_orderkey, l_linenumber
+               ) AS bucket
+        FROM c
+    )
+    SELECT l_returnflag, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM t GROUP BY l_returnflag, bucket
+    """,
+)
+def q_agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (16 buckets of equal row count, adaptive
+    boundaries) of price cents per returnflag — the quantile-sketch
+    layout optimizers and drift monitors keep, complementing the
+    fixed-width q_agg_histogram. NTILE over a deterministic total
+    order (cents + unique line key as tiebreak, so bucket boundaries
+    are engine-identical even on heavy ties) then one aggregation for
+    per-bucket count/lo/hi. The window partitions by returnflag, so
+    the sort is per-group and parallel; at 100 TB with a single giant
+    group the exact NTILE becomes a two-pass computation (count, then
+    range-partitioned rank) or hands off to approx_percentile — this
+    is the exact-checkable form of that boundary computation."""
+    c = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    return (
+        c.withColumn("bucket", F.ntile(16).over(w))
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
     )

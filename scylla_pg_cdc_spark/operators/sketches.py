@@ -229,3 +229,104 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_cnt"),
     )
+
+
+@query(
+    "q_kmv_setops",
+    oracle=f"""
+    WITH flags AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+        FROM events GROUP BY user_id
+    ), f AS (
+        SELECT user_id, in_a, in_b,
+               {_duck_hex_poly("'kmv:' || CAST(user_id AS VARCHAR)")} AS hv
+        FROM flags WHERE in_a = 1 OR in_b = 1
+    ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY hv) AS rk FROM f
+    ), kth AS (
+        SELECT hv AS kth_hv FROM rk WHERE rk = {_K}
+    ), topk AS (
+        SELECT SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS p
+        FROM rk WHERE rk <= {_K}
+    ), ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+               CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+        FROM f
+    )
+    SELECT CAST(({_K - 1} * {_HASH_RANGE}) // k.kth_hv AS BIGINT)
+               AS est_union,
+           e.exact_union,
+           CAST((t.p * (({_K - 1} * {_HASH_RANGE}) // k.kth_hv))
+                // {_K} AS BIGINT) AS est_inter,
+           e.exact_inter
+    FROM kth k CROSS JOIN topk t CROSS JOIN ex e
+    """,
+)
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS — the property that makes min-hash
+    sketches a distributed-systems tool rather than a single counter:
+    the min-k of a union is computable from the two sides' min-k
+    alone, so |A ∪ B| and |A ∩ B| between clickers (A) and purchasers
+    (B) come from merged 64-value states without re-scanning either
+    input. Union estimate = (k-1)*2^32 DIV kth-smallest-merged-hash;
+    intersection = (fraction of the k merged minima belonging to
+    both sets) * union estimate, floor-divided to exact integers
+    (Beyer et al. SIGMOD'07 KMV synopses). Exact counts ride along so
+    the output shows the sketch error directly. At 100 TB the flag
+    aggregation is the only full shuffle; everything after is a
+    64-row TakeOrdered. Differentially exact vs DuckDB because the
+    hash, ordering, and arithmetic are all portable integers."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("in_b"),
+    ).filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    f = flags.select("user_id", "in_a", "in_b", hv.alias("hv"))
+    rk = f.withColumn(
+        "rk", F.row_number().over(Window.orderBy("hv"))
+    ).filter(F.col("rk") <= _K)
+    kth = rk.filter(F.col("rk") == _K).select(F.col("hv").alias("kth_hv"))
+    topk = rk.agg(
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("p")
+    )
+    ex = f.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("exact_inter"),
+    )
+    return (
+        kth.crossJoin(F.broadcast(topk))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.expr(
+                f"CAST(({_K - 1} * {_HASH_RANGE}) DIV kth_hv AS BIGINT)"
+            ).alias("est_union"),
+            "exact_union",
+            F.expr(
+                f"CAST((p * (({_K - 1} * {_HASH_RANGE}) DIV kth_hv))"
+                f" DIV {_K} AS BIGINT)"
+            ).alias("est_inter"),
+            "exact_inter",
+        )
+    )

@@ -214,3 +214,60 @@ def test_sorted_neighborhood_emits_only_true_pairs(spark):
         assert (r["n_a"], r["n_b"]) == (len(a), len(b))
         assert 10 * inter >= 9 * union
         assert r["jaccard_ppm"] == (1_000_000 * inter) // union
+
+
+def test_countmin_cells_merge_additively(spark):
+    """Sketch mergeability: counters built on two disjoint halves and
+    summed cell-wise must equal counters built on the whole — the
+    property that lets each partition/epoch fold locally at 100 TB."""
+    from scylla_pg_cdc_spark.operators.sketches import (
+        _CM_DEPTH,
+        _cm_bucket_spark,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k"), "l_orderkey"
+    )
+
+    def counters(df):
+        cells = None
+        for r in range(_CM_DEPTH):
+            c = df.select(
+                F.lit(r).alias("r"),
+                _cm_bucket_spark(F.col("k"), r).alias("bucket"),
+            )
+            cells = c if cells is None else cells.unionAll(c)
+        return {
+            (row["r"], row["bucket"]): row["cnt"]
+            for row in cells.groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    whole = counters(li)
+    h1 = counters(li.filter(F.col("l_orderkey") % 2 == 0))
+    h2 = counters(li.filter(F.col("l_orderkey") % 2 == 1))
+    merged: dict = {}
+    for d in (h1, h2):
+        for cell, n in d.items():
+            merged[cell] = merged.get(cell, 0) + n
+    assert merged == whole
+
+
+def test_kmv_mink_merges_losslessly(spark):
+    """min-k(A ∪ B) == min-k(min-k(A) ∪ min-k(B)) — KMV union merge
+    needs only the two 64-value states, never the raw sets."""
+    import hashlib
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_partkey").collect()
+    keys = {r["l_partkey"] for r in li}
+
+    def hv(x):
+        return int(hashlib.md5(f"kmv:{x}".encode()).hexdigest()[:8], 16)
+
+    hashes = sorted(hv(k) for k in keys)
+    a = sorted(hv(k) for k in keys if k % 2 == 0)
+    b = sorted(hv(k) for k in keys if k % 2 == 1)
+    k = 64
+    merged = sorted(set(a[:k]) | set(b[:k]))[:k]
+    assert merged == hashes[:k]
