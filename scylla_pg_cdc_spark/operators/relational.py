@@ -553,17 +553,12 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey"
     )
 
+    # the bitmap is internal pruning state, never compared against the
+    # oracle (the oracle is the plain semi-join), so the hash can be
+    # Spark's native xxhash64 — ~5x cheaper per probe row than a
+    # portable md5-prefix, and the probe side is the table that's big
     def bit_pos(col, salt):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
-        )
+        return F.pmod(F.xxhash64(F.lit(salt), col), F.lit(m_bits))
 
     def words(df, key, salt):
         return (

@@ -99,8 +99,9 @@ def test_plan_budget(spark, name):
             "q_weighted_sample", "q_graph_pagerank",
             "q_vector_ivfpq_knn", "q_zorder_layout",
             # q_graph_triangles attaches its four single-row summary
-            # aggregates (tri/wedges/nodes/edges) the same way
-            "q_graph_triangles",
+            # aggregates (tri/wedges/nodes/edges) the same way;
+            # q_kmv_setops its three single-row sketch states
+            "q_graph_triangles", "q_kmv_setops",
         )
     ),
 )
