@@ -330,3 +330,51 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
         )
     )
+
+
+@query(
+    "q_stream_countmin",
+    oracle=f"""
+    WITH cells AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               {_cm_bucket_duck("CAST(user_id AS VARCHAR)", 0)} AS bucket
+        FROM events
+        UNION ALL
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               {_cm_bucket_duck("CAST(user_id AS VARCHAR)", 1)} + {_CM_WIDTH}
+        FROM events
+    )
+    SELECT day, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY day, bucket
+    """,
+)
+def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tumbling-window count-min state: one depth-2 sketch of
+    user-event frequencies PER DAY — the windowed-sketch
+    materialization a streaming pipeline emits from foreachBatch so
+    heavy-hitter queries over ANY time range become cell-wise sums of
+    per-window states (the additivity proven in
+    tests/test_round5_ops.py), never a re-scan. This is how a CDC
+    consumer answers "top talkers last week" at 100 TB: merge 7
+    constant-size states. Rows 0/1 are disambiguated by offsetting
+    row 1's bucket by the width, keeping the state one narrow (day,
+    bucket, cnt) frame — the layout a state store or compacted topic
+    holds. One aggregation, map-side combinable, output bounded by
+    days x (2 x 256) cells regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    cells = ev.select(
+        "day", _cm_bucket_spark(F.col("k"), 0).alias("bucket")
+    ).unionAll(
+        ev.select(
+            "day",
+            (_cm_bucket_spark(F.col("k"), 1) + _CM_WIDTH).alias("bucket"),
+        )
+    )
+    return cells.groupBy("day", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
