@@ -660,7 +660,10 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed by key). The digest is a SUM of per-row md5-prefix
     hashes — commutative, so it is partitioning- and
     order-independent, and mergeable across sub-buckets (what makes
-    the full tree recursion work). Reference semantics anchor:
+    the full tree recursion work); hashes are < 2^32, so the bigint
+    SUM is exact to ~2^31 rows per bucket — scale the bucket count
+    with the table, or fold with BIT_XOR as ``merkle_pruned_diff``
+    does, to stay unbounded. Reference semantics anchor:
     `scripts/reconcile.py` row-window comparison, restated as digest
     comparison."""
     orders = load_table(spark, sf_dir, "orders")
@@ -692,3 +695,108 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("t_digest", F.lit(0)).alias("tgt_digest"),
         )
     )
+
+
+def merkle_pruned_diff(
+    source: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    levels: tuple[int, int] = (64, 4096),
+    float_tol: float = DEFAULT_FLOAT_TOL,
+) -> DataFrame:
+    """Anti-entropy drill-down: run the row-level full-outer diff ONLY
+    over key ranges whose content digests differ, recursively —
+    level-1 (coarse) digest compare prunes to flagged coarse buckets,
+    level-2 (fine, nested: fine % coarse_n == coarse bucket) prunes
+    further, and ``diff_datasets`` runs on the fine-flagged remainder
+    alone. Returns the same (keys..., diff_type, diff_fields) frame as
+    the full diff minus its 'match' rows — proven equal in
+    tests/test_round5_ops.py.
+
+    This is the two-replica repair flow Cassandra/Dynamo run: exchange
+    O(buckets) digests, ship rows only for differing ranges. The fine
+    cells are computed ONCE and the coarse level is derived by
+    re-aggregating them (digest = SUM of row hashes is commutative and
+    mergeable), which is exactly how a real merkle tree builds
+    bottom-up. Digests fold xxhash64 row hashes with BIT_XOR —
+    commutative and overflow-free (a SUM of full-range 64-bit hashes
+    trips ANSI overflow), over the canonicalized row (all
+    non-key columns cast to string with a null sentinel) — internal
+    pruning state, so no cross-engine portability constraint; float
+    tolerance therefore applies only at the row-diff stage, and a
+    within-tolerance float wobble can flag a bucket (false positive =
+    wasted drill, never a wrong result — the row diff re-checks).
+
+    At 100 TB: two digest aggregations (shuffle = cell count), one
+    broadcast semi-join per side on flagged fine buckets (pruned scan
+    when the table is bucketed/clustered by key hash), then the keyed
+    diff on the surviving fraction."""
+    n1, n2 = levels
+    assert n2 % n1 == 0, "fine level must nest inside coarse"
+    kcols = [F.col(k) for k in keys]
+    val_cols = sorted(c for c in source.columns if c not in keys)
+    canon = F.concat_ws(
+        "\x01", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in val_cols
+        ]
+    )
+
+    def fine_cells(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.pmod(F.xxhash64(*kcols), F.lit(n2)).alias("b2"),
+                F.xxhash64(canon).alias("hv"),
+            )
+            .groupBy("b2")
+            .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("hv").alias("dig"))
+        )
+
+    sc, tc = fine_cells(source), fine_cells(target)
+    cells = (
+        sc.withColumnsRenamed({"n": "sn", "dig": "sdig"})
+        .join(
+            tc.withColumnsRenamed({"n": "tn", "dig": "tdig"}),
+            "b2",
+            "full_outer",
+        )
+    )
+    # coarse level DERIVED from fine cells (bottom-up tree build)
+    coarse = (
+        cells.groupBy(F.pmod(F.col("b2"), F.lit(n1)).alias("b1"))
+        .agg(
+            F.sum("sn").alias("sn"), F.bit_xor("sdig").alias("sdig"),
+            F.sum("tn").alias("tn"), F.bit_xor("tdig").alias("tdig"),
+        )
+        .filter(
+            ~(
+                F.col("sn").eqNullSafe(F.col("tn"))
+                & F.col("sdig").eqNullSafe(F.col("tdig"))
+            )
+        )
+        .select("b1")
+    )
+    flagged = (
+        cells.join(
+            F.broadcast(coarse),
+            F.pmod(F.col("b2"), F.lit(n1)) == F.col("b1"),
+            "left_semi",
+        )
+        .filter(
+            ~(
+                F.col("sn").eqNullSafe(F.col("tn"))
+                & F.col("sdig").eqNullSafe(F.col("tdig"))
+            )
+        )
+        .select("b2")
+    )
+
+    def prune(df: DataFrame) -> DataFrame:
+        return df.join(
+            F.broadcast(flagged),
+            F.pmod(F.xxhash64(*kcols), F.lit(n2)) == F.col("b2"),
+            "left_semi",
+        )
+
+    diff = diff_datasets(prune(source), prune(target), keys, float_tol=float_tol)
+    return diff.filter(F.col("diff_type") != "match")

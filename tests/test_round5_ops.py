@@ -271,3 +271,55 @@ def test_kmv_mink_merges_losslessly(spark):
     k = 64
     merged = sorted(set(a[:k]) | set(b[:k]))[:k]
     assert merged == hashes[:k]
+
+
+def test_merkle_pruned_diff_equals_full_diff(spark):
+    """The recursive digest drill must return EXACTLY the full
+    row-level diff's non-match rows — pruning may waste a drill on a
+    digest false positive but can never change the result."""
+    from scylla_pg_cdc_spark.operators.reconcile import (
+        _perturbed_target,
+        diff_datasets,
+        merkle_pruned_diff,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    tgt = _perturbed_target(spark, SF_SMALL)
+    full = {
+        (r["o_orderkey"], r["diff_type"])
+        for r in diff_datasets(orders, tgt, ["o_orderkey"])
+        .filter(F.col("diff_type") != "match")
+        .collect()
+    }
+    pruned = {
+        (r["o_orderkey"], r["diff_type"])
+        for r in merkle_pruned_diff(orders, tgt, ["o_orderkey"]).collect()
+    }
+    assert pruned == full
+    assert full, "perturbed target must produce discrepancies"
+
+
+def test_merkle_pruned_diff_clean_sides_empty(spark):
+    from scylla_pg_cdc_spark.operators.reconcile import merkle_pruned_diff
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    assert merkle_pruned_diff(orders, orders, ["o_orderkey"]).count() == 0
+
+
+def test_multipass_snm_recall_superset_of_single_pass(spark):
+    """Union-of-passes candidates must yield a superset of the
+    single-pass result — the recall/cost dial must only go up."""
+    from scylla_pg_cdc_spark.operators.simjoin import (
+        q_snm_multipass,
+        q_sorted_neighborhood,
+    )
+
+    single = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_sorted_neighborhood(spark, SF_SMALL).collect()
+    }
+    multi = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_snm_multipass(spark, SF_SMALL).collect()
+    }
+    assert single <= multi
