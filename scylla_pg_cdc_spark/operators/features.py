@@ -313,3 +313,77 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") > 0)
     )
+
+
+@query(
+    "q_event_ewma_exact",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc,
+               epoch_ms(ts) AS ts_ms, event_id
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT user_id,
+               list(vc ORDER BY ts_ms, event_id) AS l
+        FROM ev GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(l) AS BIGINT) AS n,
+           CAST(CASE WHEN len(l) = 1 THEN l[1]
+                ELSE list_reduce(l, (acc, x) -> (acc * 7 + x) // 8)
+                END AS BIGINT) AS ewma_cents
+    FROM g
+    """,
+)
+def q_event_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT infinite-horizon EWMA (alpha = 1/8) of event value per
+    user — the genuinely sequential recurrence s_i = (7*s_{i-1} +
+    v_i) DIV 8 that no window frame can express (the 8-tap
+    ``q_event_ewma`` is its SQL-checkable truncation; this is the
+    full fold). Implemented as the engine's canonical CUSTOM-OPERATOR
+    shape: ``groupBy(user).applyInPandas`` — Arrow-batched, one
+    Python fold per user partition, linear in events and fully
+    parallel across users; this is the batch twin of the
+    applyInPandasWithState streaming form. The recurrence floors to
+    integer cents at every step, so the fold is a pure function of
+    the ordered integer sequence — DuckDB replays it exactly with
+    ``list_reduce``, giving the rare thing for a Pandas-UDF operator:
+    a bit-exact cross-engine oracle. At 100 TB: one shuffle on
+    user_id; applyInPandas materializes each GROUP in executor memory
+    (bounded by one user's events — fine for per-entity groups; a
+    pathological single-key group is the signal to switch to the
+    applyInPandasWithState streaming form, which holds O(1) running
+    state)."""
+    import pandas as pd
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts_ms", "event_id"])
+        s = None
+        for v in pdf["vc"]:
+            v = int(v)
+            s = v if s is None else (7 * s + v) // 8
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [len(pdf)],
+                "ewma_cents": [s],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fold, schema="user_id long, n long, ewma_cents long"
+    )
