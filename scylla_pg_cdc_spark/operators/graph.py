@@ -1,13 +1,18 @@
-"""Graph operators on DataFrames: iterative PageRank with an exact
-cross-engine oracle.
+"""Graph operators on DataFrames, all with exact cross-engine
+oracles: iterative PageRank, degree-oriented triangle counting,
+bounded-round connected components, and bounded-round BFS.
 
 The reference has no graph surface; this extends the engine with the
 iterative-algorithm execution shape (sparse mat-vec as join +
 aggregate, looped) that entity-importance ranking, spam scoring, and
 influence propagation all reduce to on a training-data platform. The
-near-dup connected-components pass in ``operators/text.py`` is the
-other member of this family; PageRank adds the weighted/normalized
-iteration.
+four operators share one layout: a stationary (localCheckpointed,
+memoized) edge list joined per round against a broadcast node-sized
+vector — PageRank folds weighted sums, components folds min-label,
+BFS folds min-plus, and triangles replaces iteration with the
+orientation trick. Unrolled-plan rule (pinned in
+tests/test_plan_contract.py): each round references the previous
+round's frame exactly ONCE, or the plan duplicates 2^k.
 
 Exactness discipline: classic PageRank iterates double-precision
 r = (1-d)/n + d * M^T r, whose per-node SUM is float and therefore
@@ -409,4 +414,81 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_singletons"),
+    )
+
+
+_BFS_ROUNDS = 4
+
+
+def _bfs_sql(rounds: int = _BFS_ROUNDS) -> str:
+    sql = """
+    WITH """ + _EDGE_SQL + """,
+    me AS (
+        SELECT a AS src, b AS dst, 1 AS w FROM ed
+        UNION ALL SELECT b AS src, a AS dst, 1 AS w FROM ed
+        UNION ALL SELECT n AS src, n AS dst, 0 AS w FROM (
+            SELECT DISTINCT a AS n FROM ed
+            UNION SELECT DISTINCT b AS n FROM ed
+        )
+    ), seed AS (
+        SELECT MIN(a) AS s FROM ed
+    ), d0 AS (
+        SELECT s AS n, 0 AS dist FROM seed
+    )"""
+    prev = "d0"
+    for it in range(1, rounds + 1):
+        sql += f""",
+    d{it} AS (
+        SELECT m.dst AS n, MIN(p.dist + m.w) AS dist
+        FROM me m JOIN {prev} p ON m.src = p.n
+        GROUP BY m.dst
+    )"""
+        prev = f"d{it}"
+    sql += f"""
+    SELECT CAST(dist AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM {prev} GROUP BY dist
+    """
+    return sql
+
+
+@query("q_graph_bfs", oracle=_bfs_sql())
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round BFS over the part co-purchase graph: hop
+    distance from a deterministic seed (the smallest part id in the
+    edge set), 4 synchronized min-plus rounds, reported as nodes per
+    hop — the reachability/diameter probe of the iterative family
+    (PageRank = weighted sum, components = min-label, BFS = min-plus;
+    all three share the broadcast-vector x stationary-edges layout).
+    Self-loop edges carry weight 0 so each round is ONE join + ONE
+    min-aggregation and the previous frontier appears exactly once —
+    the linear-unrolled-plan rule pinned by q_graph_components.
+    Nodes unreached within 4 hops are absent (the bounded-superstep
+    contract); the frontier frame stays node-sized, so at 100 TB each
+    round shuffles only the aggregation."""
+    ed = _edges(spark, sf_dir)
+    nodes = (
+        ed.select(F.col("a").alias("n"))
+        .unionAll(ed.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    me = (
+        ed.select(F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1).alias("w"))
+        .unionAll(
+            ed.select(F.col("b").alias("src"), F.col("a").alias("dst"), F.lit(1).alias("w"))
+        )
+        .unionAll(
+            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"), F.lit(0).alias("w"))
+        )
+        .localCheckpoint()
+    )
+    dist = ed.agg(F.min("a").alias("n")).withColumn("dist", F.lit(0))
+    for _ in range(_BFS_ROUNDS):
+        dist = (
+            me.join(F.broadcast(dist.withColumnRenamed("n", "src")), "src")
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+        )
+    return dist.groupBy(F.col("dist").alias("hop")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
     )

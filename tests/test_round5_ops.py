@@ -323,3 +323,34 @@ def test_multipass_snm_recall_superset_of_single_pass(spark):
         for r in q_snm_multipass(spark, SF_SMALL).collect()
     }
     assert single <= multi
+
+
+def test_bfs_matches_python_simulation(spark):
+    """4-round min-plus BFS must equal a Python BFS truncated at
+    depth 4 from the same seed."""
+    from scylla_pg_cdc_spark.operators.graph import q_graph_bfs
+
+    rows = _edges(spark, SF_SMALL).collect()
+    adj: dict[int, set[int]] = {}
+    for r in rows:
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    seed = min(r["a"] for r in rows)
+    dist = {seed: 0}
+    frontier = [seed]
+    for hop in range(1, 5):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    want: dict[int, int] = {}
+    for d in dist.values():
+        want[d] = want.get(d, 0) + 1
+    got = {
+        r["hop"]: r["n_nodes"]
+        for r in q_graph_bfs(spark, SF_SMALL).collect()
+    }
+    assert got == want
