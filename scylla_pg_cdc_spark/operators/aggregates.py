@@ -636,3 +636,49 @@ def q_agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey, o_orderpriority
+    ), r AS (
+        SELECT o_custkey, o_orderpriority, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY n DESC, o_orderpriority
+               ) AS rk
+        FROM c
+    )
+    SELECT o_custkey, o_orderpriority AS mode_priority, n AS mode_n
+    FROM r WHERE rk = 1 AND n >= 2
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group — each customer's most frequent
+    order priority (ties broken lexicographically so the result is a
+    pure function of the data; Spark's builtin ``mode()`` leaves ties
+    unspecified, which is why this is count + rank instead). Keeps
+    only customers with a repeated priority (n >= 2) so the output
+    reflects genuine preference, not singleton noise. Two keyed
+    aggregation shuffles; the rank window partitions by customer —
+    the standard distributed argmax-by-count, no driver state."""
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("n") >= 2))
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
+    )
