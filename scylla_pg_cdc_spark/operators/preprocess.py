@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.operators.sampling import portable_bucket
+from scylla_pg_cdc_spark.operators.analytics import floordiv_sql
 from scylla_pg_cdc_spark.registry import query
 from scylla_pg_cdc_spark.sources.tables import load_table
 
@@ -241,4 +242,54 @@ def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").alias("min_score"),
             F.max("n_chars").alias("max_score"),
         )
+    )
+
+
+@query(
+    "q_impute_mean",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                   // COUNT(value) AS mean_cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(COALESCE(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT),
+                         m.mean_cents) AS BIGINT) AS value_cents,
+           e.value IS NULL AS was_imputed
+    FROM events e JOIN m ON e.event_type = m.event_type
+    """,
+)
+def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null imputation with the per-group mean — the ML feature-prep
+    step that precedes training on tabular event data. The imputed
+    value is the exact integer floor of the group's cent mean
+    (floor-division over non-null cents via the shared floordiv_sql
+    helper, so Spark matches DuckDB's // even if values go negative),
+    which makes the fill value a pure function of the data rather
+    than a float whose last ulp depends on aggregation order. An
+    audit flag marks filled rows so downstream samplers can weight or
+    exclude them. Plan: one group-mean aggregation broadcast back
+    onto the scan — a narrow map over the fact table at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    m = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.expr(
+            "CAST("
+            + floordiv_sql(
+                "SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))",
+                "COUNT(value)",
+            )
+            + " AS BIGINT)"
+        ).alias("mean_cents"))
+    )
+    return ev.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        F.coalesce(vc, F.col("mean_cents")).cast("long").alias("value_cents"),
+        F.col("value").isNull().alias("was_imputed"),
     )
