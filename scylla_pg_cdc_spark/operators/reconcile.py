@@ -697,6 +697,73 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucket_digests(
+    df: DataFrame, keys: list[str], nbuckets: int
+) -> DataFrame:
+    """Per-bucket content state (bucket, n, dig): row count plus the
+    BIT_XOR fold of xxhash64 over the canonicalized non-key columns,
+    bucketed by key hash. XOR makes the digest not merely mergeable
+    but INVERTIBLE — XOR-ing a row's hash again removes it — which is
+    what lets CDC deltas maintain the digest incrementally
+    (``merge_digest_deltas``) instead of rescanning the table."""
+    kcols = [F.col(k) for k in keys]
+    val_cols = sorted(c for c in df.columns if c not in keys)
+    canon = F.concat_ws(
+        "\x01", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in val_cols
+        ]
+    )
+    return (
+        df.select(
+            F.pmod(F.xxhash64(*kcols), F.lit(nbuckets)).alias("bucket"),
+            F.xxhash64(canon).alias("hv"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("hv").alias("dig"))
+    )
+
+
+def merge_digest_deltas(
+    state: DataFrame,
+    removed: DataFrame,
+    added: DataFrame,
+    keys: list[str],
+    nbuckets: int,
+) -> DataFrame:
+    """Maintain anti-entropy bucket digests INCREMENTALLY from CDC
+    images: given the current (bucket, n, dig) state, the rows a
+    change batch removed (DELETE rows + the BEFORE image of every
+    UPDATE) and the rows it added (INSERT rows + the AFTER image of
+    every UPDATE), the new state is
+
+        n'   = n - |removed_b| + |added_b|
+        dig' = dig XOR xor(removed_b hashes) XOR xor(added_b hashes)
+
+    because XOR is its own inverse — no rescan of the base table,
+    cost proportional to the CHANGE batch only. This is how a CDC
+    consumer keeps replica-comparison digests hot at 100 TB: each
+    epoch folds its delta; reconciliation then compares two digest
+    frames (``q_merkle_diff`` shape) at any moment. Equality with a
+    from-scratch recompute is pinned in tests."""
+    rem = bucket_digests(removed, keys, nbuckets).select(
+        "bucket", (-F.col("n")).alias("dn"), F.col("dig").alias("dx")
+    )
+    add = bucket_digests(added, keys, nbuckets).select(
+        "bucket", F.col("n").alias("dn"), F.col("dig").alias("dx")
+    )
+    st = state.select(
+        "bucket", F.col("n").alias("dn"), F.col("dig").alias("dx")
+    )
+    return (
+        st.unionByName(rem)
+        .unionByName(add)
+        .groupBy("bucket")
+        .agg(F.sum("dn").alias("n"), F.bit_xor("dx").alias("dig"))
+        .filter(F.col("n") > 0)
+    )
+
+
 def merkle_pruned_diff(
     source: DataFrame,
     target: DataFrame,
@@ -734,23 +801,9 @@ def merkle_pruned_diff(
     n1, n2 = levels
     assert n2 % n1 == 0, "fine level must nest inside coarse"
     kcols = [F.col(k) for k in keys]
-    val_cols = sorted(c for c in source.columns if c not in keys)
-    canon = F.concat_ws(
-        "\x01", *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-            for c in val_cols
-        ]
-    )
 
     def fine_cells(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
-                F.pmod(F.xxhash64(*kcols), F.lit(n2)).alias("b2"),
-                F.xxhash64(canon).alias("hv"),
-            )
-            .groupBy("b2")
-            .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("hv").alias("dig"))
-        )
+        return bucket_digests(df, keys, n2).withColumnRenamed("bucket", "b2")
 
     sc, tc = fine_cells(source), fine_cells(target)
     cells = (

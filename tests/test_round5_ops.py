@@ -354,3 +354,50 @@ def test_bfs_matches_python_simulation(spark):
         for r in q_graph_bfs(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_incremental_digests_equal_recompute(spark):
+    """CDC digest maintenance: fold a change batch's before/after
+    images into the digest state and get EXACTLY the digest of the
+    post-change table — no rescan."""
+    from scylla_pg_cdc_spark.operators.reconcile import (
+        bucket_digests,
+        merge_digest_deltas,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    n = 256
+    state0 = bucket_digests(orders, ["o_orderkey"], n)
+
+    # change batch: delete keys %17==0, update totalprice for %13==0,
+    # insert clones at key+5000000 for %11==0
+    deleted = orders.filter(F.col("o_orderkey") % 17 == 0)
+    upd_before = orders.filter(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 17 != 0)
+    )
+    upd_after = upd_before.withColumn(
+        "o_totalprice", F.col("o_totalprice") + 7.5
+    )
+    inserted = orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 5000000
+    )
+    removed = deleted.unionByName(upd_before)
+    added = upd_after.unionByName(inserted)
+
+    applied = (
+        orders.join(
+            removed.select("o_orderkey"), "o_orderkey", "left_anti"
+        )
+        .unionByName(added)
+    )
+    want = {
+        r["bucket"]: (r["n"], r["dig"])
+        for r in bucket_digests(applied, ["o_orderkey"], n).collect()
+    }
+    got = {
+        r["bucket"]: (r["n"], r["dig"])
+        for r in merge_digest_deltas(
+            state0, removed, added, ["o_orderkey"], n
+        ).collect()
+    }
+    assert got == want
