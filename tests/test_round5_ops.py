@@ -401,3 +401,65 @@ def test_incremental_digests_equal_recompute(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_epochs_maintain_digests(spark):
+    """End-to-end digest maintenance over the CDC upsert pipeline's
+    OWN epoch mechanics: replay event batches through
+    compact_latest_agg + state_transition (exactly what the streaming
+    foreachBatch uses for its MV delta), fold each epoch's
+    (removed, added) into the digest state, and the final digests
+    must equal a from-scratch recompute of the final latest-state
+    table."""
+    from scylla_pg_cdc_spark.operators.cdc import compact_latest_agg
+    from scylla_pg_cdc_spark.operators.reconcile import (
+        bucket_digests,
+        merge_digest_deltas,
+    )
+    from scylla_pg_cdc_spark.streaming.mv import state_transition
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            "event_id",
+            F.col("user_id").cast("string").alias("key"),
+            F.when(F.col("event_type") == "error", "d")
+            .otherwise("u")
+            .alias("op"),
+            "event_type",
+            "value",
+            "props",
+            F.unix_millis("ts").alias("commit_ms"),
+        )
+    )
+    n = 64
+    state = None
+    digests = spark.createDataFrame([], "bucket long, n long, dig long")
+    for epoch in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == epoch)
+        batch_latest = compact_latest_agg(batch, keep_deleted=True).drop(
+            "__deleted"
+        )
+        removed, added = state_transition(state, batch_latest, "key")
+        digests = merge_digest_deltas(
+            digests, removed, added, ["key"], n
+        ).localCheckpoint()
+        # apply the same transition to the state table
+        touched = batch_latest.select("key").distinct()
+        if state is None:
+            state = added.localCheckpoint()
+        else:
+            state = (
+                state.join(touched, "key", "left_anti")
+                .unionByName(added.select(*state.columns))
+                .localCheckpoint()
+            )
+    want = {
+        r["bucket"]: (r["n"], r["dig"])
+        for r in bucket_digests(state, ["key"], n).collect()
+    }
+    got = {
+        r["bucket"]: (r["n"], r["dig"]) for r in digests.collect()
+    }
+    assert got == want
+    assert got, "final state must be non-empty"
