@@ -606,3 +606,97 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
         ).alias("revenue_cents"),
     )
+
+
+_ER_ROUNDS = 4
+
+
+def _entity_resolution_sql(rounds: int = _ER_ROUNDS) -> str:
+    sql = """
+    WITH pairs AS (
+        SELECT a.c_custkey AS a, b.c_custkey AS b
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ), me AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b AS src, a AS dst FROM pairs
+        UNION ALL SELECT n AS src, n AS dst FROM (
+            SELECT DISTINCT a AS n FROM pairs
+            UNION SELECT DISTINCT b AS n FROM pairs
+        )
+    ), l0 AS (
+        SELECT DISTINCT src AS n, src AS lbl FROM me
+    )"""
+    prev = "l0"
+    for it in range(1, rounds + 1):
+        sql += f""",
+    l{it} AS (
+        SELECT m.dst AS n, MIN(p.lbl) AS lbl
+        FROM me m JOIN {prev} p ON m.src = p.n
+        GROUP BY m.dst
+    )"""
+        prev = f"l{it}"
+    sql += f"""
+    SELECT CAST(lbl AS BIGINT) AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM {prev} GROUP BY lbl HAVING COUNT(*) >= 2
+    """
+    return sql
+
+
+@query("q_entity_resolution", oracle=_entity_resolution_sql())
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (the MDM / record-dedup workload):
+    (1) blocked fuzzy match — customer-name pairs within edit
+    distance 2 inside a nation block (``q_fuzzy_name_match``'s
+    candidate discipline); (2) transitive closure by 4-round
+    min-label propagation over the match graph (self-loop linear
+    unrolling, as q_graph_components); (3) canonical entity id =
+    cluster minimum, reporting every multi-member entity with its
+    member count. This is the composition the pieces exist for —
+    pairwise similarity alone over-merges nothing and under-merges
+    chains (A~B, B~C but A!~C), which the closure resolves. Scale:
+    pair generation is block-bounded quadratic, propagation is
+    match-graph-sized (tiny relative to the corpus — only similar
+    names appear), output is entities, not pairs."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    ).repartition(32, "a")
+    b = c.select(
+        F.col("c_custkey").alias("b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    pairs = (
+        a.join(b, "nk")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("a", "b")
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionAll(pairs.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    me = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .unionAll(nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")))
+        .localCheckpoint()
+    )
+    lbl = nodes.withColumn("lbl", F.col("n"))
+    for _ in range(_ER_ROUNDS):
+        lbl = (
+            me.join(F.broadcast(lbl.withColumnRenamed("n", "src")), "src")
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return (
+        lbl.groupBy(F.col("lbl").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )

@@ -129,3 +129,23 @@ def test_audit_fk_without_broadcast_matches_broadcast(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "broadcast" not in plan.lower()
+
+
+def test_floordiv_sql_random_sweep(spark):
+    """200 seeded random (num, den) pairs, both signs of num, in one
+    DataFrame pass — floordiv_sql must equal Python // everywhere."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = [
+        (rng.randint(-10**12, 10**12), rng.randint(1, 10**6))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "num long, den long")
+    got = [
+        r["fd"]
+        for r in df.select(
+            F.expr(floordiv_sql("num", "den")).alias("fd")
+        ).collect()
+    ]
+    assert got == [n // d for n, d in rows]
