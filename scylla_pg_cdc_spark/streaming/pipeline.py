@@ -233,6 +233,45 @@ def fold_mv_bucketed(
     os.rename(next_dir, mv_dir)
 
 
+def fold_digests(
+    digest_dir: str,
+    removed: DataFrame,
+    added: DataFrame,
+    marker: str,
+    n_buckets: int,
+) -> None:
+    """Fold one epoch's (removed, added) state delta into the
+    anti-entropy digest state (``operators/reconcile.py``:
+    ``merge_digest_deltas`` — XOR out before-images, XOR in
+    after-images). The digest frame is only ``n_buckets`` rows, so a
+    full rewrite per epoch is already O(delta)-dominated; the epoch
+    marker is staged inside the new directory and committed by the
+    same atomic rename (idempotent under epoch replay). This keeps
+    replica-comparison state (``q_merkle_diff`` shape) HOT as changes
+    stream in — reconciliation never rescans the target."""
+    import shutil
+
+    from scylla_pg_cdc_spark.operators.reconcile import merge_digest_deltas
+
+    spark = removed.sparkSession
+    if os.path.exists(digest_dir):
+        state = spark.read.parquet(digest_dir).select("bucket", "n", "dig")
+    else:
+        state = spark.createDataFrame([], "bucket long, n long, dig long")
+    new = merge_digest_deltas(state, removed, added, ["key"], n_buckets)
+    next_dir = digest_dir + "_next"
+    shutil.rmtree(next_dir, ignore_errors=True)
+    new.repartition(1).write.mode("overwrite").parquet(next_dir)
+    with open(os.path.join(next_dir, "_EPOCH"), "w") as f:
+        f.write(marker)
+    back = digest_dir + "_prev"
+    shutil.rmtree(back, ignore_errors=True)
+    if os.path.exists(digest_dir):
+        os.rename(digest_dir, back)
+    os.rename(next_dir, digest_dir)
+    shutil.rmtree(back, ignore_errors=True)
+
+
 def merge_batch_into_state(
     batch: DataFrame,
     state_dir: str,
@@ -356,6 +395,7 @@ def run_upsert_pipeline(
     mv_spec: tuple[list[str], list[str]] | None = None,
     state_buckets: int = STATE_BUCKETS,
     state_mode: str = "merge",
+    digest_buckets: int | None = None,
 ) -> dict[str, str]:
     """End-to-end streaming CDC pipeline with DLQ split:
     readStream -> transform -> foreachBatch(main: upsert merge with
@@ -374,6 +414,11 @@ def run_upsert_pipeline(
     (``fold_mv_bucketed``), the upgrade over the reference's O(table)
     REFRESH (S12).
 
+    ``digest_buckets=N`` additionally maintains anti-entropy bucket
+    digests at ``work_dir/digests`` from the same per-epoch state
+    delta (``fold_digests``) — the live replica-comparison state the
+    reconciliation layer diffs against a target without rescans.
+
     ``state_mode``: ``merge`` (eager per-epoch compaction — cheap
     reads) or ``lsm`` (O(batch) appends + amortized compaction via
     ``streaming/lsm_state.py`` — write-heavy CDC firehose; read the
@@ -384,6 +429,7 @@ def run_upsert_pipeline(
     state_dir = os.path.join(work_dir, "state")
     dlq_dir = os.path.join(work_dir, "dlq")
     mv_dir = os.path.join(work_dir, "mv")
+    digest_dir = os.path.join(work_dir, "digests")
     checkpoint = os.path.join(work_dir, "checkpoint")
 
     stream = to_change_events(
@@ -393,6 +439,13 @@ def run_upsert_pipeline(
     def _mv_marker() -> str | None:
         try:
             with open(os.path.join(mv_dir, "_EPOCH")) as f:
+                return f.read().strip()
+        except OSError:
+            return None
+
+    def _digest_marker() -> str | None:
+        try:
+            with open(os.path.join(digest_dir, "_EPOCH")) as f:
                 return f.read().strip()
         except OSError:
             return None
@@ -437,13 +490,22 @@ def run_upsert_pipeline(
             clean = batch.filter(~poison)
             delta = None
             marker = f"epoch-{epoch_id}"
-            if mv_spec is not None and _mv_marker() != marker:
-                # the marker makes the fold idempotent under epoch
-                # replay: a crash after the MV swap but before the
+            need_mv = mv_spec is not None and _mv_marker() != marker
+            need_dig = (
+                digest_buckets is not None and _digest_marker() != marker
+            )
+            if need_mv or need_dig:
+                # the marker makes each fold idempotent under epoch
+                # replay: a crash after a swap but before the
                 # checkpoint commit re-enters with the same epoch_id
                 # and skips the second fold
                 delta = compute_mv_delta(clean)
+            if need_mv:
                 _fold_mv(delta[0], delta[1], marker)
+            if need_dig:
+                fold_digests(
+                    digest_dir, delta[0], delta[1], marker, digest_buckets
+                )
             if state_mode == "lsm":
                 from scylla_pg_cdc_spark.streaming.lsm_state import maintain
 
@@ -467,7 +529,15 @@ def run_upsert_pipeline(
                 if delta is not None:
                     # compensate: the state never received this batch,
                     # so fold the inverse delta (swap removed/added)
-                    _fold_mv(delta[1], delta[0], marker + "-compensated")
+                    if need_mv:
+                        _fold_mv(
+                            delta[1], delta[0], marker + "-compensated"
+                        )
+                    if need_dig:
+                        fold_digests(
+                            digest_dir, delta[1], delta[0],
+                            marker + "-compensated", digest_buckets,
+                        )
             finally:
                 if delta is not None:
                     delta[0].unpersist()
@@ -486,6 +556,7 @@ def run_upsert_pipeline(
         "state": state_dir,
         "dlq": dlq_dir,
         "mv": mv_dir,
+        "digests": digest_dir,
         "checkpoint": checkpoint,
     }
 

@@ -463,3 +463,33 @@ def test_streaming_epochs_maintain_digests(spark):
     }
     assert got == want
     assert got, "final state must be non-empty"
+
+
+def test_pipeline_maintains_digests_end_to_end(spark, tmp_path):
+    """Full streaming run (availableNow, multi-epoch) with
+    digest_buckets set: the digests state at the end must equal a
+    from-scratch digest of the live latest-state view."""
+    from scylla_pg_cdc_spark.operators.reconcile import bucket_digests
+    from scylla_pg_cdc_spark.streaming.pipeline import (
+        latest_state,
+        run_upsert_pipeline,
+    )
+
+    out = run_upsert_pipeline(
+        spark,
+        SF_SMALL,
+        str(tmp_path / "wd"),
+        digest_buckets=32,
+        max_files_per_trigger=1,
+    )
+    live = latest_state(spark, out["state"])
+    want = {
+        r["bucket"]: (r["n"], r["dig"])
+        for r in bucket_digests(live, ["key"], 32).collect()
+    }
+    got = {
+        r["bucket"]: (r["n"], r["dig"])
+        for r in spark.read.parquet(out["digests"]).collect()
+    }
+    assert got == want
+    assert got
