@@ -493,3 +493,72 @@ def test_pipeline_maintains_digests_end_to_end(spark, tmp_path):
     }
     assert got == want
     assert got
+
+
+def test_two_replica_digest_first_reconciliation(spark, tmp_path):
+    """The reference's core workload, streaming + digest-first: two
+    replicas ingest CDC feeds that diverge (replica B's feed lost
+    some users' events); each pipeline maintains live digests; the
+    digest comparison flags a bucket superset of every divergent key,
+    and the row-level diff restricted to flagged buckets equals the
+    unrestricted diff."""
+    from pyspark.sql import functions as SF
+
+    from scylla_pg_cdc_spark.operators.reconcile import diff_datasets
+    from scylla_pg_cdc_spark.streaming.pipeline import (
+        latest_state,
+        run_upsert_pipeline,
+    )
+
+    n = 32
+    # replica B's feed: events minus users %7==0 (a lost partition),
+    # written as a single parquet FILE (the stream glob matches files)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    b_dir = tmp_path / "replicaB"
+    b_dir.mkdir()
+    pdf = src.filter(SF.col("user_id") % 7 != 0).toPandas()
+    pq.write_table(
+        pa.Table.from_pandas(pdf), str(b_dir / "events.parquet")
+    )
+    out_a = run_upsert_pipeline(
+        spark, SF_SMALL, str(tmp_path / "wa"), digest_buckets=n
+    )
+    out_b = run_upsert_pipeline(
+        spark, str(b_dir), str(tmp_path / "wb"), digest_buckets=n
+    )
+    da = {
+        r["bucket"]: (r["n"], r["dig"])
+        for r in spark.read.parquet(out_a["digests"]).collect()
+    }
+    db = {
+        r["bucket"]: (r["n"], r["dig"])
+        for r in spark.read.parquet(out_b["digests"]).collect()
+    }
+    flagged = {
+        b for b in set(da) | set(db) if da.get(b) != db.get(b)
+    }
+    assert flagged, "divergent replicas must flag buckets"
+
+    live_a = latest_state(spark, out_a["state"])
+    live_b = latest_state(spark, out_b["state"])
+    full = {
+        (r["key"], r["diff_type"])
+        for r in diff_datasets(live_a, live_b, ["key"])
+        .filter(SF.col("diff_type") != "match")
+        .collect()
+    }
+    assert full, "replicas must actually differ at row level"
+    # every divergent key's bucket is flagged (digest-first is safe)
+    kb = {
+        r["key"]: r["b"]
+        for r in live_a.select("key")
+        .unionByName(live_b.select("key"))
+        .distinct()
+        .select("key", SF.pmod(SF.xxhash64("key"), SF.lit(n)).alias("b"))
+        .collect()
+    }
+    for key, _ in full:
+        assert kb[key] in flagged
