@@ -570,3 +570,107 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(rows).alias("r")).select(
         "r.pattern", "r.n_users", "r.share_ppm"
     )
+
+
+_OVERLAP_TTL_MS = 300_000  # each event counts as "active" for 5 minutes
+_OVERLAP_DAY_MS = 86_400_000
+
+
+@query(
+    "q_interval_overlap",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, epoch_ms(ts) AS t, 1 AS dlt FROM events
+        UNION ALL
+        SELECT event_type, epoch_ms(ts) + {_OVERLAP_TTL_MS}, -1 FROM events
+    ), net AS (
+        SELECT event_type, t, CAST(SUM(dlt) AS BIGINT) AS net
+        FROM d GROUP BY event_type, t
+    ), run AS (
+        SELECT event_type, t,
+               SUM(net) OVER (
+                   PARTITION BY event_type ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS conc
+        FROM net
+    ), pk AS (
+        SELECT event_type, t, conc,
+               MAX(conc) OVER (PARTITION BY event_type) AS pkc
+        FROM run
+    )
+    SELECT event_type,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(MIN(CASE WHEN conc = pkc THEN t END) AS BIGINT)
+               AS peak_first_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_timepoints
+    FROM pk GROUP BY event_type
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval-overlap: peak number of simultaneously
+    "active" events per type, where an event is active for 5 minutes
+    after its timestamp (the live-sessions / connection-concurrency
+    gauge the reference samples point-in-time via pg_stat_activity,
+    `src/monitoring/metrics.py:24-85`, computed exactly over history).
+
+    Classic sweep: +1 at each start, -1 at each expiry, sort, running
+    sum, max.  The naive form windows over ``PARTITION BY event_type``
+    — with a handful of types that is a per-type serial scan, the one
+    low-cardinality-partition trap in this suite.  So the Spark plan is
+    the TWO-PHASE parallel prefix sum: running sums are computed inside
+    (event_type, day) slices — thousands of fine partitions — and each
+    slice's opening offset comes from a tiny per-day net table (types ×
+    days rows) that cumulates per-day deltas and broadcast-joins back.
+    conc(t) = day_offset(type, day(t)) + running_within_day(t).  The
+    oracle keeps the naive single-window form, so the equality check
+    proves the decomposition; at 100 TB the slice width just narrows
+    (hour/minute) to keep partitions bounded.  All-integer output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("s")
+    )
+    deltas = ev.select("event_type", F.col("s").alias("t"), F.lit(1).alias("dlt")).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("s") + F.lit(_OVERLAP_TTL_MS)).alias("t"),
+            F.lit(-1).alias("dlt"),
+        )
+    )
+    net = (
+        deltas.groupBy("event_type", "t")
+        .agg(F.sum("dlt").cast("long").alias("net"))
+        .withColumn("day", F.expr(f"t DIV {_OVERLAP_DAY_MS}"))
+    )
+    # phase 1: running sum inside each (type, day) slice
+    w_slice = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inslice = net.withColumn("run_in", F.sum("net").over(w_slice))
+    # phase 2: per-day totals -> exclusive prefix offsets (tiny table)
+    day_net = net.groupBy("event_type", "day").agg(
+        F.sum("net").alias("day_sum")
+    )
+    w_days = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = day_net.select(
+        "event_type",
+        "day",
+        F.coalesce(F.sum("day_sum").over(w_days), F.lit(0)).alias("off"),
+    )
+    run = inslice.join(F.broadcast(offsets), ["event_type", "day"]).select(
+        "event_type", "t", (F.col("off") + F.col("run_in")).alias("conc")
+    )
+    pk = run.withColumn(
+        "pkc", F.max("conc").over(Window.partitionBy("event_type"))
+    )
+    return pk.groupBy("event_type").agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        F.min(F.when(F.col("conc") == F.col("pkc"), F.col("t")))
+        .cast("long")
+        .alias("peak_first_ms"),
+        F.count(F.lit(1)).alias("n_timepoints"),
+    )

@@ -398,3 +398,114 @@ def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (SUM(c) * SUM(c)) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+_BM25_TERMS = ("scan", "merge", "vector")
+_BM25_TERMS_SQL = "('scan', 'merge', 'vector')"
+
+
+@query(
+    "q_text_bm25",
+    oracle="""
+    WITH toks AS (
+""" + _TOK_SQL + """
+    ), t AS (
+        SELECT doc_id, token FROM toks WHERE length(token) > 0
+    ), dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        FROM t GROUP BY doc_id
+    ), tot AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS tt,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t WHERE token IN """ + _BM25_TERMS_SQL + """
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY token
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                   1000000.0
+                   * (CAST(2 * tot.nd - 2 * df.df + 1 AS DOUBLE)
+                      / CAST(2 * df.df + 1 AS DOUBLE))
+                   * (CAST(CAST(44 AS HUGEINT) * tot.tt * tf.tf AS DOUBLE)
+                      / CAST(CAST(20 AS HUGEINT) * tot.tt * tf.tf
+                             + CAST(6 AS HUGEINT) * tot.tt
+                             + CAST(18 AS HUGEINT) * dl.dl * tot.nd
+                             AS DOUBLE))
+                   + 0.5) AS BIGINT) AS term_micro
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN df ON tf.token = df.token
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(term_micro) AS BIGINT) AS bm25_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term
+    query, top-20 documents — the ranking face of the inverted-index /
+    TF-IDF layer (`q_inverted_index`, `operators/text.py` TF-IDF), and
+    the relevance filter an LLM-data pipeline uses for targeted corpus
+    selection.
+
+    Portability per the module rule: no ln(). The IDF factor is the
+    exact odds form (N - df + 0.5)/(df + 0.5) = (2N-2df+1)/(2df+1)
+    (rank-equivalent to the log IDF, which is its monotone transform),
+    and the tf saturation with k1=6/5, b=3/4 reduces over a common
+    denominator to the all-integer rational 44*T*tf / (20*T*tf + 6*T
+    + 18*dl*N) where T = total tokens, N = doc count (avgdl = T/N
+    never materializes as a float). Integer products are widened
+    (decimal(38,0) / HUGEINT) before the double division, each
+    per-term score is micro-quantized BEFORE the per-doc sum, and the
+    final ordering is on exact integers. Plan: token explode -> two
+    bounded aggregations (per-doc length, per-doc tf over only the
+    query terms), query-sized df table broadcast back, corpus totals
+    as a 1-row broadcast cross join, TakeOrdered top-20."""
+    t = _tokens(spark, sf_dir).select("doc_id", "token")
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(
+        F.sum("dl").cast("long").alias("tt"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    tf = (
+        t.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    term_micro = F.expr(
+        "CAST(FLOOR("
+        " 1000000.0"
+        " * (CAST(2 * nd - 2 * df + 1 AS DOUBLE)"
+        "    / CAST(2 * df + 1 AS DOUBLE))"
+        " * (CAST(CAST(44 AS DECIMAL(38,0)) * tt * tf AS DOUBLE)"
+        "    / CAST(CAST(20 AS DECIMAL(38,0)) * tt * tf"
+        "           + CAST(6 AS DECIMAL(38,0)) * tt"
+        "           + CAST(18 AS DECIMAL(38,0)) * dl * nd"
+        "           AS DOUBLE))"
+        " + 0.5) AS BIGINT)"
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", term_micro.alias("term_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("term_micro").cast("long").alias("bm25_micro"),
+        )
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(20)
+    )

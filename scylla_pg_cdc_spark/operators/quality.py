@@ -9,7 +9,8 @@ one summary row per rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.functions import constraints as C
 from scylla_pg_cdc_spark.registry import query
@@ -102,3 +103,129 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("lineitem", "orders", "customer")
     }
     return C.audit(tables, _RULES)
+
+
+@query(
+    "q_drift_ks",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc,
+               epoch_ms(ts) AS ts_ms
+        FROM events WHERE value IS NOT NULL
+    ), mid AS (
+        SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS m FROM ev
+    ), pt AS (
+        SELECT event_type, vc,
+               CAST(SUM(CASE WHEN ts_ms <= (SELECT m FROM mid)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN ts_ms <= (SELECT m FROM mid)
+                        THEN 0 ELSE 1 END) AS BIGINT) AS d2
+        FROM ev GROUP BY event_type, vc
+    ), cum AS (
+        SELECT event_type, vc,
+               SUM(d1) OVER (PARTITION BY event_type ORDER BY vc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+               SUM(d2) OVER (PARTITION BY event_type ORDER BY vc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+               SUM(d1) OVER (PARTITION BY event_type) AS n1,
+               SUM(d2) OVER (PARTITION BY event_type) AS n2
+        FROM pt
+    ), dist AS (
+        SELECT event_type, n1, n2,
+               ABS(CAST(c1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+                   - CAST(c2 AS HUGEINT) * CAST(n1 AS HUGEINT)) AS num
+        FROM cum
+    )
+    SELECT event_type,
+           CAST(MAX(n1) AS BIGINT) AS n_early,
+           CAST(MAX(n2) AS BIGINT) AS n_late,
+           CAST(FLOOR(1000000.0 * CAST(MAX(num) AS DOUBLE)
+                / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE))
+                + 0.5) AS BIGINT) AS ks_ppm
+    FROM dist GROUP BY event_type
+    """,
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event type:
+    split the events stream at its temporal midpoint and measure the
+    largest ECDF gap between the early and late value distributions —
+    the distribution-drift monitor a CDC consumer runs to catch upstream
+    semantic changes that row counts and checksums miss (complements
+    the reference's count/lag metrics, `src/monitoring/metrics.py`).
+
+    Exact-integer core: at every observed value x, |F1(x) - F2(x)| =
+    |c1*n2 - c2*n1| / (n1*n2); the numerator is maximized in widened
+    integer arithmetic (Spark decimal(38,0), DuckDB HUGEINT — c1*n2
+    overflows int64 once both halves pass ~3e9 rows) so the argmax is
+    exact, and only the final reported ratio is micro-quantized through
+    a mirrored double expression. Plan: one scan -> (type, cent) counts
+    with the early/late split folded into the same aggregation, cumsums
+    over the per-type distinct-value table (distribution-sized, not
+    data-sized), then a per-type max. The temporal midpoint is a 1-row
+    broadcast scalar."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+    )
+    mid = ev.agg(
+        F.expr("(MIN(ts_ms) + MAX(ts_ms)) DIV 2").alias("m")
+    )
+    pt = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "vc")
+        .agg(
+            F.sum(F.when(F.col("ts_ms") <= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("d1"),
+            F.sum(F.when(F.col("ts_ms") <= F.col("m"), 0).otherwise(1))
+            .cast("long")
+            .alias("d2"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = pt.select(
+        "event_type",
+        F.sum("d1").over(w_cum).alias("c1"),
+        F.sum("d2").over(w_cum).alias("c2"),
+        F.sum("d1").over(w_all).alias("n1"),
+        F.sum("d2").over(w_all).alias("n2"),
+    )
+    dist = cum.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("c1").cast("decimal(38,0)")
+            * F.col("n2").cast("decimal(38,0)")
+            - F.col("c2").cast("decimal(38,0)")
+            * F.col("n1").cast("decimal(38,0)")
+        ).alias("num"),
+    )
+    return dist.groupBy("event_type").agg(
+        F.max("n1").cast("long").alias("n_early"),
+        F.max("n2").cast("long").alias("n_late"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.max("num").cast("double")
+            / (
+                F.max("n1").cast("double")
+                * F.max("n2").cast("double")
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ks_ppm"),
+    )

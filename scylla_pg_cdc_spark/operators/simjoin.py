@@ -345,6 +345,14 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY substr(reverse(text), 1, 24), doc_id
                ) AS rk
         FROM documents
+    ), r3 AS (
+        SELECT doc_id,
+               lang || '|' || CAST(n_chars // 64 AS VARCHAR) AS blk,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang || '|' || CAST(n_chars // 64 AS VARCHAR)
+                   ORDER BY n_chars, doc_id
+               ) AS rk
+        FROM documents
     ), cand AS (
         SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
                GREATEST(a.doc_id, b.doc_id) AS doc_b
@@ -354,6 +362,11 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT LEAST(a.doc_id, b.doc_id),
                GREATEST(a.doc_id, b.doc_id)
         FROM r2 a JOIN r2 b
+          ON a.blk = b.blk AND b.rk > a.rk AND b.rk <= a.rk + {_SNM_WINDOW}
+        UNION
+        SELECT DISTINCT LEAST(a.doc_id, b.doc_id),
+               GREATEST(a.doc_id, b.doc_id)
+        FROM r3 a JOIN r3 b
           ON a.blk = b.blk AND b.rk > a.rk AND b.rk <= a.rk + {_SNM_WINDOW}
     ), dtok AS (
         SELECT DISTINCT doc_id, token FROM (
@@ -383,13 +396,15 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-pass sorted-neighborhood (the form Hernandez-Stolfo
     actually recommend): a single sort key misses near-dups whose
-    difference lands in the key, so run TWO independent passes — one
-    keyed on the text's head, one on its reversed tail — and union the
-    candidate pairs before the exact verify. Each pass stays linear
-    (n * w candidates) and block-partitioned, so k passes cost k
-    linear scans, the standard recall/cost dial; recall is strictly >=
-    any single pass by construction (pinned in tests). Verify and
-    output are identical to ``q_sorted_neighborhood``."""
+    difference lands in the key, so run THREE independent passes — one
+    keyed on the text's head, one on its reversed tail, and one on
+    document metadata (lang, n_chars DIV 64) ordered by length, which
+    catches prefix-divergent pairs whose edit lands at both ends of the
+    text — and union the candidate pairs before the exact verify. Each
+    pass stays linear (n * w candidates) and block-partitioned, so k
+    passes cost k linear scans, the standard recall/cost dial; recall
+    is strictly >= any single pass by construction (pinned in tests).
+    Verify and output are identical to ``q_sorted_neighborhood``."""
     docs = load_table(spark, sf_dir, "documents")
 
     def pass_cands(key_col):
@@ -421,9 +436,39 @@ def q_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    meta = docs.select(
+        "doc_id",
+        "n_chars",
+        # F.concat null-propagates like DuckDB's || (concat_ws would
+        # silently skip a NULL lang and diverge from the oracle)
+        F.concat(
+            F.col("lang"),
+            F.lit("|"),
+            F.expr("n_chars DIV 64").cast("string"),
+        ).alias("blk"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("blk").orderBy("n_chars", "doc_id")
+        ),
+    )
+    ma = meta.select("blk", F.col("doc_id").alias("da"), F.col("rk").alias("ra"))
+    mb = meta.select("blk", F.col("doc_id").alias("db"), F.col("rk").alias("rb"))
+    meta_cands = (
+        ma.join(mb, "blk")
+        .filter(
+            (F.col("rb") > F.col("ra"))
+            & (F.col("rb") <= F.col("ra") + _SNM_WINDOW)
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+    )
     cand = (
         pass_cands(F.col("text"))
         .unionAll(pass_cands(F.reverse(F.col("text"))))
+        .unionAll(meta_cands)
         .distinct()
     )
     dtok = (

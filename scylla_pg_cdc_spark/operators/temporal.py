@@ -267,3 +267,90 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vc").isNotNull().alias("observed"),
         )
     )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
+               epoch_ms(ts) AS ts_ms,
+               event_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ), rn AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, hour_ms
+                   ORDER BY ts_ms, event_id
+               ) AS rna,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, hour_ms
+                   ORDER BY ts_ms DESC, event_id DESC
+               ) AS rnd
+        FROM ev
+    )
+    SELECT event_type, CAST(hour_ms AS BIGINT) AS hour_ms,
+           CAST(MAX(CASE WHEN rna = 1 THEN vc END) AS BIGINT) AS open_c,
+           CAST(MAX(vc) AS BIGINT) AS high_c,
+           CAST(MIN(vc) AS BIGINT) AS low_c,
+           CAST(MAX(CASE WHEN rnd = 1 THEN vc END) AS BIGINT) AS close_c,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vc) AS BIGINT) AS vol_c
+    FROM rn GROUP BY event_type, hour_ms
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event type — the
+    time-series downsampling shape every monitoring/trading consumer
+    of a CDC feed materializes (the reference's warehouse rollup
+    views, `docker/postgres/init.sql:195-206`, as candlesticks).
+
+    Open/close are first/last by (ts, event_id) — picked with two
+    row_number windows over the SAME (type, hour) partitioning and
+    folded in the grouped aggregation via MAX(CASE WHEN rn=1 ...), so
+    the whole query is one shuffle: the window partition key equals
+    the groupBy key and AQE coalesces them into a single exchange.
+    Values quantized to exact cents (the repo's money convention,
+    `functions/money.py`); ties broken deterministically by event_id.
+    Bars partition perfectly at 100 TB — (type, hour) cardinality
+    grows with time span, not data volume, and no bar ever exceeds one
+    hour of one type's events."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.expr("(unix_millis(ts) DIV 3600000) * 3600000").alias(
+                "hour_ms"
+            ),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+        )
+    )
+    part = Window.partitionBy("event_type", "hour_ms")
+    rn = ev.withColumn(
+        "rna",
+        F.row_number().over(part.orderBy("ts_ms", "event_id")),
+    ).withColumn(
+        "rnd",
+        F.row_number().over(
+            part.orderBy(F.desc("ts_ms"), F.desc("event_id"))
+        ),
+    )
+    return rn.groupBy("event_type", "hour_ms").agg(
+        F.max(F.when(F.col("rna") == 1, F.col("vc")))
+        .cast("long")
+        .alias("open_c"),
+        F.max("vc").cast("long").alias("high_c"),
+        F.min("vc").cast("long").alias("low_c"),
+        F.max(F.when(F.col("rnd") == 1, F.col("vc")))
+        .cast("long")
+        .alias("close_c"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vc").cast("long").alias("vol_c"),
+    )

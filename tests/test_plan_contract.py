@@ -59,6 +59,15 @@ BUDGETS = {
     "q_sketch_countmin": (5, 4, 0, False),
     # lead window + agg share the user_id partitioning: ONE shuffle
     "q_event_autocorr": (1, 0, 0, True),
+    # OHLC: both row_number windows + the groupBy share ONE
+    # (type, hour) exchange
+    "q_ohlc_bars": (1, 0, 0, True),
+    # KS drift: split-fold agg + per-type cumsum + final max; the
+    # temporal midpoint rides a broadcast 1-row cross join
+    "q_drift_ks": (3, 0, 0, True),
+    # two-phase sweep: the per-day offset table joins back as a
+    # BROADCAST (a shuffled join here would serialize on event_type)
+    "q_interval_overlap": (6, 1, 0, True),
 }
 
 
@@ -100,8 +109,11 @@ def test_plan_budget(spark, name):
             "q_vector_ivfpq_knn", "q_zorder_layout",
             # q_graph_triangles attaches its four single-row summary
             # aggregates (tri/wedges/nodes/edges) the same way;
-            # q_kmv_setops its three single-row sketch states
+            # q_kmv_setops its three single-row sketch states;
+            # q_drift_ks its 1-row temporal midpoint; q_text_bm25 its
+            # 1-row corpus totals (T tokens, N docs)
             "q_graph_triangles", "q_kmv_setops",
+            "q_drift_ks", "q_text_bm25",
         )
     ),
 )

@@ -1,0 +1,163 @@
+"""Round-5 continuation operators: independent pure-Python
+recomputations of the sweep-line overlap, OHLC bars, KS drift, and
+BM25 queries (the DuckDB differential runs in tools/check_oracle.py;
+these prove the algorithms against a DIFFERENT formulation — an
+imperative simulation — not just a mirrored expression tree)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from scylla_pg_cdc_spark.operators.analytics import (
+    _OVERLAP_TTL_MS,
+    q_interval_overlap,
+)
+from scylla_pg_cdc_spark.operators.corpus import _BM25_TERMS, q_text_bm25
+from scylla_pg_cdc_spark.operators.quality import q_drift_ks
+from scylla_pg_cdc_spark.operators.temporal import q_ohlc_bars
+from scylla_pg_cdc_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def _events(spark):
+    return [
+        (
+            r["event_type"],
+            int(r["ts"].timestamp() * 1000),
+            r["event_id"],
+            r["value"],
+        )
+        for r in load_table(spark, SF_SMALL, "events").collect()
+    ]
+
+
+def test_interval_overlap_matches_serial_sweep(spark):
+    """Two-phase distributed prefix sum must equal a serial
+    event-by-event sweep over the sorted delta list."""
+    deltas: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for et, ms, _eid, _v in _events(spark):
+        deltas[et][ms] += 1
+        deltas[et][ms + _OVERLAP_TTL_MS] -= 1
+    want = {}
+    for et, dd in deltas.items():
+        conc, peak, first = 0, -(10**18), None
+        for t in sorted(dd):
+            conc += dd[t]
+            if conc > peak:
+                peak, first = conc, t
+        want[et] = (peak, first, len(dd))
+    got = {
+        r["event_type"]: (
+            r["peak_concurrency"],
+            r["peak_first_ms"],
+            r["n_timepoints"],
+        )
+        for r in q_interval_overlap(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_ohlc_bars_match_serial_recompute(spark):
+    """Window+group OHLC must equal an imperative per-bucket fold."""
+    bars: dict[tuple, list] = {}
+    for et, ms, eid, v in _events(spark):
+        if v is None:
+            continue
+        vc = math.floor(v * 100.0 + 0.5)
+        hour = (ms // 3600000) * 3600000
+        k = (et, hour)
+        b = bars.get(k)
+        if b is None:
+            # [open_key, open, high, low, close_key, close, n, vol]
+            bars[k] = [(ms, eid), vc, vc, vc, (ms, eid), vc, 1, vc]
+        else:
+            if (ms, eid) < b[0]:
+                b[0], b[1] = (ms, eid), vc
+            b[2] = max(b[2], vc)
+            b[3] = min(b[3], vc)
+            if (ms, eid) > b[4]:
+                b[4], b[5] = (ms, eid), vc
+            b[6] += 1
+            b[7] += vc
+    want = {
+        k: (b[1], b[2], b[3], b[5], b[6], b[7]) for k, b in bars.items()
+    }
+    got = {
+        (r["event_type"], r["hour_ms"]): (
+            r["open_c"],
+            r["high_c"],
+            r["low_c"],
+            r["close_c"],
+            r["n_events"],
+            r["vol_c"],
+        )
+        for r in q_ohlc_bars(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_drift_ks_matches_serial_ecdf(spark):
+    """Distributed cumsum KS must equal the textbook two-sample ECDF
+    scan, including the exact-integer argmax."""
+    ev = [(et, ms, v) for et, ms, _e, v in _events(spark) if v is not None]
+    mid = (min(ms for _, ms, _ in ev) + max(ms for _, ms, _ in ev)) // 2
+    samples: dict[str, tuple[list, list]] = defaultdict(lambda: ([], []))
+    for et, ms, v in ev:
+        samples[et][0 if ms <= mid else 1].append(
+            math.floor(v * 100.0 + 0.5)
+        )
+    want = {}
+    for et, (s1, s2) in samples.items():
+        s1.sort()
+        s2.sort()
+        n1, n2 = len(s1), len(s2)
+        best = 0
+        for x in sorted(set(s1) | set(s2)):
+            c1 = sum(1 for v in s1 if v <= x)
+            c2 = sum(1 for v in s2 if v <= x)
+            best = max(best, abs(c1 * n2 - c2 * n1))
+        want[et] = (
+            n1,
+            n2,
+            math.floor(1000000.0 * float(best) / (float(n1) * float(n2)) + 0.5),
+        )
+    got = {
+        r["event_type"]: (r["n_early"], r["n_late"], r["ks_ppm"])
+        for r in q_drift_ks(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_bm25_matches_serial_recompute(spark):
+    """Broadcast-join BM25 must equal a per-document Python fold using
+    the same quantization rule (IEEE doubles agree bit-for-bit on the
+    mirrored +-*/ expression)."""
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    tt = sum(len(toks) for toks in docs.values())
+    nd = len(docs)
+    tf: dict[tuple, int] = defaultdict(int)
+    for did, toks in docs.items():
+        for t in toks:
+            if t in _BM25_TERMS:
+                tf[(did, t)] += 1
+    df: dict[str, int] = defaultdict(int)
+    for _did, t in tf:
+        df[t] += 1
+    scores: dict[int, list] = defaultdict(lambda: [0, 0])
+    for (did, t), f in tf.items():
+        dl = len(docs[did])
+        odds = float(2 * nd - 2 * df[t] + 1) / float(2 * df[t] + 1)
+        tfn = float(44 * tt * f) / float(20 * tt * f + 6 * tt + 18 * dl * nd)
+        scores[did][0] += 1
+        scores[did][1] += math.floor(1000000.0 * odds * tfn + 0.5)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    want = [(did, s[0], s[1]) for did, s in top]
+    got = [
+        (r["doc_id"], r["n_terms"], r["bm25_micro"])
+        for r in q_text_bm25(spark, SF_SMALL).collect()
+    ]
+    assert got == want
