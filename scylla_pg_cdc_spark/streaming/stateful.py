@@ -174,6 +174,63 @@ def running_user_stats(change_stream: DataFrame) -> DataFrame:
     )
 
 
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("ewma_cents", LongType()),
+    ]
+)
+
+
+def _update_ewma(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, s = state.get if state.exists else (0, None)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts_ms", "event_id"])
+    for v in batch["vc"]:
+        v = int(v)
+        s = v if s is None else (7 * s + v) // 8
+        n += 1
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n": [n], "ewma_cents": [s]}
+    )
+
+
+def running_ewma(change_stream: DataFrame) -> DataFrame:
+    """Streaming EXACT infinite-horizon EWMA (alpha = 1/8): the
+    applyInPandasWithState twin of the batch
+    ``operators/features.py:q_event_ewma_exact`` fold. State per user
+    is O(1) — (count, current smoothed cents) — so unlike the batch
+    ``applyInPandas`` form nothing ever materializes a full group;
+    this is the shape that survives a pathological single-key stream
+    at 100 TB. Events are folded in (ts_ms, event_id) order WITHIN
+    each micro-batch; cross-batch order is arrival order (the
+    standard streaming contract — an in-order source reproduces the
+    batch fold bit-for-bit, pinned in tests/test_stateful.py).
+
+    Input columns: (user_id, vc: long cents, ts_ms, event_id)."""
+    return change_stream.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark 4 native arbitrary state: transformWithStateInPandas
 # ---------------------------------------------------------------------------

@@ -197,3 +197,43 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_streaming_ewma_matches_batch_fold(spark):
+    """The O(1)-state streaming EWMA must reproduce the batch
+    applyInPandas fold bit-for-bit when the source is in order (one
+    parquet file -> one micro-batch, sorted within the batch)."""
+    from scylla_pg_cdc_spark.operators.features import q_event_ewma_exact
+    from scylla_pg_cdc_spark.streaming.stateful import running_ewma
+
+    stream = (
+        read_event_stream(spark, SF_SMALL)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+    )
+    out = running_ewma(stream)
+    name = "ewma_" + os.path.basename(tempfile.mkdtemp()).replace("-", "_")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n"], r["ewma_cents"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["ewma_cents"])
+        for r in q_event_ewma_exact(spark, SF_SMALL).collect()
+    }
+    assert got == want
