@@ -619,3 +619,89 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+_SESSION_GAP_MS = 1_800_000  # 30-min inactivity gap
+_SESSION_CAP_MS = 1_200_000  # 20-min hard duration cap per sub-session
+
+
+@query(
+    "q_stream_session_capped",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                    ) > {_SESSION_GAP_MS} OR LAG(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                    ) IS NULL
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_id, ts_ms,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    ), capped AS (
+        SELECT user_id, session_id, ts_ms,
+               (ts_ms - MIN(ts_ms) OVER (
+                   PARTITION BY user_id, session_id
+               )) // {_SESSION_CAP_MS} AS sub_session
+        FROM sessions
+    )
+    SELECT user_id, session_id, CAST(sub_session AS BIGINT) AS sub_session,
+           COUNT(*) AS n_events,
+           MIN(ts_ms) AS start_ms,
+           MAX(ts_ms) AS end_ms,
+           CAST(MAX(ts_ms) - MIN(ts_ms) AS BIGINT) AS duration_ms
+    FROM capped GROUP BY user_id, session_id, sub_session
+    """,
+)
+def q_stream_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-capped sessionization: gap-based sessions (30-min
+    inactivity, same construction as ``q_stream_session``) split at
+    fixed boundaries every 20 minutes from each session's start —
+    the bot/long-tail guard production sessionizers add so a key that
+    never goes idle cannot grow an unbounded session (and, in the
+    streaming form, unbounded state). The split is pure integer
+    arithmetic on the already-assigned session: sub_session =
+    (ts - session_start) DIV cap — no second lag pass, no iteration.
+    The cap here is set BELOW the gap so the synthetic events (max
+    session ~57 min) actually exercise multi-sub splits; production
+    would use cap >> gap. Guaranteed: every emitted sub-session spans
+    < cap ms (asserted in tests). Plan: the two running windows and
+    the session-start min all share the ONE user_id exchange; the
+    final group adds the (session, sub) key to the same partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_ms = events.withColumn("ts_ms", F.unix_millis("ts"))
+    flagged = with_ms.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ms").over(order_w).isNull()
+            | (
+                (F.col("ts_ms") - F.lag("ts_ms").over(order_w))
+                > _SESSION_GAP_MS
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("is_new").over(run_w)
+    )
+    capped = sessions.withColumn(
+        "sub_session",
+        F.expr(
+            f"(ts_ms - MIN(ts_ms) OVER (PARTITION BY user_id, session_id))"
+            f" DIV {_SESSION_CAP_MS}"
+        ),
+    )
+    return capped.groupBy("user_id", "session_id", "sub_session").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).cast("long").alias("duration_ms"),
+    )

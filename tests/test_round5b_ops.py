@@ -161,3 +161,36 @@ def test_bm25_matches_serial_recompute(spark):
         for r in q_text_bm25(spark, SF_SMALL).collect()
     ]
     assert got == want
+
+
+def test_capped_sessions_respect_cap_and_split(spark):
+    """Every sub-session must span < cap ms; the cap must actually
+    split at least one long session in the testdata; and re-grouping
+    the sub-sessions must reproduce the uncapped sessions exactly."""
+    from scylla_pg_cdc_spark.operators.cdc import (
+        _SESSION_CAP_MS,
+        q_stream_session,
+        q_stream_session_capped,
+    )
+
+    rows = q_stream_session_capped(spark, SF_SMALL).collect()
+    assert all(r["duration_ms"] < _SESSION_CAP_MS for r in rows)
+    assert any(r["sub_session"] > 0 for r in rows), "cap never exercised"
+    regroup = {}
+    for r in rows:
+        k = (r["user_id"], r["session_id"])
+        n, mn, mx = regroup.get(k, (0, None, None))
+        regroup[k] = (
+            n + r["n_events"],
+            r["start_ms"] if mn is None else min(mn, r["start_ms"]),
+            r["end_ms"] if mx is None else max(mx, r["end_ms"]),
+        )
+    want = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            r["session_start_ms"],
+            r["session_end_ms"],
+        )
+        for r in q_stream_session(spark, SF_SMALL).collect()
+    }
+    assert regroup == want
