@@ -674,3 +674,90 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("peak_first_ms"),
         F.count(F.lit(1)).alias("n_timepoints"),
     )
+
+
+@query(
+    "q_event_lateness",
+    oracle="""
+    WITH pos AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+               event_id + CASE WHEN event_id % 7 = 0 THEN 10 ELSE 0 END
+                   AS arr_pos
+        FROM events
+    ), arr AS (
+        SELECT user_id, event_type, ts_ms, event_id,
+               MAX(ts_ms) OVER (
+                   PARTITION BY user_id ORDER BY arr_pos, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS seen_ms
+        FROM pos
+    ), late AS (
+        SELECT event_type,
+               GREATEST(seen_ms - ts_ms, 0) AS late_ms
+        FROM arr
+    )
+    SELECT event_type,
+           CASE WHEN late_ms = 0 THEN 'on_time'
+                WHEN late_ms < 60000 THEN 'lt_1m'
+                WHEN late_ms < 300000 THEN 'lt_5m'
+                WHEN late_ms < 1800000 THEN 'lt_30m'
+                ELSE 'ge_30m' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+    FROM late GROUP BY event_type, bucket
+    """,
+)
+def q_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order lateness profile — the measurement that CALIBRATES
+    watermark delay (the `withWatermark` knob every streaming operator
+    in this engine takes; the reference hard-codes its tolerance in
+    the 30-60 s replication-lag alert, `src/monitoring/metrics.py`).
+    Arrival order is event_id (the CDC log offset proxy in this
+    schema) with every 7th offset deterministically delayed by 10
+    slots — the synthetic testdata arrives perfectly ordered, so the
+    query injects bounded disorder the same way ``q_stream_dedup``
+    injects duplicates (the oracle mirrors the injection exactly).
+    Lateness of an event = how far the per-user max event time had
+    already advanced past it when it arrived. Bucketed exact-integer
+    histogram per event type — read off the p99 bucket and set the
+    watermark delay there. One user_id window (running max over the
+    high-cardinality key, no low-cardinality trap) + one aggregation."""
+    arr_w = (
+        Window.partitionBy("user_id")
+        .orderBy("arr_pos", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = (
+        load_table(spark, sf_dir, "events")
+        .withColumn(
+            "arr_pos",
+            F.col("event_id")
+            + F.when(F.col("event_id") % 7 == 0, 10).otherwise(0),
+        )
+        .select(
+            "event_type",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.max(F.unix_millis("ts")).over(arr_w).alias("seen_ms"),
+        )
+    )
+    late = arr.select(
+        "event_type",
+        F.greatest(F.col("seen_ms") - F.col("ts_ms"), F.lit(0)).alias(
+            "late_ms"
+        ),
+    )
+    bucket = (
+        F.when(F.col("late_ms") == 0, "on_time")
+        .when(F.col("late_ms") < 60000, "lt_1m")
+        .when(F.col("late_ms") < 300000, "lt_5m")
+        .when(F.col("late_ms") < 1800000, "lt_30m")
+        .otherwise("ge_30m")
+    )
+    return (
+        late.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("late_ms").cast("long").alias("max_late_ms"),
+        )
+    )

@@ -194,3 +194,41 @@ def test_capped_sessions_respect_cap_and_split(spark):
         for r in q_stream_session(spark, SF_SMALL).collect()
     }
     assert regroup == want
+
+
+def test_event_lateness_buckets_match_serial_replay(spark):
+    """Distributed running-max lateness must equal a per-user serial
+    replay of the same injected arrival order, and the injected
+    disorder must populate late buckets (non-degenerate)."""
+    from scylla_pg_cdc_spark.operators.analytics import q_event_lateness
+
+    per_user: dict[int, list] = defaultdict(list)
+    for r in load_table(spark, SF_SMALL, "events").collect():
+        eid = r["event_id"]
+        pos = eid + (10 if eid % 7 == 0 else 0)
+        per_user[r["user_id"]].append(
+            (pos, eid, int(r["ts"].timestamp() * 1000), r["event_type"])
+        )
+    want: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for rows in per_user.values():
+        rows.sort()
+        seen = -(10**18)
+        for _pos, _eid, ms, et in rows:
+            seen = max(seen, ms)
+            late = max(seen - ms, 0)
+            b = (
+                "on_time" if late == 0
+                else "lt_1m" if late < 60000
+                else "lt_5m" if late < 300000
+                else "lt_30m" if late < 1800000
+                else "ge_30m"
+            )
+            cell = want[(et, b)]
+            cell[0] += 1
+            cell[1] = max(cell[1], late)
+    got = {
+        (r["event_type"], r["bucket"]): [r["n"], r["max_late_ms"]]
+        for r in q_event_lateness(spark, SF_SMALL).collect()
+    }
+    assert got == dict(want)
+    assert any(b != "on_time" for _et, b in got), "disorder not injected"
