@@ -761,3 +761,106 @@ def q_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("late_ms").cast("long").alias("max_late_ms"),
         )
     )
+
+
+_FUNNEL_WINDOW_MS = 86_400_000  # each stage must convert within 24 h
+
+
+@query(
+    "q_funnel_windowed",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    ), s1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts_ms END) AS t1
+        FROM ev GROUP BY user_id
+        HAVING MIN(CASE WHEN event_type = 'signup' THEN ts_ms END)
+               IS NOT NULL
+    ), s2 AS (
+        SELECT e.user_id, s1.t1, MIN(e.ts_ms) AS t2
+        FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts_ms > s1.t1
+          AND e.ts_ms <= s1.t1 + {_FUNNEL_WINDOW_MS}
+        GROUP BY e.user_id, s1.t1
+    ), s3 AS (
+        SELECT e.user_id, s2.t2, MIN(e.ts_ms) AS t3
+        FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t2
+          AND e.ts_ms <= s2.t2 + {_FUNNEL_WINDOW_MS}
+        GROUP BY e.user_id, s2.t2
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_view_24h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_24h,
+           (SELECT CAST(SUM(t2 - t1) // COUNT(*) AS BIGINT) FROM s2)
+               AS avg_ms_signup_view,
+           (SELECT CAST(SUM(t3 - t2) // COUNT(*) AS BIGINT) FROM s3)
+               AS avg_ms_view_purchase
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: signup -> view -> purchase where each
+    stage must land within 24 h of the previous stage's first event —
+    the time-bounded form real product funnels use (the unbounded
+    ``q_funnel_conversion`` over-counts conversions that took weeks).
+    Also reports the exact mean time-to-convert per hop
+    (SUM DIV COUNT — delays are non-negative, so truncating and floor
+    division agree). Same scale shape as the unbounded funnel: three
+    keyed aggregations, every join on user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    s1 = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts_ms"))
+            ).alias("t1")
+        )
+        .filter(F.col("t1").isNotNull())
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.col("ts_ms") > F.col("t1"))
+            & (F.col("ts_ms") <= F.col("t1") + _FUNNEL_WINDOW_MS)
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts_ms").alias("t2"))
+    )
+    s3 = (
+        ev.join(s2.select("user_id", "t2"), "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_ms") > F.col("t2"))
+            & (F.col("ts_ms") <= F.col("t2") + _FUNNEL_WINDOW_MS)
+        )
+        .groupBy("user_id", "t2")
+        .agg(F.min("ts_ms").alias("t3"))
+    )
+    a1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    a2 = s2.agg(
+        F.count(F.lit(1)).alias("n_view_24h"),
+        F.expr("CAST(SUM(t2 - t1) DIV COUNT(*) AS BIGINT)").alias(
+            "avg_ms_signup_view"
+        ),
+    )
+    a3 = s3.agg(
+        F.count(F.lit(1)).alias("n_purchase_24h"),
+        F.expr("CAST(SUM(t3 - t2) DIV COUNT(*) AS BIGINT)").alias(
+            "avg_ms_view_purchase"
+        ),
+    )
+    return (
+        a1.crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(a3))
+        .select(
+            "n_signup",
+            "n_view_24h",
+            "n_purchase_24h",
+            "avg_ms_signup_view",
+            "avg_ms_view_purchase",
+        )
+    )

@@ -17,7 +17,7 @@ indexes, which could never exceed one node's RAM.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.functions.money import cents, dollars, pct_units
@@ -611,7 +611,11 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ER_ROUNDS = 4
 
 
-def _entity_resolution_sql(rounds: int = _ER_ROUNDS) -> str:
+def _er_label_ctes(rounds: int = _ER_ROUNDS) -> tuple[str, str]:
+    """Shared WITH-chain for the ER label propagation (pairs ->
+    symmetric+self edges -> ``rounds`` min-label rounds); returns the
+    CTE block and the name of the final label CTE so both the cluster
+    query and the golden-record query build on identical closure."""
     sql = """
     WITH pairs AS (
         SELECT a.c_custkey AS a, b.c_custkey AS b
@@ -637,12 +641,44 @@ def _entity_resolution_sql(rounds: int = _ER_ROUNDS) -> str:
         GROUP BY m.dst
     )"""
         prev = f"l{it}"
-    sql += f"""
+    return sql, prev
+
+
+def _entity_resolution_sql(rounds: int = _ER_ROUNDS) -> str:
+    ctes, last = _er_label_ctes(rounds)
+    return ctes + f"""
     SELECT CAST(lbl AS BIGINT) AS entity_id,
            CAST(COUNT(*) AS BIGINT) AS n_members
-    FROM {prev} GROUP BY lbl HAVING COUNT(*) >= 2
+    FROM {last} GROUP BY lbl HAVING COUNT(*) >= 2
     """
-    return sql
+
+
+def _er_golden_sql(rounds: int = _ER_ROUNDS) -> str:
+    ctes, last = _er_label_ctes(rounds)
+    return ctes + f""",
+    mem AS (
+        SELECT p.lbl AS entity_id, c.c_custkey, c.c_name, c.c_mktsegment,
+               CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+        FROM {last} p JOIN customer c ON p.n = c.c_custkey
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY entity_id ORDER BY bal_c DESC, c_custkey
+               ) AS rn_bal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY entity_id ORDER BY c_custkey
+               ) AS rn_key
+        FROM mem
+    )
+    SELECT CAST(entity_id AS BIGINT) AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(c_custkey) AS BIGINT) AS canonical_key,
+           MAX(CASE WHEN rn_key = 1 THEN c_name END) AS canonical_name,
+           MAX(CASE WHEN rn_bal = 1 THEN c_mktsegment END) AS trusted_segment,
+           CAST(MAX(bal_c) AS BIGINT) AS max_bal_cents,
+           CAST(SUM(bal_c) AS BIGINT) AS total_bal_cents
+    FROM ranked GROUP BY entity_id HAVING COUNT(*) >= 2
+    """
 
 
 @query("q_entity_resolution", oracle=_entity_resolution_sql())
@@ -660,6 +696,17 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation is block-bounded quadratic, propagation is
     match-graph-sized (tiny relative to the corpus — only similar
     names appear), output is entities, not pairs."""
+    lbl = _er_labels(spark, sf_dir)
+    return (
+        lbl.groupBy(F.col("lbl").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+def _er_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n = member custkey, lbl = cluster min custkey) after the
+    blocked fuzzy match + ``_ER_ROUNDS`` min-label rounds."""
     c = load_table(spark, sf_dir, "customer")
     a = c.select(
         F.col("c_custkey").alias("a"),
@@ -695,8 +742,57 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("n"))
             .agg(F.min("lbl").alias("lbl"))
         )
+    return lbl
+
+
+@query("q_er_golden_record", oracle=_er_golden_sql())
+def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship on top of entity resolution — the GOLDEN RECORD
+    each resolved entity collapses to (the master-data step after
+    ``q_entity_resolution``; the reference repairs rows toward a
+    trusted side the same way, `scripts/reconcile.py:490-522` — here
+    the 'trusted side' is a survivorship RULE, not a replica):
+    canonical key/name from the stable minimum member, market segment
+    from the highest-balance member (a source-trust rule), balance
+    aggregates over all members. Field picks use two tie-broken
+    row_number windows over the SAME entity partitioning folded into
+    the grouped aggregation (the one-exchange OHLC pattern —
+    min_by/max_by exist but their cross-engine tie behavior on
+    composite keys does not, so rn=1 picks stay exactly portable).
+    Scale: windows partition by entity id — match-graph-sized, never
+    corpus-sized."""
+    mem = _er_labels(spark, sf_dir).join(
+        load_table(spark, sf_dir, "customer"),
+        F.col("n") == F.col("c_custkey"),
+    ).select(
+        F.col("lbl").alias("entity_id"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_c"),
+    )
+    part = Window.partitionBy("entity_id")
+    ranked = mem.withColumn(
+        "rn_bal",
+        F.row_number().over(part.orderBy(F.desc("bal_c"), "c_custkey")),
+    ).withColumn(
+        "rn_key", F.row_number().over(part.orderBy("c_custkey"))
+    )
     return (
-        lbl.groupBy(F.col("lbl").alias("entity_id"))
-        .agg(F.count(F.lit(1)).alias("n_members"))
+        ranked.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("c_custkey").cast("long").alias("canonical_key"),
+            F.max(F.when(F.col("rn_key") == 1, F.col("c_name"))).alias(
+                "canonical_name"
+            ),
+            F.max(F.when(F.col("rn_bal") == 1, F.col("c_mktsegment"))).alias(
+                "trusted_segment"
+            ),
+            F.max("bal_c").cast("long").alias("max_bal_cents"),
+            F.sum("bal_c").cast("long").alias("total_bal_cents"),
+        )
         .filter(F.col("n_members") >= 2)
     )

@@ -232,3 +232,50 @@ def test_event_lateness_buckets_match_serial_replay(spark):
     }
     assert got == dict(want)
     assert any(b != "on_time" for _et, b in got), "disorder not injected"
+
+
+def test_windowed_funnel_tighter_than_unbounded(spark):
+    """The 24 h-window funnel can never count MORE conversions than
+    the unbounded funnel, stage for stage, and stage counts must be
+    monotone down the funnel."""
+    from scylla_pg_cdc_spark.operators.analytics import (
+        q_funnel_conversion,
+        q_funnel_windowed,
+    )
+
+    w = q_funnel_windowed(spark, SF_SMALL).head()
+    u = q_funnel_conversion(spark, SF_SMALL).head()
+    assert w["n_signup"] == u["n_signup"]
+    assert w["n_view_24h"] <= u["n_signup_view"]
+    assert w["n_purchase_24h"] <= u["n_signup_view_purchase"]
+    assert w["n_signup"] >= w["n_view_24h"] >= w["n_purchase_24h"]
+
+
+def test_golden_record_consistent_with_clusters(spark):
+    """One golden record per multi-member entity; canonical key = the
+    entity id (cluster min); aggregates recomputable from members."""
+    from scylla_pg_cdc_spark.operators.relational import (
+        _er_labels,
+        q_entity_resolution,
+        q_er_golden_record,
+    )
+
+    golden = {r["entity_id"]: r for r in q_er_golden_record(spark, SF_SMALL).collect()}
+    ents = {r["entity_id"]: r["n_members"] for r in q_entity_resolution(spark, SF_SMALL).collect()}
+    assert set(golden) == set(ents)
+    cust = {
+        r["c_custkey"]: (r["c_name"], r["c_mktsegment"], math.floor(r["c_acctbal"] * 100.0 + 0.5))
+        for r in load_table(spark, SF_SMALL, "customer").collect()
+    }
+    members: dict[int, list] = defaultdict(list)
+    for r in _er_labels(spark, SF_SMALL).collect():
+        members[r["lbl"]].append(r["n"])
+    for eid, g in golden.items():
+        ms = members[eid]
+        assert g["n_members"] == ents[eid] == len(ms)
+        assert g["canonical_key"] == min(ms) == eid
+        assert g["canonical_name"] == cust[min(ms)][0]
+        bals = sorted(((cust[m][2], m) for m in ms), key=lambda t: (-t[0], t[1]))
+        assert g["trusted_segment"] == cust[bals[0][1]][1]
+        assert g["max_bal_cents"] == bals[0][0]
+        assert g["total_bal_cents"] == sum(b for b, _ in bals)
