@@ -24,7 +24,7 @@ is bounded per bucket.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.registry import query
@@ -301,8 +301,8 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidates.
+def banded_buckets(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band, bucket) band rows for a signature frame.
 
     Bands come from ONE explode over an inline array — a per-band
     union would re-execute the whole shingle+minhash pipeline once per
@@ -320,9 +320,14 @@ def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFram
         )
         for b in range(n_bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidates."""
+    banded = banded_buckets(sigs, band_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -1134,4 +1139,192 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc = grams.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("c"))
     return gc.groupBy("n", F.col("c").alias("count_value")).agg(
         F.count(F.lit(1)).alias("n_types")
+    )
+
+
+@query(
+    "q_neardup_incremental",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        ) WHERE length(shingle) > 0
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN(substring(md5('0:' || shingle), 1, 8)) AS sig0,
+               MIN(substring(md5('0:' || shingle), 9, 8)) AS sig1,
+               MIN(substring(md5('0:' || shingle), 17, 8)) AS sig2,
+               MIN(substring(md5('0:' || shingle), 25, 8)) AS sig3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS sig4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS sig5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS sig6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS sig7
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bucket FROM sigs
+        UNION ALL
+        SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL
+        SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL
+        SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS doc_n, c.doc_id AS doc_c
+        FROM banded b JOIN banded c
+          ON b.band = c.band AND b.bucket = c.bucket
+        WHERE b.doc_id % 20 = 0 AND c.doc_id % 20 != 0
+    ),
+    dtok AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ) WHERE length(token) > 0
+    ),
+    sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dtok GROUP BY doc_id
+    ),
+    ov AS (
+        SELECT cand.doc_n, cand.doc_c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cand
+        JOIN dtok a ON a.doc_id = cand.doc_n
+        JOIN dtok b ON b.doc_id = cand.doc_c AND b.token = a.token
+        GROUP BY cand.doc_n, cand.doc_c
+    ),
+    scored AS (
+        SELECT ov.doc_n, ov.doc_c,
+               CAST((1000000 * ov.cnt) // (sa.n + sb.n - ov.cnt)
+                    AS BIGINT) AS jac_ppm,
+               CASE WHEN 10 * ov.cnt >= 9 * (sa.n + sb.n - ov.cnt)
+                    THEN 1 ELSE 0 END AS is_match
+        FROM ov
+        JOIN sz sa ON ov.doc_n = sa.doc_id
+        JOIN sz sb ON ov.doc_c = sb.doc_id
+    ),
+    ranked AS (
+        SELECT doc_n, doc_c, jac_ppm, is_match,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_n ORDER BY jac_ppm DESC, doc_c
+               ) AS rn
+        FROM scored
+    ),
+    agg AS (
+        SELECT doc_n,
+               CAST(SUM(is_match) AS BIGINT) AS n_matches,
+               MAX(CASE WHEN rn = 1 THEN doc_c END) AS best_match,
+               MAX(CASE WHEN rn = 1 THEN jac_ppm END) AS best_jac_ppm
+        FROM ranked GROUP BY doc_n
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches,
+           CAST(COALESCE(a.best_match, -1) AS BIGINT) AS best_match,
+           CAST(COALESCE(a.best_jac_ppm, 0) AS BIGINT) AS best_jac_ppm,
+           COALESCE(a.n_matches, 0) = 0 AS is_new
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_n
+    WHERE d.doc_id % 20 = 0
+    """,
+)
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup admission — the form dedup actually runs
+    in a CDC-fed corpus: an incoming batch (docs with doc_id % 20 = 0
+    stand in for the new CDC epoch) is LSH-joined against the EXISTING
+    corpus only, never against itself and never corpus x corpus. Each
+    new doc gets an admission row: how many existing docs it
+    near-duplicates (exact token-Jaccard >= 0.9 confirm on the LSH
+    candidates), its best match, and the is_new verdict.
+
+    Scale: this is the marginal-cost shape — per epoch the corpus side
+    is a PRECOMPUTED signature/bucket table (here rebuilt because the
+    testdata is static; in the pipeline `merge_batch_into_state` would
+    persist `banded_buckets(sigs)` keyed by bucket), so each epoch
+    costs O(batch) hashing plus a bucket-keyed join, not O(corpus).
+    The verify join is bounded by LSH candidates; the rn=1 fold picks
+    the best match deterministically."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bb = banded_buckets(minhash_signatures(shingles(batch)))
+    bc = banded_buckets(minhash_signatures(shingles(corpus)))
+    cand = (
+        bb.alias("b")
+        .join(
+            bc.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_n"),
+            F.col("c.doc_id").alias("doc_c"),
+        )
+        .distinct()
+    )
+    dtok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    sz = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ov = (
+        cand.join(dtok.select(F.col("doc_id").alias("doc_n"), "token"), "doc_n")
+        .join(
+            dtok.select(F.col("doc_id").alias("doc_c"), "token"),
+            ["doc_c", "token"],
+        )
+        .groupBy("doc_n", "doc_c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scored = (
+        ov.join(sz.select(F.col("doc_id").alias("doc_n"), F.col("n").alias("n_a")), "doc_n")
+        .join(sz.select(F.col("doc_id").alias("doc_c"), F.col("n").alias("n_b")), "doc_c")
+        .select(
+            "doc_n",
+            "doc_c",
+            F.expr(
+                "CAST((1000000 * cnt) DIV (n_a + n_b - cnt) AS BIGINT)"
+            ).alias("jac_ppm"),
+            F.when(
+                F.lit(10) * F.col("cnt")
+                >= F.lit(9) * (F.col("n_a") + F.col("n_b") - F.col("cnt")),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_match"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_n").orderBy(
+                F.desc("jac_ppm"), "doc_c"
+            )
+        ),
+    )
+    agg = ranked.groupBy("doc_n").agg(
+        F.sum("is_match").cast("long").alias("n_matches"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_c")))
+        .cast("long")
+        .alias("best_match"),
+        F.max(F.when(F.col("rn") == 1, F.col("jac_ppm")))
+        .cast("long")
+        .alias("best_jac_ppm"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(agg, F.col("doc_id") == F.col("doc_n"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            # -1 / 0 sentinels for no-candidate docs: NULL-bearing
+            # int64 columns degrade to float64 in the driver's pandas
+            # canonicalizer and fail its dtype-kind check
+            F.coalesce("best_match", F.lit(-1)).cast("long").alias("best_match"),
+            F.coalesce("best_jac_ppm", F.lit(0)).cast("long").alias("best_jac_ppm"),
+            (F.coalesce("n_matches", F.lit(0)) == 0).alias("is_new"),
+        )
     )

@@ -279,3 +279,81 @@ def test_golden_record_consistent_with_clusters(spark):
         assert g["trusted_segment"] == cust[bals[0][1]][1]
         assert g["max_bal_cents"] == bals[0][0]
         assert g["total_bal_cents"] == sum(b for b, _ in bals)
+
+
+def test_neardup_incremental_agrees_with_serial_check(spark):
+    """Incremental admission must equal a serial recompute over the
+    same split: every batch doc's match set against the corpus via
+    exact token Jaccard, restricted to LSH-candidate pairs recomputed
+    independently in Python (md5 minhash + banding)."""
+    import hashlib
+
+    from scylla_pg_cdc_spark.operators.text import q_neardup_incremental
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+
+    def sig(text):
+        toks = text.split(" ")
+        sh = {
+            " ".join(toks[i : i + 3])
+            for i in range(len(toks) - 2)
+            if " ".join(toks[i : i + 3])
+        }
+        out = []
+        for salt in ("0:", "1:"):
+            digs = [
+                hashlib.md5((salt + s).encode()).hexdigest() for s in sh
+            ]
+            for j in range(4):
+                out.append(min(d[j * 8 : j * 8 + 8] for d in digs))
+        return out
+
+    sigs = {d: sig(t) for d, t in docs.items() if len(t.split(" ")) >= 3}
+    buckets: dict[tuple, set] = defaultdict(set)
+    for d, s in sigs.items():
+        for b in range(4):
+            key = hashlib.md5(
+                (s[2 * b] + "|" + s[2 * b + 1]).encode()
+            ).hexdigest()
+            buckets[(b, key)].add(d)
+    tok = {d: {t for t in txt.split(" ") if t} for d, txt in docs.items()}
+    cands: dict[int, set] = defaultdict(set)
+    for mates in buckets.values():
+        for a in mates:
+            if a % 20 == 0:
+                cands[a] |= {b for b in mates if b % 20 != 0}
+    want: dict[int, tuple] = {}
+    for d in docs:
+        if d % 20 == 0:
+            want[d] = (0, -1, 0, True)
+    for d in list(want):
+        best = None
+        n_matches = 0
+        for c in sorted(cands.get(d, ())):
+            ta, tc = tok[d], tok[c]
+            inter = len(ta & tc)
+            union = len(ta) + len(tc) - inter
+            jac = (1000000 * inter) // union
+            if 10 * inter >= 9 * union:
+                n_matches += 1
+            if best is None or (jac, -c) > (best[0], -best[1]):
+                best = (jac, c)
+        want[d] = (
+            n_matches,
+            best[1] if best else -1,
+            best[0] if best else 0,
+            n_matches == 0,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_matches"],
+            r["best_match"],
+            r["best_jac_ppm"],
+            r["is_new"],
+        )
+        for r in q_neardup_incremental(spark, SF_SMALL).collect()
+    }
+    assert got == want
