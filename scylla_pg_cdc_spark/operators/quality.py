@@ -229,3 +229,65 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ks_ppm"),
     )
+
+
+@query(
+    "q_skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS count_star,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_order,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_order
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED two-phase aggregation, driver-verified equal to the flat
+    GROUP BY: l_returnflag has 3 values over the whole fact table —
+    exactly the power-law-key shape where one reducer per key
+    straggles at 100 TB. ``functions/skew.py:salted_aggregate``
+    scatters each key over 8 deterministic row-hash salts (partial
+    combine per (key, salt), final merge per key); the oracle is the
+    PLAIN single-phase SQL, so the equality check is the proof that
+    salting changes the schedule, never the answer — the same claim
+    the unit tests pin, now under the driver's value-hash gate. All
+    aggregates here are decomposable (count/sum/min/max) and
+    exact-integer."""
+    from scylla_pg_cdc_spark.functions.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {"*": "count", "qty": "sum", "price_c": "sum"},
+        n_salt=8,
+    )
+    mm = salted_aggregate(
+        li, ["l_returnflag"], {"l_orderkey": "min"}, n_salt=8
+    ).join(
+        salted_aggregate(
+            li, ["l_returnflag"], {"l_orderkey": "max"}, n_salt=8
+        ),
+        "l_returnflag",
+    )
+    return (
+        out.join(mm, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("count_*").alias("count_star"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+            F.col("sum_price_c").cast("long").alias("sum_price_cents"),
+            F.col("min_l_orderkey").cast("long").alias("min_order"),
+            F.col("max_l_orderkey").cast("long").alias("max_order"),
+        )
+    )
