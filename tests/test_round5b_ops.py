@@ -9,6 +9,8 @@ from __future__ import annotations
 import math
 from collections import defaultdict
 
+from pyspark.sql import functions as F
+
 from scylla_pg_cdc_spark.operators.analytics import (
     _OVERLAP_TTL_MS,
     q_interval_overlap,
@@ -357,3 +359,74 @@ def test_neardup_incremental_agrees_with_serial_check(spark):
         for r in q_neardup_incremental(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_dedup_state_greedy_admission_matches_serial(spark, tmp_path):
+    """Three epochs through the persisted LSH dedup state must equal
+    a serial greedy replay: each epoch checked only against previously
+    ADMITTED docs, admitted docs extend the state for the next epoch."""
+    import hashlib
+
+    from scylla_pg_cdc_spark.streaming.dedup_state import admit_epoch
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+
+    def features(text):
+        toks = text.split(" ")
+        sh = {
+            " ".join(toks[i : i + 3])
+            for i in range(len(toks) - 2)
+            if " ".join(toks[i : i + 3])
+        }
+        tokset = {t for t in toks if t}
+        if not sh:
+            return set(), tokset
+        sig = []
+        for salt in ("0:", "1:"):
+            digs = [
+                hashlib.md5((salt + s).encode()).hexdigest() for s in sh
+            ]
+            for j in range(4):
+                sig.append(min(d[j * 8 : j * 8 + 8] for d in digs))
+        bkts = {
+            (b, hashlib.md5((sig[2 * b] + "|" + sig[2 * b + 1]).encode()).hexdigest())
+            for b in range(4)
+        }
+        return bkts, tokset
+
+    feat = {d: features(t) for d, t in docs.items()}
+    admitted: dict[int, tuple] = {}
+    want: dict[int, tuple] = {}
+    state_dir = str(tmp_path / "dedup_state")
+    full = load_table(spark, SF_SMALL, "documents")
+    for epoch in range(3):
+        epoch_ids = sorted(d for d in docs if d % 3 == epoch)
+        newly = []
+        for d in epoch_ids:
+            bk, tk = feat[d]
+            n_matches = 0
+            for c, (cbk, ctk) in admitted.items():
+                if bk & cbk:
+                    inter = len(tk & ctk)
+                    union = len(tk) + len(ctk) - inter
+                    if 10 * inter >= 9 * union:
+                        n_matches += 1
+            want[d] = (n_matches == 0, n_matches)
+            if n_matches == 0:
+                newly.append(d)
+        batch = full.filter(F.col("doc_id") % 3 == epoch).select(
+            "doc_id", "text"
+        )
+        got = {
+            r["doc_id"]: (r["is_new"], r["n_matches"])
+            for r in admit_epoch(spark, state_dir, batch).collect()
+        }
+        assert got == {d: want[d] for d in epoch_ids}, f"epoch {epoch}"
+        for d in newly:
+            admitted[d] = feat[d]
+    assert any(not v[0] for v in want.values()), (
+        "no rejections across epochs - greedy path never exercised"
+    )
