@@ -1252,3 +1252,173 @@ def q_vector_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+MMR_POOL = 8  # relevance pool size
+# selection score = 2*rel - max_sim  (the lambda=2/3 MMR, scaled by 3
+# so every quantity stays an exact integer)
+
+
+@query(
+    "q_vector_mmr",
+    oracle=f"""
+    WITH qz AS ({_QZ_SQL}),
+    qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0),
+    rel AS (
+        SELECT z.vec_id,
+               CAST(SUM(z.q[CAST(i AS INT) + 1]
+                        * qv.qq[CAST(i AS INT) + 1]) AS BIGINT) AS rel
+        FROM qz z, qv, range(0, {DIM}) t(i)
+        WHERE z.vec_id <> 0
+        GROUP BY z.vec_id
+        ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+    ),
+    poolv AS (
+        SELECT r.vec_id, r.rel, z.q FROM rel r JOIN qz z USING (vec_id)
+    ),
+    sims AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(SUM(a.q[CAST(i AS INT) + 1]
+                        * b.q[CAST(i AS INT) + 1]) AS BIGINT) AS sim
+        FROM poolv a, poolv b, range(0, {DIM}) t(i)
+        WHERE a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    s1 AS (SELECT vec_id, rel FROM poolv ORDER BY rel DESC, vec_id LIMIT 1),
+    s2 AS (
+        SELECT p.vec_id, p.rel, s.sim AS max_sim
+        FROM poolv p JOIN sims s ON s.va = p.vec_id
+        WHERE s.vb = (SELECT vec_id FROM s1)
+        ORDER BY 2 * p.rel - s.sim DESC, p.vec_id LIMIT 1
+    ),
+    sel12 AS (
+        SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+    ),
+    s3 AS (
+        SELECT p.vec_id, p.rel, MAX(s.sim) AS max_sim
+        FROM poolv p JOIN sims s ON s.va = p.vec_id
+        WHERE s.vb IN (SELECT vec_id FROM sel12)
+          AND p.vec_id NOT IN (SELECT vec_id FROM sel12)
+        GROUP BY p.vec_id, p.rel
+        ORDER BY 2 * MAX(p.rel) - MAX(s.sim) DESC, p.vec_id LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+           CAST(2 * rel AS BIGINT) AS mmr_score FROM s1
+    UNION ALL
+    SELECT 2, vec_id, rel, CAST(2 * rel - max_sim AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, vec_id, rel, CAST(2 * rel - max_sim AS BIGINT) FROM s3
+    """,
+)
+def q_vector_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval (Carbonell &
+    Goldstein '98): pick 3 results from the top-{MMR_POOL} relevance
+    pool greedily maximizing 2*rel(d) - max sim(d, selected) — the
+    lambda = 2/3 trade-off scaled to stay ALL-INTEGER (int8-code dot
+    products, same quantization as ``q_vector_int8_knn``), which is
+    what training-data curation uses to avoid filling a retrieval
+    budget with near-identical documents.
+
+    Greedy selection is inherently sequential, but each step is an
+    argmax over the POOL, so the unrolled 3-step plan stays fully
+    declarative: distributed top-{MMR_POOL} relevance scan (the only
+    corpus-sized stage, identical shape to int8 KNN), then pairwise
+    sims and selections on the 8-row pool via broadcast joins — tiny
+    literal-free frames, no driver round-trips, and an exact oracle
+    unrolling the same three steps in SQL. At 100 TB only the pool
+    scan grows; steps stay O(pool^2)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).head()
+    xs = [float(x) for x in row["embedding"]]
+    m = max(max(abs(x) for x in xs), 1e-12)
+    qlit = F.array(
+        *[F.lit(int(math.floor(x * 127.0 / m))).cast("long") for x in xs]
+    )
+    qcodes = quantize_int8(F.col("embedding"))
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            qcodes.alias("q"),
+        )
+        .withColumn("rel", idot(F.col("q"), qlit))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+    )
+    pa = pool.select(
+        F.col("vec_id").alias("va"), F.col("rel").alias("rel_a"), F.col("q").alias("qa")
+    )
+    pb = pool.select(F.col("vec_id").alias("vb"), F.col("q").alias("qb"))
+    sims = (
+        pa.join(F.broadcast(pb), F.col("va") != F.col("vb"))
+        .select("va", "rel_a", "vb", idot(F.col("qa"), F.col("qb")).alias("sim"))
+    )
+    s1 = pool.orderBy(F.col("rel").desc(), "vec_id").limit(1).select(
+        "vec_id", "rel"
+    )
+    s2 = (
+        sims.join(
+            F.broadcast(s1.select(F.col("vec_id").alias("vb"))), "vb"
+        )
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("rel_a").alias("rel"),
+            F.col("sim").alias("max_sim"),
+        )
+        .orderBy((2 * F.col("rel") - F.col("max_sim")).desc(), "vec_id")
+        .limit(1)
+    )
+    sel12 = s1.select("vec_id").unionAll(s2.select("vec_id"))
+    s3 = (
+        sims.join(
+            F.broadcast(sel12.select(F.col("vec_id").alias("vb"))), "vb"
+        )
+        .join(
+            F.broadcast(sel12.select(F.col("vec_id").alias("va"))),
+            "va",
+            "left_anti",
+        )
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(
+            F.max("rel_a").alias("rel"),
+            F.max("sim").alias("max_sim"),
+        )
+        .orderBy((2 * F.col("rel") - F.col("max_sim")).desc(), "vec_id")
+        .limit(1)
+    )
+    one = F.lit(1).cast("long")
+    return (
+        s1.select(
+            one.alias("rank"),
+            "vec_id",
+            "rel",
+            (2 * F.col("rel")).cast("long").alias("mmr_score"),
+        )
+        .unionAll(
+            s2.select(
+                F.lit(2).cast("long").alias("rank"),
+                "vec_id",
+                "rel",
+                (2 * F.col("rel") - F.col("max_sim"))
+                .cast("long")
+                .alias("mmr_score"),
+            )
+        )
+        .unionAll(
+            s3.select(
+                F.lit(3).cast("long").alias("rank"),
+                "vec_id",
+                "rel",
+                (2 * F.col("rel") - F.col("max_sim"))
+                .cast("long")
+                .alias("mmr_score"),
+            )
+        )
+    )

@@ -114,6 +114,13 @@ def test_plan_budget(spark, name):
             # 1-row corpus totals (T tokens, N docs)
             "q_graph_triangles", "q_kmv_setops",
             "q_drift_ks", "q_text_bm25",
+            # q_vector_mmr: pairwise sims + greedy argmax steps over
+            # the 8-row relevance pool — every nested-loop side is
+            # bounded by MMR_POOL, only the pool scan touches the corpus
+            "q_vector_mmr",
+            # q_funnel_windowed: three SINGLE-ROW stage aggregates
+            # stitched with crossJoin(broadcast(...))
+            "q_funnel_windowed",
         )
     ),
 )

@@ -430,3 +430,53 @@ def test_dedup_state_greedy_admission_matches_serial(spark, tmp_path):
     assert any(not v[0] for v in want.values()), (
         "no rejections across epochs - greedy path never exercised"
     )
+
+
+def test_mmr_matches_greedy_python_replay(spark):
+    """The unrolled 3-step MMR plan must equal a serial greedy replay
+    over the same integer-quantized pool."""
+    import math
+
+    from scylla_pg_cdc_spark.operators.vector import MMR_POOL, q_vector_mmr
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+
+    def quant(v):
+        m = max(max(abs(x) for x in v), 1e-12)
+        return [int(math.floor(x * 127.0 / m)) for x in v]
+
+    codes = {i: quant(v) for i, v in emb.items()}
+    qq = codes[0]
+    rel = {
+        i: sum(a * b for a, b in zip(c, qq))
+        for i, c in codes.items()
+        if i != 0
+    }
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_POOL]
+    selected = []
+    want = []
+    for rank in range(1, 4):
+        best = None
+        for d in pool:
+            if d in selected:
+                continue
+            max_sim = max(
+                (
+                    sum(a * b for a, b in zip(codes[d], codes[s]))
+                    for s in selected
+                ),
+                default=0,
+            )
+            score = 2 * rel[d] - max_sim
+            if best is None or (score, -d) > (best[0], -best[1]):
+                best = (score, d, max_sim)
+        selected.append(best[1])
+        want.append((rank, best[1], rel[best[1]], best[0]))
+    got = sorted(
+        (r["rank"], r["vec_id"], r["rel"], r["mmr_score"])
+        for r in q_vector_mmr(spark, SF_SMALL).collect()
+    )
+    assert got == want
