@@ -354,3 +354,35 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("vc").cast("long").alias("vol_c"),
     )
+
+
+@query(
+    "q_attribution_pairs",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS view_id, epoch_ms(ts) AS view_ms
+        FROM events WHERE event_type = 'view'
+    ), c AS (
+        SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ms
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id, v.view_id, c.click_id, v.view_ms, c.click_ms
+    FROM v JOIN c
+      ON v.user_id = c.user_id
+     AND c.click_ms > v.view_ms
+     AND c.click_ms <= v.view_ms + 3600000
+    """,
+)
+def q_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->click attribution interval join (60-min window) — the
+    BATCH face of the stream-stream watermarked join in
+    ``streaming/joins.py`` (same filter/join tree; the streaming run
+    is proven row-identical in tests/test_stream_join.py). Registered
+    here so the driver's differential gate covers the join tree both
+    execution modes share. Equi-key on user_id keeps it a real hash
+    join with the interval predicate as a post-join filter; at 100 TB
+    the streaming form bounds state by the watermark horizon while
+    this batch form shuffles once per side."""
+    from scylla_pg_cdc_spark.streaming.joins import attribution_pairs_batch
+
+    return attribution_pairs_batch(spark, sf_dir, gap_minutes=60)
