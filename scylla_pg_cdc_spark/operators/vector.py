@@ -1422,3 +1422,139 @@ def q_vector_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q_crossmodal_dedup_audit",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN(substring(md5('0:' || shingle), 1, 8)) AS sig0,
+               MIN(substring(md5('0:' || shingle), 9, 8)) AS sig1,
+               MIN(substring(md5('0:' || shingle), 17, 8)) AS sig2,
+               MIN(substring(md5('0:' || shingle), 25, 8)) AS sig3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS sig4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS sig5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS sig6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS sig7
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bucket FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs
+    ),
+    tpairs AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ),
+    bits AS (
+        SELECT e.vec_id, b.i,
+               CASE WHEN SUM(
+                   CAST(e.embedding[CAST(j AS INT) + 1] AS DOUBLE)
+                   * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
+                           % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
+               ) >= 0 THEN '1' ELSE '0' END AS bit
+        FROM embeddings e, range(0, 4) b(i), range(0, {DIM}) t(j)
+        GROUP BY e.vec_id, b.i
+    ),
+    buck AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY i) AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    epairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM buck a JOIN buck b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    allp AS (
+        SELECT COALESCE(t.a, e.a) AS a, COALESCE(t.b, e.b) AS b,
+               t.a IS NOT NULL AS in_text,
+               e.a IS NOT NULL AS in_embed
+        FROM tpairs t FULL OUTER JOIN epairs e
+          ON t.a = e.a AND t.b = e.b
+    )
+    SELECT CASE WHEN in_text AND in_embed THEN 'both'
+                WHEN in_text THEN 'text_only'
+                ELSE 'embed_only' END AS flagged_by,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM allp GROUP BY flagged_by
+    """,
+)
+def q_crossmodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup AGREEMENT audit: the same corpus's candidate
+    near-dup pairs from the TEXT path (MinHash banded LSH,
+    `operators/text.py`) and the EMBEDDING path (sign-LSH buckets,
+    `q_embed_neardup`) joined full-outer and classified both /
+    text_only / embed_only — the calibration readout a curation
+    pipeline uses to decide whether the two dedup modalities are
+    redundant or complementary before spending the exact-verify
+    budget (doc_id and vec_id are aligned ids in this corpus).
+    Both candidate constructions are bucket joins (never all-pairs)
+    and the agreement join is on pair keys — everything stays
+    bucket-bounded at 100 TB."""
+    from scylla_pg_cdc_spark.operators.text import (
+        banded_buckets as text_buckets,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tb = text_buckets(minhash_signatures(shingles(docs)))
+    tpairs = (
+        tb.alias("l")
+        .join(
+            tb.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .distinct()
+        .withColumn("in_text", F.lit(True))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _pseudo_planes(4, DIM)
+    v = F.col("embedding").cast("array<double>")
+    eb = emb.select(
+        "vec_id", sign_lsh_bucket(v, planes).alias("bucket")
+    )
+    epairs = (
+        eb.alias("x")
+        .join(
+            eb.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b")
+        )
+        .withColumn("in_embed", F.lit(True))
+    )
+    allp = tpairs.join(epairs, ["a", "b"], "full_outer")
+    flagged = (
+        F.when(
+            F.col("in_text").isNotNull() & F.col("in_embed").isNotNull(),
+            "both",
+        )
+        .when(F.col("in_text").isNotNull(), "text_only")
+        .otherwise("embed_only")
+    )
+    return (
+        allp.withColumn("flagged_by", flagged)
+        .groupBy("flagged_by")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
