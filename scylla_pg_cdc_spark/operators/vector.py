@@ -1558,3 +1558,68 @@ def q_crossmodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flagged_by")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "q_vector_filtered_knn",
+    oracle=f"""
+    WITH qz AS ({_QZ_SQL}),
+    qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0),
+    ok AS (
+        SELECT doc_id FROM documents
+        WHERE lang = 'en' AND n_chars >= 200
+    )
+    SELECT z.vec_id, z.label,
+           CAST(SUM(z.q[CAST(i AS INT) + 1]
+                    * qv.qq[CAST(i AS INT) + 1]) AS BIGINT) AS dot_q
+    FROM qz z
+    JOIN ok ON ok.doc_id = z.vec_id, qv, range(0, {DIM}) t(i)
+    WHERE z.vec_id <> 0
+    GROUP BY z.vec_id, z.label
+    ORDER BY dot_q DESC, z.vec_id
+    LIMIT 10
+    """,
+)
+def q_vector_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search — the production ANN feature
+    brute-force rankings usually ignore: top-10 by int8 dot product
+    restricted to vectors whose aligned document passes a metadata
+    predicate (lang = 'en' AND n_chars >= 200; doc_id == vec_id in
+    this corpus). Pre-filtering beats post-filtering k-inflation: the
+    predicate pushes to the documents parquet scan, the id semi-join
+    prunes vectors BEFORE any dot product is computed, and the scored
+    stream goes straight to TakeOrdered — so selectivity directly
+    cuts compute, which is the whole point of filtered search at
+    100 TB (with an IVF index the same join applies per probed cell).
+    All-integer scoring = exact oracle, same quantization as
+    ``q_vector_int8_knn``."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).head()
+    xs = [float(x) for x in row["embedding"]]
+    m = max(max(abs(x) for x in xs), 1e-12)
+    qlit = F.array(
+        *[F.lit(int(math.floor(x * 127.0 / m))).cast("long") for x in xs]
+    )
+    ok = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    q = quantize_int8(F.col("embedding"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(ok, "vec_id", "left_semi")
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with(q, qlit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
+        .limit(10)
+    )
