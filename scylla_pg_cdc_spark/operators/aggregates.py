@@ -682,3 +682,98 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_n"),
         )
     )
+
+
+@query(
+    "q_pareto_customers",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nk, c.c_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_c
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ), ranked AS (
+        SELECT nk, c_custkey, rev_c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nk ORDER BY rev_c DESC, c_custkey
+               ) AS rn,
+               SUM(rev_c) OVER (
+                   PARTITION BY nk ORDER BY rev_c DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_c,
+               SUM(rev_c) OVER (PARTITION BY nk) AS tot_c,
+               COUNT(*) OVER (PARTITION BY nk) AS n_cust
+        FROM rev
+    )
+    SELECT CAST(nk AS BIGINT) AS nationkey,
+           CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+           CAST(MAX(tot_c) AS BIGINT) AS total_cents,
+           CAST(MIN(CASE WHEN 5 * cum_c >= 4 * tot_c THEN rn END)
+                AS BIGINT) AS k80,
+           CAST((1000000 * SUM(CASE WHEN rn <= 10 THEN rev_c ELSE 0 END))
+                // MAX(tot_c) AS BIGINT) AS top10_share_ppm
+    FROM ranked GROUP BY nk
+    """,
+)
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/Lorenz) profile per nation: how
+    many top customers cover 80% of revenue (k80, via the exact
+    integer test 5*cum >= 4*total — no float share), and the top-10
+    customers' revenue share in ppm — the skew diagnostic that feeds
+    both business reporting and the engine's own salting decisions
+    (a tiny k80 means the revenue key distribution is exactly the
+    power-law case `functions/skew.py` exists for).
+
+    Plan: customer-keyed revenue aggregation, then ranking windows on
+    the nation partition. Nation is low-cardinality, but the windowed
+    relation is the per-customer AGGREGATE (customers x 1 row), not
+    raw orders; at 100 TB with ~10^7 customers per nation the ranked
+    cumsum switches to range-partitioned sort (orderBy) with
+    partition-boundary offset merge — same two-phase trick as
+    `q_interval_overlap`, applied per nation."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nk")
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("price_c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("price_c").cast("long").alias("rev_c"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    order_w = Window.partitionBy("nk").orderBy(
+        F.desc("rev_c"), "c_custkey"
+    )
+    part_w = Window.partitionBy("nk")
+    ranked = rev.select(
+        "nk",
+        "rev_c",
+        F.row_number().over(order_w).alias("rn"),
+        F.sum("rev_c")
+        .over(order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_c"),
+        F.sum("rev_c").over(part_w).alias("tot_c"),
+        F.count(F.lit(1)).over(part_w).alias("n_cust"),
+    )
+    return ranked.groupBy(F.col("nk").cast("long").alias("nationkey")).agg(
+        F.max("n_cust").cast("long").alias("n_customers"),
+        F.max("tot_c").cast("long").alias("total_cents"),
+        F.min(
+            F.when(
+                F.lit(5) * F.col("cum_c") >= F.lit(4) * F.col("tot_c"),
+                F.col("rn"),
+            )
+        )
+        .cast("long")
+        .alias("k80"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN rn <= 10 THEN rev_c ELSE 0 END))"
+            " DIV MAX(tot_c) AS BIGINT)"
+        ).alias("top10_share_ppm"),
+    )
