@@ -864,3 +864,75 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_ms_view_purchase",
         )
     )
+
+
+@query(
+    "q_rolling_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT event_type,
+               epoch_ms(ts) // 86400000 AS day, user_id
+        FROM events
+    ), dau AS (
+        SELECT event_type, day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM du GROUP BY event_type, day
+    ), shifted AS (
+        SELECT DISTINCT d.event_type, d.day + o.off AS day, d.user_id
+        FROM du d, range(0, 7) o(off)
+    ), wau AS (
+        SELECT event_type, day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM shifted GROUP BY event_type, day
+    )
+    SELECT dau.event_type, CAST(dau.day AS BIGINT) AS day,
+           dau.dau, wau.wau
+    FROM dau JOIN wau
+      ON dau.event_type = wau.event_type AND dau.day = wau.day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: exact DAU and trailing-7-day WAU per event
+    type — the retention dashboard counters a CDC-fed warehouse
+    serves. Sliding COUNT DISTINCT cannot use a window frame (distinct
+    sets don't merge by subtraction), so the scalable construction is
+    the bounded explode: each (type, day, user) row contributes
+    itself to the 7 target days it is visible from (x7 row fanout,
+    CONSTANT in window length w, never data-quadratic), then one
+    distinct-count per shifted day. At 100 TB the fanout happens
+    AFTER per-day dedup, so it multiplies the distinct triple count,
+    not the raw event count; for w >> 7 switch to KMV/HLL sketch
+    merge (`operators/sketches.py`) — the exact form stays the
+    audit baseline. Only days that appear in DAU are emitted (the
+    inner join), so trailing ghost days past the stream's end drop
+    out."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_millis(ts) DIV 86400000").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = du.groupBy("event_type", "day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    shifted = (
+        du.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "day",
+            "user_id",
+        )
+        .select(
+            "event_type", (F.col("day") + F.col("off")).alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    wau = shifted.groupBy("event_type", "day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return dau.join(wau, ["event_type", "day"]).select(
+        "event_type", F.col("day").cast("long").alias("day"), "dau", "wau"
+    )
