@@ -480,3 +480,80 @@ def test_mmr_matches_greedy_python_replay(spark):
         for r in q_vector_mmr(spark, SF_SMALL).collect()
     )
     assert got == want
+
+
+def test_pareto_matches_serial_lorenz(spark):
+    """Windowed k80/top-10 share must equal a serial Lorenz-curve
+    fold over collected per-customer revenues."""
+    from scylla_pg_cdc_spark.operators.aggregates import q_pareto_customers
+
+    nat = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, SF_SMALL, "customer").collect()
+    }
+    rev: dict[int, int] = defaultdict(int)
+    for r in load_table(spark, SF_SMALL, "orders").collect():
+        rev[r["o_custkey"]] += math.floor(r["o_totalprice"] * 100.0 + 0.5)
+    per_nation: dict[int, list] = defaultdict(list)
+    for ck, rc in rev.items():
+        per_nation[nat[ck]].append((rc, ck))
+    want = {}
+    for nk, rows in per_nation.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        tot = sum(rc for rc, _ in rows)
+        cum, k80 = 0, None
+        for i, (rc, _ck) in enumerate(rows, 1):
+            cum += rc
+            if k80 is None and 5 * cum >= 4 * tot:
+                k80 = i
+        top10 = sum(rc for rc, _ in rows[:10])
+        want[nk] = (len(rows), tot, k80, (1000000 * top10) // tot)
+    got = {
+        r["nationkey"]: (
+            r["n_customers"],
+            r["total_cents"],
+            r["k80"],
+            r["top10_share_ppm"],
+        )
+        for r in q_pareto_customers(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_rolling_wau_matches_serial_sets(spark):
+    """Bounded-explode WAU must equal serial 7-day set unions."""
+    from scylla_pg_cdc_spark.operators.analytics import q_rolling_active_users
+
+    day_users: dict[tuple, set] = defaultdict(set)
+    for r in load_table(spark, SF_SMALL, "events").collect():
+        d = int(r["ts"].timestamp() * 1000) // 86400000
+        day_users[(r["event_type"], d)].add(r["user_id"])
+    want = {}
+    for (et, d), users in day_users.items():
+        wau = set()
+        for back in range(7):
+            wau |= day_users.get((et, d - back), set())
+        want[(et, d)] = (len(users), len(wau))
+    got = {
+        (r["event_type"], r["day"]): (r["dau"], r["wau"])
+        for r in q_rolling_active_users(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_filtered_knn_subset_of_predicate(spark):
+    """Every filtered-KNN hit must satisfy the metadata predicate,
+    and scores must match the unfiltered scorer on those ids."""
+    from scylla_pg_cdc_spark.operators.vector import q_vector_filtered_knn
+
+    ok_ids = {
+        r["doc_id"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .collect()
+    }
+    rows = q_vector_filtered_knn(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    assert all(r["vec_id"] in ok_ids for r in rows)
+    dots = [r["dot_q"] for r in rows]
+    assert dots == sorted(dots, reverse=True)
