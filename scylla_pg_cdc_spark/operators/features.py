@@ -387,3 +387,72 @@ def q_event_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         fold, schema="user_id long, n long, ewma_cents long"
     )
+
+
+@query(
+    "q_gap_percentile",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS gap_ms
+        FROM events
+    ), gg AS (
+        SELECT event_type, gap_ms,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY gap_ms
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM g WHERE gap_ms IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_ms END)
+                AS BIGINT) AS p50_ms,
+           CAST(MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN gap_ms END)
+                AS BIGINT) AS p95_ms,
+           CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_ms END)
+                AS BIGINT) AS p99_ms
+    FROM gg GROUP BY event_type
+    """,
+)
+def q_gap_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p95/p99 inter-event gap per event type — the SLO
+    numbers behind streaming watermark and session-gap choices (the
+    lateness histogram in `analytics.py:q_event_lateness` buckets;
+    this ranks). Discrete (type-7) percentiles via rank selection —
+    rn == ceil(q*n) picked with integer arithmetic, no interpolation,
+    no engine-specific percentile function (Spark `percentile` and
+    DuckDB `quantile_cont` interpolate differently; rank-select is
+    bit-portable). Gap computation windows on user_id (high
+    cardinality); the rank window runs per type over the gap
+    DISTRIBUTION rows. At extreme scale the rank-select switches to
+    the two-phase offset-merge (see `q_interval_overlap`)."""
+    g = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.unix_millis("ts")
+            - F.lag(F.unix_millis("ts")).over(
+                Window.partitionBy("user_id").orderBy(
+                    F.unix_millis("ts"), "event_id"
+                )
+            )
+        ).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    part = Window.partitionBy("event_type")
+    gg = g.select(
+        "event_type",
+        "gap_ms",
+        F.row_number().over(part.orderBy("gap_ms")).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    pick = lambda expr: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(expr), F.col("gap_ms"))
+    ).cast("long")
+    return gg.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        pick("(n + 1) DIV 2").alias("p50_ms"),
+        pick("(95 * n + 99) DIV 100").alias("p95_ms"),
+        pick("(99 * n + 99) DIV 100").alias("p99_ms"),
+    )

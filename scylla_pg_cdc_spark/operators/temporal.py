@@ -386,3 +386,73 @@ def q_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_pg_cdc_spark.streaming.joins import attribution_pairs_batch
 
     return attribution_pairs_batch(spark, sf_dir, gap_minutes=60)
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS view_id, epoch_ms(ts) AS view_ms
+        FROM events WHERE event_type = 'view'
+    ), c AS (
+        SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ms
+        FROM events WHERE event_type = 'click'
+    ), pairs AS (
+        SELECT c.user_id, c.click_id, c.click_ms, v.view_id, v.view_ms,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.click_id
+                   ORDER BY v.view_ms DESC, v.view_id DESC
+               ) AS rn
+        FROM c JOIN v
+          ON v.user_id = c.user_id
+         AND v.view_ms < c.click_ms
+         AND v.view_ms >= c.click_ms - 3600000
+    )
+    SELECT user_id, click_id, click_ms, view_id AS attributed_view,
+           CAST(click_ms - view_ms AS BIGINT) AS touch_gap_ms
+    FROM pairs WHERE rn = 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: each click credits the single most
+    recent view by the same user within the preceding hour — the
+    business model marketers actually bill on, vs the all-pairs
+    interval join (``q_attribution_pairs``) that feeds it. The pick
+    is a per-click rn=1 over (view_ms DESC, view_id DESC): the
+    deterministic tie rule, and exactly an AS-OF JOIN with a lower
+    bound — same user-keyed hash join + bounded interval as the pair
+    query, one extra window on the click partition (clicks x their
+    in-window views only, never the raw streams)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_millis("ts").alias("view_ms"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_millis("ts").alias("click_ms"),
+    )
+    pairs = c.join(v, "user_id").filter(
+        (F.col("view_ms") < F.col("click_ms"))
+        & (F.col("view_ms") >= F.col("click_ms") - 3600000)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("click_id").orderBy(
+            F.desc("view_ms"), F.desc("view_id")
+        )
+    )
+    return (
+        pairs.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "click_id",
+            "click_ms",
+            F.col("view_id").alias("attributed_view"),
+            (F.col("click_ms") - F.col("view_ms"))
+            .cast("long")
+            .alias("touch_gap_ms"),
+        )
+    )
