@@ -557,3 +557,35 @@ def test_filtered_knn_subset_of_predicate(spark):
     assert all(r["vec_id"] in ok_ids for r in rows)
     dots = [r["dot_q"] for r in rows]
     assert dots == sorted(dots, reverse=True)
+
+
+def test_gap_percentile_two_phase_matches_serial_sort(spark):
+    """Two-phase order statistics must equal a serial full-sort
+    rank-select per type."""
+    from scylla_pg_cdc_spark.operators.features import q_gap_percentile
+
+    per_user: dict[int, list] = defaultdict(list)
+    for r in load_table(spark, SF_SMALL, "events").collect():
+        per_user[r["user_id"]].append(
+            (int(r["ts"].timestamp() * 1000), r["event_id"], r["event_type"])
+        )
+    gaps: dict[str, list] = defaultdict(list)
+    for rows in per_user.values():
+        rows.sort()
+        for (a, _ea, _ta), (b, _eb, tb) in zip(rows, rows[1:]):
+            gaps[tb].append(b - a)
+    want = {}
+    for et, gs in gaps.items():
+        gs.sort()
+        n = len(gs)
+        want[et] = (
+            n,
+            gs[(n + 1) // 2 - 1],
+            gs[(95 * n + 99) // 100 - 1],
+            gs[(99 * n + 99) // 100 - 1],
+        )
+    got = {
+        r["event_type"]: (r["n_gaps"], r["p50_ms"], r["p95_ms"], r["p99_ms"])
+        for r in q_gap_percentile(spark, SF_SMALL).collect()
+    }
+    assert got == want
