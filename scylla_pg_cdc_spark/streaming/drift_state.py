@@ -1,0 +1,122 @@
+"""Streaming distribution-drift monitor: per-epoch KS vs history.
+
+The batch query ``operators/quality.py:q_drift_ks`` compares two
+halves of a static table; this is the form a LIVE pipeline runs: the
+HISTORICAL value distribution persists as exact per-(type, cent)
+counts (losslessly mergeable — counts add), and each incoming epoch
+is KS-tested against that state BEFORE being folded in. An epoch
+whose ks_ppm spikes is quarantined by the caller before it pollutes
+the baseline — the upstream-semantic-change tripwire the reference's
+count/lag metrics (`src/monitoring/metrics.py`) cannot see.
+
+State size is the distribution's support (types x distinct cents),
+not the stream length — the same boundedness argument as the
+count-min/KMV sketch states, but exact. The KS core mirrors the
+batch query: ECDF-gap numerator maximized in decimal(38,0) exact
+arithmetic, ratio micro-quantized last.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _value_counts(batch: DataFrame) -> DataFrame:
+    """(event_type, vc, cnt) exact cent-quantized value counts."""
+    return (
+        batch.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+        )
+        .groupBy("event_type", "vc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _ks(hist: DataFrame, cur: DataFrame) -> DataFrame:
+    """Exact two-sample KS per event_type between two count frames."""
+    both = hist.select(
+        "event_type", "vc", F.col("cnt").alias("d1"), F.lit(0).alias("d2")
+    ).unionAll(
+        cur.select(
+            "event_type", "vc", F.lit(0).alias("d1"), F.col("cnt").alias("d2")
+        )
+    )
+    pt = both.groupBy("event_type", "vc").agg(
+        F.sum("d1").alias("d1"), F.sum("d2").alias("d2")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = pt.select(
+        "event_type",
+        F.sum("d1").over(w_cum).alias("c1"),
+        F.sum("d2").over(w_cum).alias("c2"),
+        F.sum("d1").over(w_all).alias("n1"),
+        F.sum("d2").over(w_all).alias("n2"),
+    )
+    num = F.abs(
+        F.col("c1").cast("decimal(38,0)") * F.col("n2").cast("decimal(38,0)")
+        - F.col("c2").cast("decimal(38,0)") * F.col("n1").cast("decimal(38,0)")
+    )
+    return (
+        cum.select("event_type", "n1", "n2", num.alias("num"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").cast("long").alias("n_hist"),
+            F.max("n2").cast("long").alias("n_epoch"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.max("num").cast("double")
+                / (F.max("n1").cast("double") * F.max("n2").cast("double"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("ks_ppm"),
+        )
+    )
+
+
+def monitor_epoch(
+    spark: SparkSession, state_dir: str, batch: DataFrame
+) -> DataFrame:
+    """KS-test one epoch of events against the persisted historical
+    distribution, then fold the epoch into the state.
+
+    Returns (event_type, n_hist, n_epoch, ks_ppm); first epoch
+    bootstraps (no test — returned frame is empty) so the caller's
+    quarantine rule never fires on an empty baseline. The fold is a
+    count merge + atomic directory swap (the MV staging discipline,
+    `streaming/pipeline.py:fold_mv_bucketed`)."""
+    cdir = os.path.join(state_dir, "counts")
+    cur = _value_counts(batch)
+    if os.path.isdir(cdir):
+        hist = spark.read.parquet(cdir)
+        out = _ks(hist, cur)
+        merged = (
+            hist.unionAll(cur)
+            .groupBy("event_type", "vc")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        hist = None
+        out = _ks(cur.limit(0), cur.limit(0))
+        merged = cur
+    nxt = cdir + "_next"
+    merged.write.mode("overwrite").parquet(nxt)
+    out = out.localCheckpoint()  # materialize BEFORE the swap below
+    if os.path.isdir(cdir):
+        import shutil
+
+        shutil.rmtree(cdir)
+    os.rename(nxt, cdir)
+    return out

@@ -589,3 +589,64 @@ def test_gap_percentile_two_phase_matches_serial_sort(spark):
         for r in q_gap_percentile(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_drift_monitor_epochs_match_serial_ks(spark, tmp_path):
+    """Three epochs through the drift state must produce, per epoch,
+    the exact KS of (all prior epochs) vs (this epoch) — recomputed
+    serially in Python — and the folded state must equal the total
+    counts afterwards."""
+    from scylla_pg_cdc_spark.streaming.drift_state import monitor_epoch
+
+    rows = [
+        (r["event_type"], int(r["ts"].timestamp() * 1000), r["value"], r["event_id"])
+        for r in load_table(spark, SF_SMALL, "events").collect()
+        if r["value"] is not None
+    ]
+
+    def ks(hist, cur):
+        out = {}
+        types = {et for et, _ in hist} | {et for et, _ in cur}
+        for et in types:
+            h = sorted(v for e, v in hist if e == et)
+            c = sorted(v for e, v in cur if e == et)
+            n1, n2 = len(h), len(c)
+            if n1 == 0 or n2 == 0:
+                continue
+            best = 0
+            for x in sorted(set(h) | set(c)):
+                c1 = sum(1 for v in h if v <= x)
+                c2 = sum(1 for v in c if v <= x)
+                best = max(best, abs(c1 * n2 - c2 * n1))
+            out[et] = (
+                n1,
+                n2,
+                math.floor(1000000.0 * float(best) / (float(n1) * float(n2)) + 0.5),
+            )
+        return out
+
+    state = str(tmp_path / "drift")
+    full = load_table(spark, SF_SMALL, "events")
+    hist: list = []
+    for epoch in range(3):
+        cur = [
+            (et, math.floor(v * 100.0 + 0.5))
+            for et, _ms, v, eid in rows
+            if eid % 3 == epoch
+        ]
+        batch = full.filter(F.col("event_id") % 3 == epoch)
+        got = {
+            r["event_type"]: (r["n_hist"], r["n_epoch"], r["ks_ppm"])
+            for r in monitor_epoch(spark, state, batch).collect()
+        }
+        want = ks(hist, cur) if epoch > 0 else {}
+        assert got == want, f"epoch {epoch}"
+        hist.extend(cur)
+    final = {
+        (r["event_type"], r["vc"]): r["cnt"]
+        for r in spark.read.parquet(str(tmp_path / "drift" / "counts")).collect()
+    }
+    serial: dict[tuple, int] = defaultdict(int)
+    for et, vc in hist:
+        serial[(et, vc)] += 1
+    assert final == dict(serial)
