@@ -396,6 +396,7 @@ def run_upsert_pipeline(
     state_buckets: int = STATE_BUCKETS,
     state_mode: str = "merge",
     digest_buckets: int | None = None,
+    drift_monitor: bool = False,
 ) -> dict[str, str]:
     """End-to-end streaming CDC pipeline with DLQ split:
     readStream -> transform -> foreachBatch(main: upsert merge with
@@ -419,6 +420,11 @@ def run_upsert_pipeline(
     delta (``fold_digests``) — the live replica-comparison state the
     reconciliation layer diffs against a target without rescans.
 
+    ``drift_monitor=True`` additionally KS-tests each epoch's value
+    distribution against the persisted history at ``work_dir/drift``
+    BEFORE folding it in (``streaming/drift_state.py``), appending a
+    per-epoch report — the upstream-semantic-change tripwire.
+
     ``state_mode``: ``merge`` (eager per-epoch compaction — cheap
     reads) or ``lsm`` (O(batch) appends + amortized compaction via
     ``streaming/lsm_state.py`` — write-heavy CDC firehose; read the
@@ -430,6 +436,7 @@ def run_upsert_pipeline(
     dlq_dir = os.path.join(work_dir, "dlq")
     mv_dir = os.path.join(work_dir, "mv")
     digest_dir = os.path.join(work_dir, "digests")
+    drift_dir = os.path.join(work_dir, "drift")
     checkpoint = os.path.join(work_dir, "checkpoint")
 
     stream = to_change_events(
@@ -446,6 +453,13 @@ def run_upsert_pipeline(
     def _digest_marker() -> str | None:
         try:
             with open(os.path.join(digest_dir, "_EPOCH")) as f:
+                return f.read().strip()
+        except OSError:
+            return None
+
+    def _drift_marker() -> str | None:
+        try:
+            with open(os.path.join(drift_dir, "_EPOCH")) as f:
                 return f.read().strip()
         except OSError:
             return None
@@ -490,6 +504,19 @@ def run_upsert_pipeline(
             clean = batch.filter(~poison)
             delta = None
             marker = f"epoch-{epoch_id}"
+            if drift_monitor and _drift_marker() != marker:
+                from scylla_pg_cdc_spark.streaming.drift_state import (
+                    monitor_epoch,
+                )
+
+                report = monitor_epoch(spark, drift_dir, clean)
+                report.withColumn(
+                    "epoch_id", F.lit(epoch_id)
+                ).write.mode("append").parquet(
+                    os.path.join(drift_dir, "report")
+                )
+                with open(os.path.join(drift_dir, "_EPOCH"), "w") as f:
+                    f.write(marker)
             need_mv = mv_spec is not None and _mv_marker() != marker
             need_dig = (
                 digest_buckets is not None and _digest_marker() != marker
@@ -557,6 +584,7 @@ def run_upsert_pipeline(
         "dlq": dlq_dir,
         "mv": mv_dir,
         "digests": digest_dir,
+        "drift": drift_dir,
         "checkpoint": checkpoint,
     }
 

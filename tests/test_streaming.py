@@ -412,3 +412,68 @@ def test_watermark_drops_late_data(spark, tmp_path):
         f"late dropping did not engage (dropped={dropped}, stale={n_old})"
     )
     assert len(q.recentProgress) >= 3  # three arrival epochs ran
+
+
+def test_pipeline_drift_monitor_reports_and_folds(spark, tmp_path):
+    """drift_monitor=True: epoch 0 bootstraps silently, later epochs
+    get a KS report row per event type, and the folded count state
+    equals the exact value counts of every CLEAN (non-poison) event."""
+    import json as _json
+    import math
+    import os
+    import time as _t
+    from collections import defaultdict
+
+    from scylla_pg_cdc_spark.sources.tables import load_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    events = load_table(spark, SF_SMALL, "events")
+
+    def dump(df, name):
+        df.select(
+            "event_id",
+            (F.unix_micros("ts") * 1000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.parquet(str(tmp_path / name))
+        part = [
+            f for f in os.listdir(str(tmp_path / name))
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(
+            str(tmp_path / name / part), os.path.join(src, f"{name}.parquet")
+        )
+
+    for i in range(3):
+        dump(events.filter(F.col("event_id") % 3 == i), f"ep{i}")
+        _t.sleep(1.1)
+
+    out = run_upsert_pipeline(
+        spark, src, str(tmp_path / "work"),
+        glob="*.parquet", max_files_per_trigger=1, drift_monitor=True,
+    )
+    report = spark.read.parquet(os.path.join(out["drift"], "report"))
+    reps = report.collect()
+    assert {r["epoch_id"] for r in reps} == {1, 2}
+    assert all(r["ks_ppm"] >= 0 and r["n_hist"] > 0 for r in reps)
+
+    # folded counts == exact clean-event value counts
+    clean = [
+        r
+        for r in events.collect()
+        if r["value"] is not None
+        and not (
+            (r["value"] < 1.0)
+            or (_json.loads(r["props"] or "{}").get("k", 0) > 90)
+        )
+    ]
+    serial: dict[tuple, int] = defaultdict(int)
+    for r in clean:
+        serial[(r["event_type"], math.floor(r["value"] * 100.0 + 0.5))] += 1
+    got = {
+        (r["event_type"], r["vc"]): r["cnt"]
+        for r in spark.read.parquet(
+            os.path.join(out["drift"], "counts")
+        ).collect()
+    }
+    assert got == dict(serial)
