@@ -1623,3 +1623,92 @@ def q_vector_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "q_embed_drift",
+    oracle=f"""
+    WITH ex AS (
+        SELECT label, vec_id % 2 AS half, i,
+               CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS val
+        FROM embeddings, range(0, {DIM}) t(i)
+    ), cents AS (
+        SELECT label, half, i, AVG(val) AS m, COUNT(*) AS n
+        FROM ex GROUP BY label, half, i
+    ), paired AS (
+        SELECT a.label, a.i, a.m AS ma, b.m AS mb,
+               a.n AS na_rows, b.n AS nb_rows
+        FROM cents a JOIN cents b
+          ON a.label = b.label AND a.i = b.i
+         AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(MAX(na_rows) AS BIGINT) AS n_even,
+           CAST(MAX(nb_rows) AS BIGINT) AS n_odd,
+           CAST(FLOOR(1000000.0 * SUM(ma * mb)
+                / (SQRT(SUM(ma * ma)) * SQRT(SUM(mb * mb)))
+                + 0.5) AS BIGINT) AS centroid_cos_micro,
+           CAST(FLOOR(1000000.0
+                * SQRT(SUM((ma - mb) * (ma - mb))) + 0.5) AS BIGINT)
+               AS centroid_shift_micro
+    FROM paired GROUP BY label
+    """,
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space drift: per label, the cosine and L2 distance
+    between the centroids of two deterministic halves of the corpus
+    (vec_id parity stands in for the before/after split) — the
+    representation-drift monitor that completes the drift family
+    (values: `q_drift_ks`; categorical mix: `q_domain_chisq`;
+    embeddings: this). A silent upstream encoder swap moves centroids
+    long before any scalar statistic shifts.
+
+    Centroids come from the posexplode (label, half, dim) aggregation
+    (`q_vector_label_centroid`'s scale shape — shuffle by dim key,
+    never per-label arrays on one task); the cosine/L2 are computed
+    over the 64-row-per-label centroid table (tiny) and
+    micro-quantized, the 1e-6 quantum absorbing float partial-sum
+    order noise (~1e-11 relative) exactly as the centroid query's
+    oracle does. sqrt is IEEE-correctly-rounded, so it stays in the
+    portable expression set."""
+    ex = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).toDF("label", "half", "i", "val")
+    cents = ex.groupBy("label", "half", "i").agg(
+        F.avg("val").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    a = cents.filter(F.col("half") == 0).select(
+        "label", "i", F.col("m").alias("ma"), F.col("n").alias("na_rows")
+    )
+    b = cents.filter(F.col("half") == 1).select(
+        "label", "i", F.col("m").alias("mb"), F.col("n").alias("nb_rows")
+    )
+    paired = a.join(b, ["label", "i"])
+    return paired.groupBy("label").agg(
+        F.max("na_rows").cast("long").alias("n_even"),
+        F.max("nb_rows").cast("long").alias("n_odd"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("centroid_cos_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sqrt(
+                F.sum(
+                    (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+                )
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("centroid_shift_micro"),
+    )
