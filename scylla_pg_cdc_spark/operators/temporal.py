@@ -456,3 +456,101 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("touch_gap_ms"),
         )
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For every left row: the EARLIEST right row with the same key
+    and ``right_ts >= left_ts`` (NULL-extended when none) — the
+    forward/next-event direction of ``asof_join``, same union-window
+    construction mirrored: right rows sort AFTER left rows at equal
+    timestamps (so an exactly-simultaneous right row is visible,
+    matching DuckDB forward ASOF's ``<=``) and the carry is
+    first(ignorenulls) over the FOLLOWING frame."""
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    lcols = left.columns
+    l2 = left.select(
+        *lcols,
+        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in value_cols],
+        F.col(left_on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+    )
+    r2 = right.select(
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__src"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__src")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = l2.unionByName(r2).select(
+        *lcols,
+        "__src",
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__src") == 0).select(
+        *lcols, *[F.col(f"__r_{c}").alias(c) for c in value_cols]
+    )
+
+
+@query(
+    "q_asof_join_forward",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ev_ms FROM events
+    ), o AS (
+        SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS order_ms
+        FROM orders
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.order_ms,
+           CAST(COALESCE(e.event_id, -1) AS BIGINT) AS next_event_id,
+           CAST(COALESCE(e.ev_ms, -1) AS BIGINT) AS next_event_ms
+    FROM o ASOF LEFT JOIN ev e
+      ON o.o_custkey = e.user_id AND o.order_ms <= e.ev_ms
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each order picks the user's EARLIEST event
+    at-or-after the order timestamp — the "next reading after the
+    request" direction (reaction-time / time-to-first-event analyses)
+    that completes the as-of pair. Cross-validated against DuckDB's
+    native forward ASOF JOIN (``<=``) — two independent
+    implementations again. Same single-shuffle scale shape as the
+    backward join; -1 sentinels for no-match keep dtypes integral."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ev_ms")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ms"),
+    )
+    joined = asof_join_forward(
+        orders, events,
+        left_on="o_custkey", right_on="user_id",
+        left_ts="order_ms", right_ts="ev_ms",
+        value_cols=["event_id", "ev_ms"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_ms",
+        F.coalesce("event_id", F.lit(-1)).alias("next_event_id"),
+        F.coalesce("ev_ms", F.lit(-1)).alias("next_event_ms"),
+    )

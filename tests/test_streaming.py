@@ -477,3 +477,32 @@ def test_pipeline_drift_monitor_reports_and_folds(spark, tmp_path):
         ).collect()
     }
     assert got == dict(serial)
+
+
+def test_pipeline_drift_replay_is_idempotent(spark, tmp_path):
+    """Re-running the finished pipeline on the same checkpoint must
+    not re-fold drift counts (marker + checkpoint discipline)."""
+    import os
+
+    from scylla_pg_cdc_spark.sources.tables import load_table  # noqa: F401
+
+    work = str(tmp_path / "work")
+    out1 = run_upsert_pipeline(
+        spark, SF_SMALL, work, drift_monitor=True
+    )
+    counts1 = sorted(
+        (r["event_type"], r["vc"], r["cnt"])
+        for r in spark.read.parquet(
+            os.path.join(out1["drift"], "counts")
+        ).collect()
+    )
+    out2 = run_upsert_pipeline(
+        spark, SF_SMALL, work, drift_monitor=True
+    )
+    counts2 = sorted(
+        (r["event_type"], r["vc"], r["cnt"])
+        for r in spark.read.parquet(
+            os.path.join(out2["drift"], "counts")
+        ).collect()
+    )
+    assert counts1 == counts2
