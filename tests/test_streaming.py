@@ -506,3 +506,48 @@ def test_pipeline_drift_replay_is_idempotent(spark, tmp_path):
         ).collect()
     )
     assert counts1 == counts2
+
+
+def test_streaming_ohlc_matches_batch_bars(spark, tmp_path):
+    """min_by/max_by streaming candles must equal the batch
+    row_number formulation bar-for-bar."""
+    import os
+
+    from scylla_pg_cdc_spark.operators.temporal import q_ohlc_bars
+    from scylla_pg_cdc_spark.streaming.pipeline import read_event_stream
+    from scylla_pg_cdc_spark.streaming.rollups import ohlc_bars_stream
+
+    stream = read_event_stream(spark, SF_SMALL)
+    out = ohlc_bars_stream(stream)
+    name = "ohlc_" + os.path.basename(str(tmp_path)).replace("-", "_")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_type"], r["hour_ms"]): (
+            r["open_c"], r["high_c"], r["low_c"], r["close_c"],
+            r["n_events"], r["vol_c"],
+        )
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["event_type"], r["hour_ms"]): (
+            r["open_c"], r["high_c"], r["low_c"], r["close_c"],
+            r["n_events"], r["vol_c"],
+        )
+        for r in q_ohlc_bars(spark, SF_SMALL).collect()
+    }
+    # append mode emits only watermark-closed windows; with
+    # availableNow over a finite file the final watermark closes all
+    # but the last open windows — require everything emitted to match
+    # and at least 90% of bars present
+    assert got
+    for k, v in got.items():
+        assert want[k] == v, k
+    assert len(got) >= int(0.9 * len(want))
