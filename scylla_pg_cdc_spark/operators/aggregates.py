@@ -777,3 +777,87 @@ def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV MAX(tot_c) AS BIGINT)"
         ).alias("top10_share_ppm"),
     )
+
+
+@query(
+    "q_gini_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nk, c.c_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_c
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ), ranked AS (
+        SELECT nk, rev_c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nk ORDER BY rev_c, c_custkey
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY nk) AS n
+        FROM rev
+    )
+    SELECT CAST(nk AS BIGINT) AS nationkey,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS total_cents,
+           CAST(FLOOR(1000000.0
+                * (CAST(2 AS HUGEINT) * SUM(CAST(rn AS HUGEINT) * rev_c)
+                   - CAST(MAX(n) + 1 AS HUGEINT) * SUM(rev_c))
+                / (CAST(MAX(n) AS HUGEINT) * SUM(rev_c))
+                + 0.5) AS BIGINT) AS gini_ppm
+    FROM ranked GROUP BY nk
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the
+    inequality summary that pairs with ``q_pareto_customers``'s k80
+    (Pareto says WHERE the mass sits; Gini is the one-number
+    concentration index). Classic rank formula G = (2*Σ i*x_(i) -
+    (n+1)*Σx) / (n*Σx) over ascending-sorted revenues; the rank
+    product is summed in widened integers (Σ i*x_i reaches n²·x̄ —
+    decimal(38,0)/HUGEINT past ~10^9 customers) and only the final
+    ratio is micro-quantized through the mirrored double expression.
+    Tie ranks are deterministic by custkey and provably don't affect
+    the sum (equal x within a tie block). Same ranked-window scale
+    posture as Pareto (see that docstring)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nk")
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("price_c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("price_c").cast("long").alias("rev_c"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    ranked = rev.select(
+        "nk",
+        "rev_c",
+        F.row_number()
+        .over(Window.partitionBy("nk").orderBy("rev_c", "c_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("nk")).alias("n"),
+    )
+    return ranked.groupBy(F.col("nk").cast("long").alias("nationkey")).agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum("rev_c").cast("long").alias("total_cents"),
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.lit(2).cast("decimal(38,0)")
+                * F.sum(F.col("rn").cast("decimal(38,0)") * F.col("rev_c"))
+                - (F.max("n") + 1).cast("decimal(38,0)") * F.sum("rev_c")
+            ).cast("double")
+            / (
+                F.max("n").cast("decimal(38,0)")
+                * F.sum("rev_c").cast("decimal(38,0)")
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
