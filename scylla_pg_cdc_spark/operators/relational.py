@@ -811,3 +811,105 @@ def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+@query(
+    "q_setops_all",
+    oracle="""
+    WITH ia AS (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), ea AS (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ia GROUP BY k
+    UNION ALL
+    SELECT 'except_all', k, CAST(COUNT(*) AS BIGINT)
+    FROM ea GROUP BY k
+    """,
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL, U3's
+    multiset forms): per key, intersect-all keeps min(multiplicity)
+    copies and except-all keeps the multiplicity DIFFERENCE — the
+    semantics `intersectAll`/`exceptAll` implement and the distinct
+    forms (`q_intersect`/`q_except`) silently lose. Emitted grouped
+    (op, key, n-copies) so the multiplicities themselves are what the
+    value-hash verifies. Plan: both branches are one hash shuffle on
+    the key (Spark rewrites them to aggregate + generate), same
+    scale posture as any keyed aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return ia.unionAll(ea)
+
+
+@query(
+    "q_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_rows', n_rows FROM wide
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the inverse of ``q_agg_pivot``): the wide
+    per-flag summary melts to (flag, metric, value) long form — the
+    layout metric stores and chart consumers want. Uses Spark's
+    native ``DataFrame.unpivot`` (Expand node — one pass, no joins,
+    row fanout = number of melted columns); the oracle spells the
+    same semantics as a UNION ALL so the check pins what unpivot
+    MEANS, not how either engine spells it."""
+    wide = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("sum_qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sum_price_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price_cents", "n_rows"],
+        "metric",
+        "val",
+    )
