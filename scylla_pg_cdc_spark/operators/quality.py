@@ -143,7 +143,7 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR(1000000.0 * CAST(MAX(num) AS DOUBLE)
                 / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE))
                 + 0.5) AS BIGINT) AS ks_ppm
-    FROM dist GROUP BY event_type
+    FROM dist WHERE n1 > 0 AND n2 > 0 GROUP BY event_type
     """,
 )
 def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,7 +203,7 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d1").over(w_all).alias("n1"),
         F.sum("d2").over(w_all).alias("n2"),
     )
-    dist = cum.select(
+    dist = cum.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
         "event_type",
         "n1",
         "n2",

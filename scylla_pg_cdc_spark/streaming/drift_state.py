@@ -70,6 +70,11 @@ def _ks(hist: DataFrame, cur: DataFrame) -> DataFrame:
     )
     return (
         cum.select("event_type", "n1", "n2", num.alias("num"))
+        # KS is defined only between two NON-EMPTY samples; a type
+        # seen on one side only (e.g. a brand-new event_type's first
+        # epoch) must not divide by zero — it joins the history and
+        # gets tested from the next epoch on
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
         .groupBy("event_type")
         .agg(
             F.max("n1").cast("long").alias("n_hist"),

@@ -278,3 +278,81 @@ def test_join_view_ivm_matches_recompute_under_random_churn(spark, epochs):
         )
         got = sorted(tuple(r) for r in view.collect())
         assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),          # type
+            st.integers(0, 10_000_000),           # ts_ms
+            st.floats(0, 500, allow_nan=False),   # value
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_drift_ks_bounds_and_self_zero(spark, rows):
+    """KS invariants on random event frames: 0 <= ks_ppm <= 1e6, and
+    a distribution tested against itself (duplicated stream around
+    the midpoint) gives ks_ppm == 0."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from scylla_pg_cdc_spark.streaming.drift_state import _ks, _value_counts
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame(
+        [
+            (t, base + dt.timedelta(milliseconds=ms), v, i)
+            for i, (t, ms, v) in enumerate(rows)
+        ],
+        schema,
+    )
+    counts = _value_counts(df)
+    # self-comparison: identical distributions -> D = 0 per type
+    self_ks = _ks(counts, counts).collect()
+    assert all(r["ks_ppm"] == 0 for r in self_ks)
+    # split halves: bounds hold whatever the split
+    half_a = _value_counts(df.filter(F.col("event_id") % 2 == 0))
+    half_b = _value_counts(df.filter(F.col("event_id") % 2 == 1))
+    for r in _ks(half_a, half_b).collect():
+        assert 0 <= r["ks_ppm"] <= 1_000_000
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(-(10**9), 10**9), min_size=1, max_size=30
+    ),
+    den=st.integers(1, 10**6),
+)
+def test_floordiv_sql_matches_python_floor(spark, vals, den):
+    """analytics.floordiv_sql must equal Python's // (true floor) for
+    any sign of numerator — the Spark-DIV-vs-DuckDB-// trap."""
+    from scylla_pg_cdc_spark.operators.analytics import floordiv_sql
+
+    df = spark.createDataFrame([(v,) for v in vals], "num long")
+    got = [
+        r["fd"]
+        for r in df.select(
+            F.expr(floordiv_sql("num", str(den))).alias("fd")
+        ).collect()
+    ]
+    assert got == [v // den for v in vals]
