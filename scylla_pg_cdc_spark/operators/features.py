@@ -429,18 +429,14 @@ def q_gap_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     TWO-PHASE distributed order statistics (the naive per-type rank
     window cost 30x per-row at 10M gap rows — measured, SCALE.md):
-    (1) gaps bucket by value range (1-minute cells); per-(type,
-    bucket) counts cumulate over the TINY bucket table to locate,
-    for each percentile, the bucket holding global rank r and the
-    count of gaps before it; (2) only rows of those target buckets
-    get a within-bucket rank (fine (type, bucket) partitions), and
-    the answer is the (r - offset)-th smallest inside its bucket.
-    The selected VALUE is tie-order independent, so the result is
-    bit-identical to the naive global window the ORACLE still uses —
-    the equality check proves the decomposition. Degenerate case: if
-    one value bucket holds nearly everything, narrow the bucket
-    width (the knob below); the shape stays the same."""
-    bucket_ms = 60_000
+    delegated to ``functions/percentiles.py:rank_select_percentiles``
+    (bucket ledger -> locate each percentile's bucket -> rank only
+    target buckets), which the ORACLE's naive global window and an
+    adversarial-ties property test both pin as value-identical."""
+    from scylla_pg_cdc_spark.functions.percentiles import (
+        rank_select_percentiles,
+    )
+
     g = load_table(spark, sf_dir, "events").select(
         "event_type",
         (
@@ -452,80 +448,21 @@ def q_gap_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gap_ms"),
     ).filter(F.col("gap_ms").isNotNull())
-    # materialize the gap frame ONCE: both the bucket ledger and the
-    # targeted rank pass consume it, and recomputing the user_id lag
-    # window (the dominant cost at 10M rows) doubles the query
-    gb = g.withColumn(
-        "bkt", F.expr(f"gap_ms DIV {bucket_ms}")
-    ).localCheckpoint()
-    counts = gb.groupBy("event_type", "bkt").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    wb = Window.partitionBy("event_type").orderBy("bkt")
-    ledger = counts.select(
+    out = rank_select_percentiles(
+        g,
         "event_type",
-        "bkt",
-        "cnt",
-        F.coalesce(
-            F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("before"),
-        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+        "gap_ms",
+        spec=[
+            ("p50_ms", "(n + 1) DIV 2"),
+            ("p95_ms", "(95 * n + 99) DIV 100"),
+            ("p99_ms", "(99 * n + 99) DIV 100"),
+        ],
+        bucket_width=60_000,
     )
-    # one row per (type, percentile): target rank + owning bucket
-    qspec = F.array(
-        F.struct(F.lit("p50_ms").alias("p"), F.expr("(n + 1) DIV 2").alias("r")),
-        F.struct(F.lit("p95_ms").alias("p"), F.expr("(95 * n + 99) DIV 100").alias("r")),
-        F.struct(F.lit("p99_ms").alias("p"), F.expr("(99 * n + 99) DIV 100").alias("r")),
-    )
-    targets = (
-        ledger.select(
-            "event_type", "bkt", "before", "cnt", "n",
-            F.explode(qspec).alias("q"),
-        )
-        .filter(
-            (F.col("q.r") > F.col("before"))
-            & (F.col("q.r") <= F.col("before") + F.col("cnt"))
-        )
-        .select(
-            "event_type",
-            "bkt",
-            F.col("q.p").alias("p"),
-            (F.col("q.r") - F.col("before")).alias("k"),
-            "n",
-        )
-    )
-    # rank ONLY the target buckets' rows, inside fine (type, bucket)
-    # partitions; broadcast the tiny target spec both times
-    in_target = gb.join(
-        F.broadcast(targets.select("event_type", "bkt").distinct()),
-        ["event_type", "bkt"],
-    )
-    ranked = in_target.withColumn(
-        "rnb",
-        F.row_number().over(
-            Window.partitionBy("event_type", "bkt").orderBy("gap_ms")
-        ),
-    )
-    picked = ranked.join(
-        F.broadcast(targets),
-        ["event_type", "bkt"],
-    ).filter(F.col("rnb") == F.col("k"))
-    return (
-        picked.groupBy("event_type")
-        .pivot("p", ["p50_ms", "p95_ms", "p99_ms"])
-        .agg(F.max("gap_ms"))
-        .join(
-            ledger.groupBy("event_type").agg(
-                F.max("n").cast("long").alias("n_gaps")
-            ),
-            "event_type",
-        )
-        .select(
-            "event_type",
-            "n_gaps",
-            F.col("p50_ms").cast("long").alias("p50_ms"),
-            F.col("p95_ms").cast("long").alias("p95_ms"),
-            F.col("p99_ms").cast("long").alias("p99_ms"),
-        )
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        "p50_ms",
+        "p95_ms",
+        "p99_ms",
     )

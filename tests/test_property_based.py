@@ -356,3 +356,45 @@ def test_floordiv_sql_matches_python_floor(spark, vals, den):
         ).collect()
     ]
     assert got == [v // den for v in vals]
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            # tiny value range + multiples of the bucket width force
+            # heavy ties ON bucket boundaries — the adversarial case
+            # for the two-phase rank select
+            st.sampled_from([0, 1, 2, 5, 5, 5, 10, 10, 11, 19, 20, 21]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rank_select_percentiles_match_full_sort(spark, rows):
+    """Two-phase rank-select == full-sort selection for any data,
+    including massive ties across bucket boundaries (bucket_width=10
+    so values 10/20 sit exactly on boundaries)."""
+    from scylla_pg_cdc_spark.functions.percentiles import (
+        rank_select_percentiles,
+    )
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["k"]: (r["n"], r["p50"], r["p95"], r["p99"])
+        for r in rank_select_percentiles(
+            df, "k", "v", bucket_width=10, checkpoint=False
+        ).collect()
+    }
+    want = {}
+    for k in {k for k, _ in rows}:
+        vs = sorted(v for kk, v in rows if kk == k)
+        n = len(vs)
+        want[k] = (
+            n,
+            vs[(n + 1) // 2 - 1],
+            vs[(95 * n + 99) // 100 - 1],
+            vs[(99 * n + 99) // 100 - 1],
+        )
+    assert got == want
