@@ -635,35 +635,14 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("dlt"),
         )
     )
-    net = (
-        deltas.groupBy("event_type", "t")
-        .agg(F.sum("dlt").cast("long").alias("net"))
-        .withColumn("day", F.expr(f"t DIV {_OVERLAP_DAY_MS}"))
+    from scylla_pg_cdc_spark.functions.sweep import two_phase_running_sum
+
+    net = deltas.groupBy("event_type", "t").agg(
+        F.sum("dlt").cast("long").alias("net")
     )
-    # phase 1: running sum inside each (type, day) slice
-    w_slice = (
-        Window.partitionBy("event_type", "day")
-        .orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    inslice = net.withColumn("run_in", F.sum("net").over(w_slice))
-    # phase 2: per-day totals -> exclusive prefix offsets (tiny table)
-    day_net = net.groupBy("event_type", "day").agg(
-        F.sum("net").alias("day_sum")
-    )
-    w_days = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = day_net.select(
-        "event_type",
-        "day",
-        F.coalesce(F.sum("day_sum").over(w_days), F.lit(0)).alias("off"),
-    )
-    run = inslice.join(F.broadcast(offsets), ["event_type", "day"]).select(
-        "event_type", "t", (F.col("off") + F.col("run_in")).alias("conc")
-    )
+    run = two_phase_running_sum(
+        net, "event_type", "t", "net", _OVERLAP_DAY_MS, out_col="conc"
+    ).select("event_type", "t", "conc")
     pk = run.withColumn(
         "pkc", F.max("conc").over(Window.partitionBy("event_type"))
     )

@@ -398,3 +398,37 @@ def test_rank_select_percentiles_match_full_sort(spark, rows):
             vs[(99 * n + 99) // 100 - 1],
         )
     assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.integers(0, 50),          # t — small range forces slice
+            st.integers(-5, 5),          #     boundary collisions
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),  # (key, t) unique by contract
+    )
+)
+def test_two_phase_running_sum_matches_naive_window(spark, rows):
+    """two_phase_running_sum == the naive global window for any data,
+    slice boundaries landing mid-stream included (slice_width=7)."""
+    from scylla_pg_cdc_spark.functions.sweep import two_phase_running_sum
+
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    got = {
+        (r["k"], r["t"]): r["running"]
+        for r in two_phase_running_sum(df, "k", "t", "v", 7).collect()
+    }
+    want = {}
+    for k in {k for k, _, _ in rows}:
+        acc = 0
+        for _, t, v in sorted(
+            (r for r in rows if r[0] == k), key=lambda r: r[1]
+        ):
+            acc += v
+            want[(k, t)] = acc
+    assert got == want
