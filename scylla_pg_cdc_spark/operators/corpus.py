@@ -403,11 +403,11 @@ def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("scan", "merge", "vector")
 _BM25_TERMS_SQL = "('scan', 'merge', 'vector')"
 
-
-@query(
-    "q_text_bm25",
-    oracle="""
-    WITH toks AS (
+# Shared CTE chain ending in `bm25(doc_id, n_terms, bm25_micro)` —
+# used verbatim by the q_text_bm25 oracle and re-used by the hybrid
+# retrieval oracle (operators/retrieval.py) so both gates check the
+# SAME lexical scoring definition.
+BM25_CTES = """toks AS (
 """ + _TOK_SQL + """
     ), t AS (
         SELECT doc_id, token FROM toks WHERE length(token) > 0
@@ -441,11 +441,19 @@ _BM25_TERMS_SQL = "('scan', 'merge', 'vector')"
         JOIN dl ON tf.doc_id = dl.doc_id
         JOIN df ON tf.token = df.token
         CROSS JOIN tot
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_terms,
-           CAST(SUM(term_micro) AS BIGINT) AS bm25_micro
-    FROM scored GROUP BY doc_id
+    ), bm25 AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(term_micro) AS BIGINT) AS bm25_micro
+        FROM scored GROUP BY doc_id
+    )"""
+
+
+@query(
+    "q_text_bm25",
+    oracle="WITH " + BM25_CTES + """
+    SELECT doc_id, n_terms, bm25_micro
+    FROM bm25
     ORDER BY bm25_micro DESC, doc_id
     LIMIT 20
     """,
@@ -470,6 +478,18 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded aggregations (per-doc length, per-doc tf over only the
     query terms), query-sized df table broadcast back, corpus totals
     as a 1-row broadcast cross join, TakeOrdered top-20."""
+    return (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 sums for ``_BM25_TERMS``: (doc_id, n_terms,
+    bm25_micro), unordered — shared by ``q_text_bm25`` and the hybrid
+    retrieval fusion (``operators/retrieval.py``). Mirrors the SQL in
+    ``BM25_CTES`` operation-for-operation."""
     t = _tokens(spark, sf_dir).select("doc_id", "token")
     dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tot = dl.agg(
@@ -500,12 +520,105 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("doc_id", term_micro.alias("term_micro"))
     )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_micro").cast("long").alias("bm25_micro"),
+    )
+
+
+_SPAN_K = 8  # tokens per span
+
+
+@query(
+    "q_span_dedup",
+    oracle=f"""
+    WITH l AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_slice(toks, p, p + {_SPAN_K - 1}), ' '
+               ) AS span
+        FROM l,
+             LATERAL (
+                 SELECT unnest(range(1, len(toks) - {_SPAN_K - 1} + 1))
+                     AS p
+             ) t
+        WHERE len(toks) >= {_SPAN_K}
+    ),
+    d AS (
+        SELECT span, COUNT(DISTINCT doc_id) AS nd
+        FROM sp GROUP BY span
+    )
+    SELECT sp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           CAST((1000000 * SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM sp JOIN d USING (span)
+    GROUP BY sp.doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication audit: every 8-token sliding
+    span of every document, flagged when the identical span appears in
+    >= 2 distinct documents — the fixed-width approximation of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") that an LLM pipeline runs to
+    find boilerplate and cross-document copy-paste that whole-document
+    hashing (q_text_exact_dedup) and MinHash (q_text_minhash_dedup)
+    both miss. Output: per-doc span count, duplicated-span count, and
+    the duplicated fraction in exact ppm (positive floor division —
+    engine-identical).
+
+    Plan: split once, explode positions via sequence() (span count =
+    token count - 7, no quadratic blowup), one span-keyed aggregation
+    for the distinct-doc ledger, one shuffle join back on the span
+    key, one per-doc aggregation — the decontaminate/shingle shape.
+    At 100 TB the span string (~50 bytes) is the whole shuffle
+    payload; a production run would key both sides on a 128-bit span
+    digest instead (md5 exists in both engines), trading exactness
+    for 2-4x shuffle volume — kept as the string here so the checked
+    claim stays collision-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    l = docs.select(  # noqa: E741
+        "doc_id", F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= _SPAN_K)
+    sp = l.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - (_SPAN_K - 1))
+        ).alias("p"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice("toks", F.col("p"), _SPAN_K), " "
+        ).alias("span"),
+    )
+    d = sp.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
     return (
-        scored.groupBy("doc_id")
+        sp.join(d, "span")
+        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum("term_micro").cast("long").alias("bm25_micro"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dup_spans"),
         )
-        .orderBy(F.col("bm25_micro").desc(), "doc_id")
-        .limit(20)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr("(1000000 * n_dup_spans) DIV n_spans")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
     )

@@ -108,6 +108,8 @@ def load_all() -> dict[str, QuerySpec]:
     import scylla_pg_cdc_spark.operators.graph  # noqa: F401
     import scylla_pg_cdc_spark.operators.layout  # noqa: F401
     import scylla_pg_cdc_spark.operators.quality  # noqa: F401
+    import scylla_pg_cdc_spark.operators.retrieval  # noqa: F401
+    import scylla_pg_cdc_spark.operators.stats  # noqa: F401
 
     status = _correctness_status()
     broken = [n for n in REGISTRY if n in status and not status[n][0]]

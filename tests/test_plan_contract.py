@@ -111,9 +111,10 @@ def test_plan_budget(spark, name):
             # aggregates (tri/wedges/nodes/edges) the same way;
             # q_kmv_setops its three single-row sketch states;
             # q_drift_ks its 1-row temporal midpoint; q_text_bm25 its
-            # 1-row corpus totals (T tokens, N docs)
+            # 1-row corpus totals (T tokens, N docs); q_hybrid_rrf
+            # reuses bm25_scores and inherits that same 1-row broadcast
             "q_graph_triangles", "q_kmv_setops",
-            "q_drift_ks", "q_text_bm25",
+            "q_drift_ks", "q_text_bm25", "q_hybrid_rrf",
             # q_vector_mmr: pairwise sims + greedy argmax steps over
             # the 8-row relevance pool — every nested-loop side is
             # bounded by MMR_POOL, only the pool scan touches the corpus

@@ -1,0 +1,275 @@
+"""Round-5 final-batch operators: independent pure-Python
+recomputations of span-level dedup, hybrid RRF retrieval, and the
+robust-statistics family (Spearman, MAD, winsorized mean, HHI). The
+DuckDB differential runs in tools/check_oracle.py; these prove the
+algorithms against an imperative serial simulation, not a mirrored
+expression tree."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from scylla_pg_cdc_spark.operators.corpus import (
+    _BM25_TERMS,
+    _SPAN_K,
+    q_span_dedup,
+)
+from scylla_pg_cdc_spark.operators.retrieval import (
+    _POOL,
+    _RRF_K,
+    _TOPK,
+    q_hybrid_rrf,
+)
+from scylla_pg_cdc_spark.operators.stats import (
+    q_hhi_concentration,
+    q_mad_value,
+    q_spearman_trend,
+    q_winsorized_mean,
+)
+from scylla_pg_cdc_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+
+
+def _event_cents(spark):
+    """(event_type, event_id, cents, ts_ms) mirroring stats._VC."""
+    out = []
+    for r in load_table(spark, SF_SMALL, "events").collect():
+        if r["value"] is None:
+            continue
+        out.append(
+            (
+                r["event_type"],
+                r["event_id"],
+                math.floor(r["value"] * 100.0 + 0.5),
+                int(r["ts"].timestamp() * 1000),
+            )
+        )
+    return out
+
+
+def test_span_dedup_matches_serial_recompute(spark):
+    """Sliding 8-token span audit must equal a per-document Python
+    loop building every span and a global span->distinct-docs map."""
+    spans_by_doc: dict[int, list[str]] = {}
+    for did, text in _docs(spark).items():
+        toks = text.split(" ")  # keeps empties, like F.split
+        if len(toks) < _SPAN_K:
+            continue
+        spans_by_doc[did] = [
+            " ".join(toks[p : p + _SPAN_K])
+            for p in range(0, len(toks) - _SPAN_K + 1)
+        ]
+    docs_per_span: dict[str, set] = defaultdict(set)
+    for did, spans in spans_by_doc.items():
+        for s in spans:
+            docs_per_span[s].add(did)
+    want = {}
+    for did, spans in spans_by_doc.items():
+        n_dup = sum(1 for s in spans if len(docs_per_span[s]) > 1)
+        want[did] = (
+            len(spans),
+            n_dup,
+            (1_000_000 * n_dup) // len(spans),
+        )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ppm"])
+        for r in q_span_dedup(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def _bm25_serial(spark):
+    """doc_id -> bm25_micro, the round5b serial fold (same
+    quantization rule as operators/corpus.bm25_scores)."""
+    docs = {
+        did: [t for t in text.split(" ") if t]
+        for did, text in _docs(spark).items()
+    }
+    tt = sum(len(toks) for toks in docs.values())
+    nd = len(docs)
+    tf: dict[tuple, int] = defaultdict(int)
+    for did, toks in docs.items():
+        for t in toks:
+            if t in _BM25_TERMS:
+                tf[(did, t)] += 1
+    df: dict[str, int] = defaultdict(int)
+    for _did, t in tf:
+        df[t] += 1
+    scores: dict[int, int] = defaultdict(int)
+    for (did, t), f in tf.items():
+        dl = len(docs[did])
+        odds = float(2 * nd - 2 * df[t] + 1) / float(2 * df[t] + 1)
+        tfn = float(44 * tt * f) / float(
+            20 * tt * f + 6 * tt + 18 * dl * nd
+        )
+        scores[did] += math.floor(1_000_000.0 * odds * tfn + 0.5)
+    return dict(scores)
+
+
+def _cosine_micro_serial(spark):
+    """vec_id -> cos_sim_micro vs the vec_id=0 query, left-to-right
+    folds mirroring vector.dot / l2_norm exactly."""
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+    q = rows[0]
+    out = {}
+    for vid, v in rows.items():
+        if vid == 0:
+            continue
+        dp = 0.0
+        for x, y in zip(v, q):
+            dp += x * y
+        na = 0.0
+        for x in v:
+            na += x * x
+        nb = 0.0
+        for y in q:
+            nb += y * y
+        cos = dp / (math.sqrt(na) * math.sqrt(nb))
+        out[vid] = math.floor(cos * 1_000_000 + 0.5)
+    return out
+
+
+def test_hybrid_rrf_matches_serial_fusion(spark):
+    """RRF fusion must equal a serial recompute of both arms: BM25
+    top-50 and cosine top-50, rank-fused with k=60."""
+    lex_scores = _bm25_serial(spark)
+    lex_sorted = sorted(
+        ((d, s) for d, s in lex_scores.items() if d != 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:_POOL]
+    lex_rank = {d: i + 1 for i, (d, _s) in enumerate(lex_sorted)}
+    cos = _cosine_micro_serial(spark)
+    dense_sorted = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :_POOL
+    ]
+    dense_rank = {d: i + 1 for i, (d, _s) in enumerate(dense_sorted)}
+    fused = []
+    for d in set(lex_rank) | set(dense_rank):
+        lr = lex_rank.get(d, 0)
+        dr = dense_rank.get(d, 0)
+        rrf = (1_000_000 // (_RRF_K + lr) if lr else 0) + (
+            1_000_000 // (_RRF_K + dr) if dr else 0
+        )
+        fused.append((d, lr, dr, rrf))
+    want = sorted(fused, key=lambda t: (-t[3], t[0]))[:_TOPK]
+    got = [
+        (r["doc_id"], r["lex_rank"], r["dense_rank"], r["rrf_micro"])
+        for r in q_hybrid_rrf(spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_spearman_matches_serial_ranks(spark):
+    """Tie-broken Spearman must equal serially assigned ranks, and
+    rho_ppm must stay within [-1e6, 1e6]."""
+    by_type: dict[str, list] = defaultdict(list)
+    for et, eid, vc, ts_ms in _event_cents(spark):
+        by_type[et].append((eid, vc, ts_ms))
+    want = {}
+    for et, rows in by_type.items():
+        rv = {
+            eid: i + 1
+            for i, (eid, _v, _t) in enumerate(
+                sorted(rows, key=lambda r: (r[1], r[0]))
+            )
+        }
+        rt = {
+            eid: i + 1
+            for i, (eid, _v, _t) in enumerate(
+                sorted(rows, key=lambda r: (r[2], r[0]))
+            )
+        }
+        n = len(rows)
+        sum_d2 = sum((rv[e] - rt[e]) ** 2 for e, _v, _t in rows)
+        rho_ppm = math.floor(
+            (1.0 - 6.0 * sum_d2 / float(n**3 - n)) * 1_000_000 + 0.5
+        )
+        assert -1_000_000 <= rho_ppm <= 1_000_000
+        want[et] = (n, sum_d2, rho_ppm)
+    got = {
+        r["event_type"]: (r["n"], r["sum_d2"], r["rho_ppm"])
+        for r in q_spearman_trend(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_mad_matches_serial_sort(spark):
+    """Two-phase rank-select MAD must equal a full serial sort: lower
+    median of cents, then lower median of absolute deviations."""
+    by_type: dict[str, list] = defaultdict(list)
+    for et, _eid, vc, _ts in _event_cents(spark):
+        by_type[et].append(vc)
+    want = {}
+    for et, vs in by_type.items():
+        vs.sort()
+        n = len(vs)
+        med = vs[(n + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vs)
+        want[et] = (n, med, devs[(n + 1) // 2 - 1])
+    got = {
+        r["event_type"]: (r["n"], r["median_cents"], r["mad_cents"])
+        for r in q_mad_value(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_winsorized_mean_matches_serial_clamp(spark):
+    """5/95 winsorized mean must equal serial percentile-rank lookup
+    plus clamp-and-floor-divide, and must sit between the bounds."""
+    by_prio: dict[str, list] = defaultdict(list)
+    for r in load_table(spark, SF_SMALL, "orders").collect():
+        by_prio[r["o_orderpriority"]].append(
+            math.floor(r["o_totalprice"] * 100.0 + 0.5)
+        )
+    want = {}
+    for prio, vs in by_prio.items():
+        vs.sort()
+        n = len(vs)
+        p05 = vs[(5 * n + 99) // 100 - 1]
+        p95 = vs[(95 * n + 99) // 100 - 1]
+        wmean = sum(min(max(v, p05), p95) for v in vs) // n
+        assert p05 <= wmean <= p95
+        want[prio] = (n, p05, p95, wmean)
+    got = {
+        r["priority"]: (
+            r["n"],
+            r["p05_cents"],
+            r["p95_cents"],
+            r["wmean_cents"],
+        )
+        for r in q_winsorized_mean(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_hhi_matches_serial_and_bounds(spark):
+    """HHI ppm must equal the serial share-of-squares recompute and
+    sit in [1e6 / n_sources, 1e6]."""
+    cells: dict[tuple, int] = defaultdict(int)
+    for r in load_table(spark, SF_SMALL, "documents").collect():
+        cells[(r["lang"], r["source"])] += 1
+    per_lang: dict[str, list] = defaultdict(list)
+    for (lang, _src), c in cells.items():
+        per_lang[lang].append(c)
+    want = {}
+    for lang, cs in per_lang.items():
+        n_docs = sum(cs)
+        hhi = (1_000_000 * sum(c * c for c in cs)) // (n_docs * n_docs)
+        assert 1_000_000 // len(cs) <= hhi <= 1_000_000
+        want[lang] = (n_docs, len(cs), hhi)
+    got = {
+        r["lang"]: (r["n_docs"], r["n_sources"], r["hhi_ppm"])
+        for r in q_hhi_concentration(spark, SF_SMALL).collect()
+    }
+    assert got == want
