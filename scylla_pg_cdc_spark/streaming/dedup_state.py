@@ -8,29 +8,45 @@ incoming epoch joins ONLY against that state, and docs admitted by an
 epoch immediately extend the state the next epoch sees — greedy
 sequential dedup, the standard training-corpus admission policy
 (first-seen doc wins; later near-copies are rejected).
+``run_dedup_pipeline`` is the streaming face: readStream over a
+document directory -> foreachBatch greedy admission, the same
+marker-gated epoch discipline as the upsert pipeline's MV/digest/
+drift stages (`streaming/pipeline.py`).
 
 Reference anchor: the same persist-then-merge epoch discipline as the
 upsert pipeline's MV/digest state (`streaming/pipeline.py:275-380`);
 the reference's own stateful sink is the Postgres upsert table
 (`docker/kafka-connect/connectors/postgres-sink.json:22-24`).
 
+Epoch-replay idempotence: each epoch's state additions land in their
+OWN subdirectory (``state/buckets/<marker>/``, ``state/tokens/
+<marker>/``) written with mode=overwrite, and the admission read
+EXCLUDES the current marker's subdirectory — so a foreachBatch replay
+after a mid-write crash recomputes the identical decisions against
+exactly the prior-epoch state and overwrites its own partial output,
+never double-counting (the earlier flat-append layout could not
+self-exclude and inflated n_matches under replay).
+
 Scale: per epoch the cost is O(batch) hashing + a bucket-keyed join
 against state partitioned BY BUCKET PREFIX, so a 100 TB corpus's
-state is touched only on matching buckets (partition pruning on the
-join key); the exact-confirm join is bounded by LSH candidates. State
-grows with the ADMITTED corpus only. The 9/10 token-Jaccard confirm
-matches the batch query.
+state is touched only on matching buckets; the exact-confirm join is
+bounded by LSH candidates. State grows with the ADMITTED corpus only;
+epoch subdirectories are append-units a background job can compact
+exactly like the LSM state (`streaming/lsm_state.py`). The 9/10
+token-Jaccard confirm matches the batch query.
 
 Determinism caveat (documented, also true of any parallel greedy
 dedup): near-dup pairs WITHIN one epoch are both admitted (epoch
 members are only checked against prior state, exactly like the batch
-query); shrink the epoch or pre-collapse epochs with
-``lsh_candidate_pairs`` when intra-epoch dups matter.
+query); shrink the epoch (``max_files_per_trigger=1``) or
+pre-collapse epochs with ``lsh_candidate_pairs`` when intra-epoch
+dups matter.
 """
 
 from __future__ import annotations
 
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,26 +81,76 @@ def _batch_features(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     return bucket, toks
 
 
+def _has_parquet(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _state_parts(
+    state_dir: str, sub: str, exclude: str | None
+) -> list[str]:
+    """Committed epoch subdirectories under ``state_dir/sub``, oldest
+    first, skipping ``exclude`` (the in-flight epoch's own partial
+    output on replay) and empty epochs (nothing admitted)."""
+    d = os.path.join(state_dir, sub)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, m)
+        for m in os.listdir(d)
+        if not m.startswith(("_", "."))
+        and m != exclude
+        and _has_parquet(os.path.join(d, m))
+    )
+
+
 def admit_epoch(
-    spark: SparkSession, state_dir: str, batch: DataFrame
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    marker: str | None = None,
 ) -> DataFrame:
     """Admit one epoch of (doc_id, text) against the persisted state.
 
-    Returns the admission frame (doc_id, is_new, n_matches) and
-    appends the admitted docs' buckets + token arrays to the state.
-    First epoch bootstraps the state (everything admitted)."""
+    Returns the admission frame (doc_id, is_new, n_matches) and writes
+    the admitted docs' buckets + token arrays into an epoch-scoped
+    state subdirectory named ``marker`` (auto-numbered when None, for
+    batch-driven use). Re-running with the SAME marker and batch is
+    idempotent: the read excludes the marker's own subdirectory and
+    the write overwrites it. First epoch bootstraps the state
+    (everything admitted)."""
+    if marker is None:
+        marker = f"b{len(_state_parts(state_dir, 'buckets', None)):06d}"
     bdir = os.path.join(state_dir, "buckets")
     tdir = os.path.join(state_dir, "tokens")
     bucket_b, toks_b = _batch_features(batch)
-    if not os.path.isdir(bdir):
+    bparts = _state_parts(state_dir, "buckets", marker)
+    tparts = _state_parts(state_dir, "tokens", marker)
+    if not bparts or not tparts:
         decisions = batch.select(
             "doc_id",
             F.lit(True).alias("is_new"),
             F.lit(0).cast("long").alias("n_matches"),
         )
     else:
-        state_buckets = spark.read.parquet(bdir)
-        state_toks = spark.read.parquet(tdir)
+        # per-epoch roots carry their own bp= partition layout, so read
+        # each separately and union (multi-root discovery rejects this)
+        state_buckets = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(p).select("doc_id", "band", "bucket")
+                for p in bparts
+            ],
+        )
+        state_toks = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(p).select("doc_id", "toks", "n")
+                for p in tparts
+            ],
+        )
         cand = (
             bucket_b.alias("b")
             .join(
@@ -140,11 +206,84 @@ def admit_epoch(
             .select("doc_id", "is_new", "n_matches")
         )
     admitted = decisions.filter(F.col("is_new")).select("doc_id")
-    # appends are idempotent per epoch in the pipeline setting because
-    # the caller wraps them in the checkpointed foreachBatch (same
-    # discipline as merge_batch_into_state); here plain appends
     bucket_b.join(admitted, "doc_id").withColumn(
         "bp", F.substring("bucket", 1, 1)
-    ).write.mode("append").partitionBy("bp").parquet(bdir)
-    toks_b.join(admitted, "doc_id").write.mode("append").parquet(tdir)
+    ).write.mode("overwrite").partitionBy("bp").parquet(
+        os.path.join(bdir, marker)
+    )
+    toks_b.join(admitted, "doc_id").write.mode("overwrite").parquet(
+        os.path.join(tdir, marker)
+    )
     return decisions
+
+
+def _epoch_marker(state_dir: str) -> str | None:
+    try:
+        with open(os.path.join(state_dir, "_EPOCH")) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def run_dedup_pipeline(
+    spark: SparkSession,
+    docs_dir: str,
+    work_dir: str,
+    max_files_per_trigger: int = 1,
+) -> dict[str, str]:
+    """Streaming greedy dedup admission: readStream over a directory
+    of document parquet files -> foreachBatch(admit_epoch) with the
+    pipeline's marker-gated idempotence — each epoch's decisions land
+    in ``work_dir/decisions/<marker>/`` (epoch_id column attached) and
+    its admitted docs extend ``work_dir/state``. An ``availableNow``
+    restart with the same checkpoint is a no-op; a crash-replayed
+    epoch recomputes against exactly the prior-epoch state (see module
+    docstring). ``max_files_per_trigger=1`` gives per-file epochs —
+    the tightest greedy granularity a file stream offers."""
+    state_dir = os.path.join(work_dir, "state")
+    dec_dir = os.path.join(work_dir, "decisions")
+    checkpoint = os.path.join(work_dir, "checkpoint")
+    schema = spark.read.parquet(docs_dir).select("doc_id", "text").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(docs_dir, "*.parquet"))
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        marker = f"epoch-{epoch_id:09d}"
+        if _epoch_marker(state_dir) == marker:
+            return  # replayed epoch, already fully committed
+        decisions = admit_epoch(
+            spark, state_dir, batch.select("doc_id", "text"), marker=marker
+        )
+        decisions.withColumn(
+            "epoch_id", F.lit(epoch_id).cast("long")
+        ).write.mode("overwrite").parquet(os.path.join(dec_dir, marker))
+        os.makedirs(state_dir, exist_ok=True)
+        with open(os.path.join(state_dir, "_EPOCH"), "w") as f:
+            f.write(marker)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        "state": state_dir,
+        "decisions": dec_dir,
+        "checkpoint": checkpoint,
+    }
+
+
+def read_decisions(spark: SparkSession, dec_dir: str) -> DataFrame:
+    """All epochs' admission decisions:
+    (doc_id, is_new, n_matches, epoch_id)."""
+    parts = sorted(
+        os.path.join(dec_dir, m)
+        for m in os.listdir(dec_dir)
+        if not m.startswith(("_", ".")) and _has_parquet(os.path.join(dec_dir, m))
+    )
+    return spark.read.parquet(*parts)
