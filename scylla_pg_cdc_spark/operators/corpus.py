@@ -622,3 +622,62 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_ppm"),
         )
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH t AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, token, COUNT(*) AS cnt
+        FROM t WHERE length(token) > 0 GROUP BY lang, token
+    ),
+    r AS (
+        SELECT lang, token, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, token
+               ) AS rnk
+        FROM c
+    )
+    SELECT lang, CAST(rnk AS BIGINT) AS rnk, token,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rnk <= 5
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language heavy hitters: the top-5 most frequent
+    tokens in each language slice, deterministic (count DESC, token
+    ASC total order). The exact answer the streaming Misra-Gries /
+    SpaceSaving sketches approximate (``q_sketch_countmin`` is the
+    sketch face); a corpus curator reads this as the per-language
+    boilerplate/stopword profile before building filter lists.
+
+    Plan: one (lang, token) count aggregation — vocabulary-sized, with
+    map-side partial aggregation doing the heavy lifting on the token
+    stream — then a rank window over per-lang VOCABULARY rows (not
+    corpus rows). Languages are low-cardinality but the windowed
+    relation is bounded by vocabulary size, so the distribution-sized
+    rank-window hazard (SCALE.md) stays bounded; at web-scale
+    vocabularies the two-phase rank-select decomposition applies
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    c = t.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "lang",
+            F.col("rnk").cast("long").alias("rnk"),
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )

@@ -167,6 +167,26 @@ def q_mad_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     any cardinality. The median joins back by broadcast (key
     cardinality = event types), then deviations repeat the same
     two-phase select."""
+    med, _dev, mad = _mad_frames(spark, sf_dir)
+    return (
+        med.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("median_cents").cast("long").alias("median_cents"),
+            F.col("mad_cents").cast("long").alias("mad_cents"),
+        )
+    )
+
+
+def _mad_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(median, deviations, MAD) frames shared by ``q_mad_value`` and
+    ``q_robust_outliers`` — med: (event_type, n, median_cents); dev:
+    per-row (event_type, n, median_cents, dv); mad: (event_type,
+    mad_cents). Exact lower-median order statistics on integer cents
+    via the two-phase rank-select library."""
     ev = _event_cents(spark, sf_dir).select("event_type", "vc")
     med = rank_select_percentiles(
         ev,
@@ -194,14 +214,89 @@ def q_mad_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=1_000,
         checkpoint=False,
     ).select("event_type", F.col("mad").alias("mad_cents"))
-    return (
-        med.join(F.broadcast(mad), "event_type")
-        .select(
-            "event_type",
-            F.col("n").cast("long").alias("n"),
-            F.col("median_cents").cast("long").alias("median_cents"),
-            F.col("mad_cents").cast("long").alias("mad_cents"),
+    return med, dev, mad
+
+
+@query(
+    "q_robust_outliers",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, {_VC} AS vc
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, vc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY vc
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev
+    ),
+    med AS (
+        SELECT event_type, CAST(n AS BIGINT) AS n, vc AS median_cents
+        FROM r WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT ev.event_type, med.n, med.median_cents,
+               ABS(ev.vc - med.median_cents) AS dv
+        FROM ev JOIN med USING (event_type)
+    ),
+    r2 AS (
+        SELECT event_type, dv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY dv
+               ) AS rn2,
+               COUNT(*) OVER (PARTITION BY event_type) AS n2
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, dv AS mad_cents
+        FROM r2 WHERE rn2 = (n2 + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(MAX(d.n) AS BIGINT) AS n,
+           CAST(MAX(d.median_cents) AS BIGINT) AS median_cents,
+           CAST(MAX(m.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN 6745 * d.dv > 35000 * m.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(d.dv) AS BIGINT) AS max_dev_cents
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event_type via the modified z-score
+    (Iglewicz–Hoaglin): flag x when 0.6745*|x - med| / MAD > 3.5,
+    evaluated as the exact integer cross-multiplication
+    6745*|x - med| > 35000*MAD — no division, no floats, engine-
+    identical (products cap at ~7e3 * dv, far inside int64 for cent
+    values to 1e15). Unlike mean/stddev outlier rules
+    (``q_event_anomaly``'s family), the thresholds themselves are
+    outlier-proof: med and MAD cannot be dragged by the values being
+    tested. Documented edge: MAD = 0 (over half the values identical)
+    flags EVERY deviating row — the standard caveat of the modified
+    z-score.
+
+    Plan: the med/MAD frames come from the shared two-phase
+    rank-select passes (``_mad_frames``); the flagging pass is one
+    broadcast join of a 5-row threshold table onto the deviation scan
+    and one aggregation — O(n) with no per-key sort."""
+    _med, dev, mad = _mad_frames(spark, sf_dir)
+    d = dev.join(F.broadcast(mad), "event_type")
+    return d.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("median_cents").cast("long").alias("median_cents"),
+        F.max("mad_cents").cast("long").alias("mad_cents"),
+        F.sum(
+            F.when(
+                F.lit(6745) * F.col("dv")
+                > F.lit(35000) * F.col("mad_cents"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
         )
+        .cast("long")
+        .alias("n_outliers"),
+        F.max("dv").cast("long").alias("max_dev_cents"),
     )
 
 

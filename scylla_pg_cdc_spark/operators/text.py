@@ -1328,3 +1328,104 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_matches", F.lit(0)) == 0).alias("is_new"),
         )
     )
+
+
+@query(
+    "q_shingle_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ov AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT ov.doc_a, ov.doc_b,
+           CAST(ov.n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST((1000000 * ov.n_common) // LEAST(sa.n, sb.n)
+                AS BIGINT) AS containment_ppm
+    FROM ov
+    JOIN sz sa ON ov.doc_a = sa.doc_id
+    JOIN sz sb ON ov.doc_b = sb.doc_id
+    WHERE 5 * ov.n_common >= 4 * LEAST(sa.n, sb.n)
+    """,
+)
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup audit by shingle CONTAINMENT:
+    C(a,b) = |Sa n Sb| / min(|Sa|, |Sb|) >= 0.8 on distinct 3-token
+    shingle sets — the subset-duplication detector. Jaccard
+    (``q_text_ngram_jaccard``) misses a short doc quoted verbatim
+    inside a long one (the union term dilutes it); containment is the
+    standard fix (Broder's resemblance vs containment distinction)
+    and what an LLM-corpus pipeline uses to catch quotation/
+    boilerplate inclusion rather than whole-doc copies. The threshold
+    is the exact integer cross-multiplication 5*n_common >=
+    4*min(n_a, n_b); the reported score is positive integer floor
+    division in ppm — both engine-identical.
+
+    Plan: same bounded shape as the Jaccard verifier — per-doc set
+    size carried on each shingle row by one window, shared-shingle
+    self-join (output bounded by co-occurring-shingle pairs, never
+    all pairs), one pair aggregation. At scale the join inherits the
+    LSH-candidate scoping used by ``q_text_neardup_dedup``; hot
+    boilerplate shingles are the skew risk — AQE skew-join is on, and
+    a production run drops top-DF shingles first (they cannot decide
+    an 80% containment on their own)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    least_n = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
+        .filter(F.lit(5) * F.col("n_common") >= F.lit(4) * least_n)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.lit(1_000_000) * F.col("n_common"))
+            .cast("long")
+            .alias("_num"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("_num DIV least(n_a, n_b)")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )

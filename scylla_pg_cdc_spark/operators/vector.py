@@ -18,7 +18,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.registry import query
@@ -1711,4 +1711,191 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("centroid_shift_micro"),
+    )
+
+
+@query(
+    "q_ivf_recall_curve",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cent AS (
+        SELECT label, i,
+               AVG(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS c
+        FROM embeddings, range(0, {DIM}) t(i)
+        GROUP BY label, i
+    ),
+    centcos AS (
+        SELECT cent.label,
+               SUM(cent.c * CAST(q.qe[CAST(cent.i AS INT) + 1]
+                                 AS DOUBLE)) AS dp,
+               SUM(cent.c * cent.c) AS na,
+               SUM(CAST(q.qe[CAST(cent.i AS INT) + 1] AS DOUBLE)
+                   * CAST(q.qe[CAST(cent.i AS INT) + 1] AS DOUBLE)) AS nb
+        FROM cent, q GROUP BY cent.label
+    ),
+    cr AS (
+        SELECT label,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(FLOOR(dp / (sqrt(na) * sqrt(nb))
+                                       * 1000000 + 0.5) AS BIGINT)
+                            DESC, label
+               ) AS cell_rank
+        FROM centcos
+    ),
+    s AS (
+        SELECT e.vec_id, e.label,
+               CAST(FLOOR(
+                   SUM(CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                       * CAST(q.qe[CAST(i AS INT) + 1] AS DOUBLE))
+                   / (sqrt(SUM(CAST(e.embedding[CAST(i AS INT) + 1]
+                                    AS DOUBLE)
+                               * CAST(e.embedding[CAST(i AS INT) + 1]
+                                      AS DOUBLE)))
+                      * sqrt(SUM(CAST(q.qe[CAST(i AS INT) + 1]
+                                      AS DOUBLE)
+                                 * CAST(q.qe[CAST(i AS INT) + 1]
+                                        AS DOUBLE))))
+                   * 1000000 + 0.5) AS BIGINT) AS cos_micro
+        FROM embeddings e, q, range(0, {DIM}) t(i)
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id, e.label
+    ),
+    sx AS (SELECT s.*, cr.cell_rank FROM s JOIN cr USING (label)),
+    exact10 AS (
+        SELECT vec_id FROM s ORDER BY cos_micro DESC, vec_id LIMIT 10
+    ),
+    x AS (
+        SELECT p.n_probes, sx.vec_id, sx.cos_micro
+        FROM (SELECT unnest(range(1, 6)) AS n_probes) p
+        JOIN sx ON sx.cell_rank <= p.n_probes
+    ),
+    topk AS (
+        SELECT n_probes, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n_probes
+                   ORDER BY cos_micro DESC, vec_id
+               ) AS rn
+        FROM x
+    ),
+    cc AS (
+        SELECT n_probes, COUNT(*) AS n_candidates
+        FROM x GROUP BY n_probes
+    )
+    SELECT CAST(t.n_probes AS BIGINT) AS n_probes,
+           CAST(cc.n_candidates AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST((100 * SUM(CASE WHEN e.vec_id IS NOT NULL
+                                THEN 1 ELSE 0 END)) // 10
+                AS BIGINT) AS recall_pct
+    FROM topk t
+    LEFT JOIN exact10 e ON t.vec_id = e.vec_id
+    JOIN cc ON t.n_probes = cc.n_probes
+    WHERE t.rn <= 10
+    GROUP BY t.n_probes, cc.n_candidates
+    """,
+)
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@10 of label-centroid IVF
+    (``q_vector_ivf_search``'s index) as a function of probes 1..5 —
+    THE tuning artifact for an IVF deployment (pick the smallest
+    probe count whose recall clears the product bar; recall must be
+    measured, not assumed, because cell-boundary neighbors are
+    exactly what single-probe IVF drops). Ground truth is the exact
+    brute-force top-10; both rankings use the micro-quantized cosine
+    + vec_id tiebreak, and the cell ranking quantizes the centroid
+    cosine the same way, so every k-boundary and cell-boundary is
+    engine-stable.
+
+    Plan: centroids via (label, dim) aggregation; a 25-row cell-rank
+    table broadcast onto one similarity scan; the probe axis unrolls
+    as a bounded explode (vector rows appear once per probe level
+    that includes their cell, <= 5x the top-5-cell rows); per-level
+    top-10 via one rank window partitioned by probe level. The exact
+    top-10 is a TakeOrdered and broadcasts back for the hit join. At
+    production scale the per-level top-k would run as 5 TakeOrdereds
+    instead of one window over the exploded frame — same result, no
+    window materialization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+
+    centroids = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .toDF("label", "pos", "val")
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mean_val"))
+            ).alias("pm")
+        )
+        .select(
+            "label",
+            F.expr("transform(pm, x -> x.mean_val)").alias("centroid"),
+        )
+    )
+    cr = centroids.select(
+        "label",
+        F.floor(cosine(F.col("centroid"), q) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("cent_micro"),
+    ).withColumn(
+        "cell_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cent_micro").desc(), "label")
+        ),
+    ).select("label", "cell_rank")
+
+    v = F.col("embedding").cast("array<double>")
+    s = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "label",
+        F.floor(cosine(v, q) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("cos_micro"),
+    )
+    sx = s.join(F.broadcast(cr), "label")
+    exact10 = (
+        s.orderBy(F.col("cos_micro").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("is_exact"))
+    )
+    x = sx.select(
+        "vec_id",
+        "cos_micro",
+        "cell_rank",
+        F.explode(F.array(*[F.lit(p) for p in range(1, 6)])).alias(
+            "n_probes"
+        ),
+    ).filter(F.col("cell_rank") <= F.col("n_probes"))
+    cc = x.groupBy("n_probes").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    topk = x.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("n_probes").orderBy(
+                F.col("cos_micro").desc(), "vec_id"
+            )
+        ),
+    ).filter(F.col("rn") <= 10)
+    return (
+        topk.join(F.broadcast(exact10), "vec_id", "left")
+        .groupBy("n_probes")
+        .agg(
+            F.sum(F.coalesce("is_exact", F.lit(0)))
+            .cast("long")
+            .alias("hits")
+        )
+        .join(F.broadcast(cc), "n_probes")
+        .select(
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            "hits",
+            F.expr("(100 * hits) DIV 10").cast("long").alias("recall_pct"),
+        )
     )

@@ -273,3 +273,161 @@ def test_hhi_matches_serial_and_bounds(spark):
         for r in q_hhi_concentration(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_heavy_hitters_matches_counter_replay(spark):
+    from collections import Counter
+
+    from scylla_pg_cdc_spark.operators.corpus import q_heavy_hitters
+
+    rows = load_table(spark, SF_SMALL, "documents").select(
+        "lang", "text"
+    ).collect()
+    counts: dict[str, Counter] = defaultdict(Counter)
+    for r in rows:
+        for t in r["text"].split(" "):
+            if t:
+                counts[r["lang"]][t] += 1
+    want = set()
+    for lang, c in counts.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for i, (tok, cnt) in enumerate(top, start=1):
+            want.add((lang, i, tok, cnt))
+    got = {
+        (r["lang"], r["rnk"], r["token"], r["cnt"])
+        for r in q_heavy_hitters(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_robust_outliers_matches_serial_replay(spark):
+    from scylla_pg_cdc_spark.operators.stats import q_robust_outliers
+
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .filter("value IS NOT NULL")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[int]] = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(
+            math.floor(r["value"] * 100.0 + 0.5)
+        )
+    want = {}
+    for et, vals in by_type.items():
+        n = len(vals)
+        med = sorted(vals)[(n + 1) // 2 - 1]  # lower median
+        devs = [abs(v - med) for v in vals]
+        mad = sorted(devs)[(n + 1) // 2 - 1]
+        n_out = sum(1 for d in devs if 6745 * d > 35000 * mad)
+        want[et] = (n, med, mad, n_out, max(devs))
+    got = {
+        r["event_type"]: (
+            r["n"],
+            r["median_cents"],
+            r["mad_cents"],
+            r["n_outliers"],
+            r["max_dev_cents"],
+        )
+        for r in q_robust_outliers(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert any(v[3] > 0 for v in want.values()), (
+        "no outliers anywhere - threshold path never exercised"
+    )
+
+
+def test_shingle_containment_matches_set_replay(spark):
+    from scylla_pg_cdc_spark.operators.text import q_shingle_containment
+
+    docs = _docs(spark)
+    sets = {}
+    for d, text in docs.items():
+        toks = text.split(" ")
+        sh = {
+            " ".join(toks[i : i + 3])
+            for i in range(len(toks) - 2)
+            if " ".join(toks[i : i + 3])
+        }
+        if sh:
+            sets[d] = sh
+    inv = defaultdict(set)
+    for d, sh in sets.items():
+        for s in sh:
+            inv[s].add(d)
+    pair_common = defaultdict(int)
+    for s, ds in inv.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_common[(ds[i], ds[j])] += 1
+    want = {}
+    for (a, b), nc in pair_common.items():
+        na, nb = len(sets[a]), len(sets[b])
+        if 5 * nc >= 4 * min(na, nb):
+            want[(a, b)] = (nc, na, nb, 1_000_000 * nc // min(na, nb))
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_common"],
+            r["n_a"],
+            r["n_b"],
+            r["containment_ppm"],
+        )
+        for r in q_shingle_containment(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert want, "no containment pairs - replay vacuous"
+
+
+def test_ivf_recall_curve_matches_bruteforce_replay(spark):
+    from scylla_pg_cdc_spark.operators.vector import q_ivf_recall_curve
+
+    rows = load_table(spark, SF_SMALL, "embeddings").collect()
+    emb = {
+        r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+        for r in rows
+    }
+    qv = emb[0][0]
+
+    def cos_micro(v):
+        dp = sum(a * b for a, b in zip(v, qv))
+        na = math.sqrt(sum(a * a for a in v))
+        nb = math.sqrt(sum(b * b for b in qv))
+        return math.floor(dp / (na * nb) * 1_000_000 + 0.5)
+
+    # label centroids and micro-quantized cell ranks
+    by_label = defaultdict(list)
+    for vid, (v, lbl) in emb.items():
+        by_label[lbl].append(v)
+    cent = {
+        lbl: [sum(col) / len(vs) for col in zip(*vs)]
+        for lbl, vs in by_label.items()
+    }
+    ranked_cells = sorted(
+        cent, key=lambda lbl: (-cos_micro(cent[lbl]), lbl)
+    )
+    cell_rank = {lbl: i + 1 for i, lbl in enumerate(ranked_cells)}
+
+    sims = {
+        vid: cos_micro(v) for vid, (v, _l) in emb.items() if vid != 0
+    }
+    exact10 = set(
+        sorted(sims, key=lambda vid: (-sims[vid], vid))[:10]
+    )
+    want = {}
+    for p in range(1, 6):
+        cands = [
+            vid
+            for vid in sims
+            if cell_rank[emb[vid][1]] <= p
+        ]
+        top10 = sorted(cands, key=lambda vid: (-sims[vid], vid))[:10]
+        hits = len(set(top10) & exact10)
+        want[p] = (len(cands), hits, 100 * hits // 10)
+    got = {
+        r["n_probes"]: (r["n_candidates"], r["hits"], r["recall_pct"])
+        for r in q_ivf_recall_curve(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert want[5][1] >= want[1][1], "recall curve not monotone"
