@@ -915,3 +915,70 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(wau, ["event_type", "day"]).select(
         "event_type", F.col("day").cast("long").alias("day"), "dau", "wau"
     )
+
+
+@query(
+    "q_cumulative_uniques",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+    ),
+    d AS (SELECT day, COUNT(*) AS n_events FROM ev GROUP BY day),
+    fu AS (SELECT user_id, MIN(day) AS first_day FROM ev
+           GROUP BY user_id),
+    nu AS (SELECT first_day AS day, COUNT(*) AS n_new_users
+           FROM fu GROUP BY first_day)
+    SELECT d.day,
+           CAST(d.n_events AS BIGINT) AS n_events,
+           CAST(COALESCE(nu.n_new_users, 0) AS BIGINT) AS n_new_users,
+           CAST(SUM(COALESCE(nu.n_new_users, 0))
+                    OVER (ORDER BY d.day) AS BIGINT) AS cum_unique_users
+    FROM d LEFT JOIN nu ON d.day = nu.day
+    """,
+)
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth curve: per day, event volume, NEW users (first-ever
+    event that day), and the running total of unique users to date —
+    i.e. an exact cumulative COUNT(DISTINCT) over time, computed
+    without any per-day distinct scan: each user contributes once at
+    their min(day), and the daily new-user counts prefix-sum into the
+    cumulative curve (the first-seen decomposition; a windowed
+    count-distinct would rescan every prefix). Complements
+    ``q_rolling_active_users`` (windowed actives) with the
+    monotone-reach view.
+
+    Plan: one per-user MIN aggregation (user-keyed shuffle), one
+    per-day count each for events and first-seens, a day-keyed join of
+    two day-sized frames, and a cumsum window over the DAY relation —
+    calendar-sized, not corpus-sized (the two-phase prefix-sum
+    library applies if the time grain ever makes it data-sized).
+    Days are integer epoch-day indices (positive, so Spark DIV and
+    DuckDB // agree)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_millis(ts) DIV 86400000").alias("day"),
+    )
+    d = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
+    nu = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.join(nu, "day", "left")
+        .select(
+            "day",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.coalesce("n_new_users", F.lit(0))
+            .cast("long")
+            .alias("n_new_users"),
+        )
+        .withColumn(
+            "cum_unique_users",
+            F.sum("n_new_users").over(w).cast("long"),
+        )
+    )

@@ -431,3 +431,69 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("hhi_ppm"),
     )
+
+
+_DECILES = list(range(1, 10))
+_DEC_CASES = "\n".join(
+    f"           MAX(CASE WHEN rn = ({k} * n + 9) // 10 THEN vc END)"
+    f" AS p{k}0_cents," if k < 9 else
+    f"           MAX(CASE WHEN rn = ({k} * n + 9) // 10 THEN vc END)"
+    f" AS p{k}0_cents"
+    for k in _DECILES
+)
+
+
+@query(
+    "q_equidepth_bins",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, {_VC} AS vc
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, vc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY vc
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+{_DEC_CASES}
+    FROM r GROUP BY event_type
+    """,
+)
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram boundaries: the nine decile cut
+    points of event value per event_type, each the exact order
+    statistic at rank ceil(k*n/10) on integer cents (no
+    interpolation, so no float and no cross-engine ambiguity). These
+    are the bin edges an optimizer's equi-depth histogram or a data
+    profiler publishes — equal ROW counts per bin by construction,
+    where the fixed-bound histogram (``q_agg_histogram``) gives equal
+    WIDTHS and skewed counts.
+
+    Plan: ONE pass of the two-phase rank-select library resolves all
+    nine target ranks together (the ledger is shared; only target
+    buckets get within-bucket ranks) — contrast with nine naive
+    rank-window passes. Key cardinality = event types, so the final
+    frame is tiny."""
+    ev = _event_cents(spark, sf_dir).select("event_type", "vc")
+    targets = [(f"p{k}0", f"({k} * n + 9) DIV 10") for k in _DECILES]
+    out = rank_select_percentiles(
+        ev,
+        "event_type",
+        "vc",
+        targets,
+        bucket_width=1_000,
+        checkpoint=False,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        *[
+            F.col(f"p{k}0").cast("long").alias(f"p{k}0_cents")
+            for k in _DECILES
+        ],
+    )

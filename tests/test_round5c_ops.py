@@ -10,6 +10,8 @@ from __future__ import annotations
 import math
 from collections import defaultdict
 
+from pyspark.sql import functions as F
+
 from scylla_pg_cdc_spark.operators.corpus import (
     _BM25_TERMS,
     _SPAN_K,
@@ -431,3 +433,66 @@ def test_ivf_recall_curve_matches_bruteforce_replay(spark):
     }
     assert got == want
     assert want[5][1] >= want[1][1], "recall curve not monotone"
+
+
+def test_cumulative_uniques_matches_serial_replay(spark):
+    from scylla_pg_cdc_spark.operators.analytics import (
+        q_cumulative_uniques,
+    )
+
+    rows = load_table(spark, SF_SMALL, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms")
+    ).collect()
+    per_day_events: dict[int, int] = defaultdict(int)
+    first_day: dict[int, int] = {}
+    for r in rows:
+        day = r["ts_ms"] // 86400000
+        per_day_events[day] += 1
+        u = r["user_id"]
+        if u not in first_day or day < first_day[u]:
+            first_day[u] = day
+    new_per_day: dict[int, int] = defaultdict(int)
+    for d in first_day.values():
+        new_per_day[d] += 1
+    want = {}
+    cum = 0
+    for day in sorted(per_day_events):
+        cum += new_per_day.get(day, 0)
+        want[day] = (per_day_events[day], new_per_day.get(day, 0), cum)
+    got = {
+        r["day"]: (r["n_events"], r["n_new_users"], r["cum_unique_users"])
+        for r in q_cumulative_uniques(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert max(v[2] for v in want.values()) == len(first_day)
+
+
+def test_equidepth_bins_matches_sorted_replay(spark):
+    from scylla_pg_cdc_spark.operators.stats import q_equidepth_bins
+
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .filter("value IS NOT NULL")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[int]] = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(
+            math.floor(r["value"] * 100.0 + 0.5)
+        )
+    want = {}
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        want[et] = (n,) + tuple(
+            vals[(k * n + 9) // 10 - 1] for k in range(1, 10)
+        )
+    got = {
+        r["event_type"]: (r["n"],)
+        + tuple(r[f"p{k}0_cents"] for k in range(1, 10))
+        for r in q_equidepth_bins(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    for v in want.values():
+        assert list(v[1:]) == sorted(v[1:]), "deciles not monotone"
