@@ -98,10 +98,13 @@ def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _event_cents(spark, sf_dir)
     wv = Window.partitionBy("event_type").orderBy("vc", "event_id")
     wt = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
+    # row_number() is IntegerType: the squared rank difference must be
+    # widened BEFORE the multiply or it overflows int32 at ~46k rows
+    # per key (caught by the 10x amplified sweep under ANSI mode)
     r = ev.select(
         "event_type",
-        F.row_number().over(wv).alias("rv"),
-        F.row_number().over(wt).alias("rt"),
+        F.row_number().over(wv).cast("long").alias("rv"),
+        F.row_number().over(wt).cast("long").alias("rt"),
     )
     d2 = (F.col("rv") - F.col("rt")) * (F.col("rv") - F.col("rt"))
     return r.groupBy("event_type").agg(

@@ -1342,6 +1342,11 @@ def q_vector_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # the 8-row pool feeds pa/pb/s1 and (through sims) s2/s3 — without
+    # a cut the unrolled plan repeats the corpus-sized relevance scan
+    # once per branch (~5 scans; the duplicated-subplan hazard from
+    # the iterative-loop lesson). localCheckpoint materializes the
+    # TakeOrdered result once; every greedy step then reads 8 rows.
     pool = (
         emb.filter(F.col("vec_id") != 0)
         .select(
@@ -1351,6 +1356,7 @@ def q_vector_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rel", idot(F.col("q"), qlit))
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(MMR_POOL)
+        .localCheckpoint()
     )
     pa = pool.select(
         F.col("vec_id").alias("va"), F.col("rel").alias("rel_a"), F.col("q").alias("qa")
