@@ -1,0 +1,198 @@
+"""Build an N-times amplified copy of a testdata directory so the
+FULL differential gate can run at amplified scale:
+
+    python tools/amplify.py [src_sf_dir] [dst_dir] [n_copies]
+    python tools/check_oracle.py /tmp/amp10            # 10x gate
+
+Why this exists: scale bugs that sf-growth testing cannot reach hide
+in integer width and plan shape (round 5 example: q_spearman_trend
+squared int32 row_number ranks — fine at sf0.1's 20k rows/key,
+ANSI-mode abort at 10x). Running every registered query against 10x
+data under Spark's ANSI mode turns silent envelope violations into
+hard failures, and running the DuckDB oracle beside it checks that
+results stay exact where row counts explode.
+
+Amplification rules (referential integrity preserved):
+- region/nation are FIXED dimensions (copied verbatim): nation keys
+  are semantic (25 nations) and every fact row's nationkey must stay
+  in range.
+- customer/supplier/part/orders/lineitem/events/embeddings get key
+  offsets consistent across tables (copy i adds i*OFF to each
+  entity's key and to every foreign reference), so joins produce
+  exactly N disjoint copies of the base join graph.
+- documents get per-copy TOKEN suffixes — disjoint vocabularies, so
+  text workloads scale data N-fold instead of collapsing into one
+  giant near-dup cluster (use the neardup family's own adversarial
+  runs for that case).
+- events shift time by i*span so the time axis grows with the data;
+  embeddings keep ONE vec_id-0 query vector (copy 0 only).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from scylla_pg_cdc_spark.session import get_session  # noqa: E402
+from scylla_pg_cdc_spark.sources.tables import load_table  # noqa: E402
+
+OFF = 100_000_000  # per-copy key offset, far above any base key
+
+
+def _union(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def amplify(src: str, dst: str, n: int) -> None:
+    spark = get_session()
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+
+    def write(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(dst, f"{name}.parquet")
+        )
+
+    # fixed dims: copied verbatim
+    for t in ("region", "nation"):
+        write(load_table(spark, src, t), t)
+
+    def off(col: str, i: int):
+        return (F.col(col) + F.lit(i * OFF)).alias(col)
+
+    cust = load_table(spark, src, "customer")
+    write(
+        _union([
+            cust.select(
+                off("c_custkey", i), "c_name", "c_nationkey",
+                "c_acctbal", "c_mktsegment",
+            )
+            for i in range(n)
+        ]),
+        "customer",
+    )
+
+    sup = load_table(spark, src, "supplier")
+    write(
+        _union([
+            sup.select(
+                off("s_suppkey", i), "s_name", "s_nationkey", "s_acctbal"
+            )
+            for i in range(n)
+        ]),
+        "supplier",
+    )
+
+    part = load_table(spark, src, "part")
+    write(
+        _union([
+            part.select(
+                off("p_partkey", i), "p_name", "p_brand", "p_type",
+                "p_size", "p_retailprice",
+            )
+            for i in range(n)
+        ]),
+        "part",
+    )
+
+    orders = load_table(spark, src, "orders")
+    write(
+        _union([
+            orders.select(
+                off("o_orderkey", i), off("o_custkey", i),
+                "o_orderstatus", "o_totalprice", "o_orderdate",
+                "o_orderpriority",
+            )
+            for i in range(n)
+        ]),
+        "orders",
+    )
+
+    li = load_table(spark, src, "lineitem")
+    write(
+        _union([
+            li.select(
+                off("l_orderkey", i), off("l_partkey", i),
+                off("l_suppkey", i), "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate",
+            )
+            for i in range(n)
+        ]),
+        "lineitem",
+    )
+
+    ev = load_table(spark, src, "events")
+    span_ms = ev.agg(
+        (
+            F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts")) + 1
+        ).alias("s")
+    ).head()["s"]
+    write(
+        _union([
+            ev.select(
+                off("event_id", i),
+                F.timestamp_millis(
+                    F.unix_millis("ts") + F.lit(i * span_ms)
+                ).alias("ts"),
+                off("user_id", i),
+                "event_type", "value", "props",
+            )
+            for i in range(n)
+        ]),
+        "events",
+    )
+
+    docs = load_table(spark, src, "documents")
+    write(
+        _union([
+            docs.select(
+                off("doc_id", i),
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t, i=i: F.concat(t, F.lit(f"_c{i}")),
+                    ),
+                    " ",
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+            for i in range(n)
+        ]),
+        "documents",
+    )
+
+    emb = load_table(spark, src, "embeddings")
+    write(
+        _union([
+            (emb if i == 0 else emb.filter(F.col("vec_id") != 0)).select(
+                (F.col("vec_id") + F.lit(i * OFF)).alias("vec_id")
+                if i > 0
+                else F.col("vec_id"),
+                "embedding",
+                (F.col("label") + F.lit(i * 100)).cast("int").alias(
+                    "label"
+                ),
+            )
+            for i in range(n)
+        ]),
+        "embeddings",
+    )
+    print(f"amplified {src} x{n} -> {dst}")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/amp10"
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    amplify(src, dst, n)

@@ -75,8 +75,13 @@ def check(sf_dir: str, only: list[str] | None = None) -> int:
     spark = get_session("oracle-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        # testdata ships single files; Spark-written dirs (e.g.
+        # tools/amplify.py output) hold part files underneath
+        path = f"{sf_dir}/{t}.parquet"
+        if Path(path).is_dir():
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     failures = 0
