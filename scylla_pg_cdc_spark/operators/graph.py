@@ -52,17 +52,17 @@ _GRAPH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 def _pagerank_sql(iters: int = _ITERS) -> str:
     sql = f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
         SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS c_node,
                's' || CAST(l.l_suppkey AS VARCHAR) AS s_node,
                COUNT(*) AS w
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         GROUP BY 1, 2
-    ), e AS (
+    ), e AS MATERIALIZED (
         SELECT c_node AS src, s_node AS dst, w FROM pairs
         UNION ALL
         SELECT s_node AS src, c_node AS dst, w FROM pairs
-    ), deg AS (
+    ), deg AS MATERIALIZED (
         SELECT src, SUM(w) AS wu FROM e GROUP BY src
     ), nn AS (
         SELECT COUNT(*) AS n FROM deg
@@ -186,7 +186,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same order at least twice (support >= 2 keeps the edge list sparse —
 # the same pruning q_copurchase_pairs applies).
 _EDGE_SQL = """
-    ed AS (
+    ed AS MATERIALIZED (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -331,7 +331,7 @@ _CC_ROUNDS = 5
 def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
     sql = """
     WITH """ + _EDGE_SQL + """,
-    me AS (
+    me AS MATERIALIZED (
         SELECT a AS src, b AS dst FROM ed
         UNION ALL SELECT b AS src, a AS dst FROM ed
     ), l0 AS (
@@ -340,7 +340,7 @@ def _cc_sql(rounds: int = _CC_ROUNDS) -> str:
     prev = "l0"
     for it in range(1, rounds + 1):
         sql += f""",
-    l{it} AS (
+    l{it} AS MATERIALIZED (
         SELECT x.n, MIN(x.l) AS lbl FROM (
             SELECT m.dst AS n, p.lbl AS l
             FROM me m JOIN {prev} p ON m.src = p.n
@@ -423,7 +423,7 @@ _BFS_ROUNDS = 4
 def _bfs_sql(rounds: int = _BFS_ROUNDS) -> str:
     sql = """
     WITH """ + _EDGE_SQL + """,
-    me AS (
+    me AS MATERIALIZED (
         SELECT a AS src, b AS dst, 1 AS w FROM ed
         UNION ALL SELECT b AS src, a AS dst, 1 AS w FROM ed
         UNION ALL SELECT n AS src, n AS dst, 0 AS w FROM (

@@ -617,12 +617,12 @@ def _er_label_ctes(rounds: int = _ER_ROUNDS) -> tuple[str, str]:
     CTE block and the name of the final label CTE so both the cluster
     query and the golden-record query build on identical closure."""
     sql = """
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
         SELECT a.c_custkey AS a, b.c_custkey AS b
         FROM customer a JOIN customer b
           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 2
-    ), me AS (
+    ), me AS MATERIALIZED (
         SELECT a AS src, b AS dst FROM pairs
         UNION ALL SELECT b AS src, a AS dst FROM pairs
         UNION ALL SELECT n AS src, n AS dst FROM (

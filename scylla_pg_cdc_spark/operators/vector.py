@@ -672,7 +672,7 @@ def _pq_sql(
     {p}shifted AS (
         SELECT vec_id, label, list_transform(q, x -> x + 127) AS u FROM {p}qz
     ),
-    {p}subs AS (
+    {p}subs AS MATERIALIZED (
         SELECT vec_id, label, CAST(s AS INT) AS sub_id,
                list_slice(u, CAST(s AS INT) * {subdim} + 1,
                           CAST(s AS INT) * {subdim} + {subdim}) AS subvec
