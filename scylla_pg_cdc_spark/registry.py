@@ -10,6 +10,7 @@ which the driver checks rows-only).
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 from pathlib import Path
@@ -28,9 +29,48 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+_CTE_DEF = re.compile(r"\b(\w+)\s+AS\s+(MATERIALIZED\s+)?\(", re.IGNORECASE)
+_OVER_NAME = re.compile(r"\bOVER\s+(\w+)", re.IGNORECASE)
+
+
+def materialize_shared_ctes(sql: str) -> str:
+    """Rewrite every CTE referenced two or more times to
+    ``AS MATERIALIZED`` for DuckDB.
+
+    DuckDB 1.x INLINES common table expressions: a CTE referenced N
+    times is re-evaluated N times, and a chain whose round CTE is
+    referenced twice by the next round doubles the evaluated plan
+    every round (2^k). Measured on this repo's oracles: the ER pair
+    scan re-ran its blocked levenshtein join ~18x (23.7 s -> 5.2 s at
+    sf0.1 once materialized) and the components oracle spilled 79 GB
+    and aborted at 10x data; the LSH-family overlap CTEs (referenced
+    ~10x) OOM-killed the 10x gate outright. Materialization changes
+    evaluation strategy only — never results — so applying it to
+    every multiply-referenced CTE at registration keeps the oracle
+    semantics byte-for-byte while making evaluation linear.
+
+    Names defined in a ``WINDOW w AS (...)`` clause are window specs,
+    not CTEs, and are left alone — they are recognized by appearing as
+    ``OVER <name>`` somewhere in the query.
+    """
+    window_names = {m.group(1) for m in _OVER_NAME.finditer(sql)}
+    out = sql
+    for m in _CTE_DEF.finditer(sql):
+        cte, already = m.group(1), m.group(2)
+        if already or cte in window_names:
+            continue
+        refs = len(re.findall(rf"\b{cte}\b", sql)) - 1
+        if refs >= 2:
+            out = out.replace(
+                m.group(0), f"{cte} AS MATERIALIZED (", 1
+            )
+    return out
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as the builder for query ``name``."""
+    if oracle is not None:
+        oracle = materialize_shared_ctes(oracle)
 
     def deco(fn: QueryFn) -> QueryFn:
         REGISTRY[name] = QuerySpec(name, fn, oracle)
