@@ -308,7 +308,8 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probe AS (
         SELECT label FROM centcos
-        ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, label
+        ORDER BY CAST(FLOOR(dp / (sqrt(na) * sqrt(nb))
+                            * 1000000 + 0.5) AS BIGINT) DESC, label
         LIMIT 1
     ),
     s AS (
@@ -352,8 +353,18 @@ def q_vector_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.expr("transform(pm, x -> x.mean_val)").alias("centroid")
         )
     )
+    # micro-quantized cell ranking (same as q_ivf_recall_curve): raw
+    # float ties between identical/near-identical cells break on
+    # engine-specific summation order — quantize, then label tiebreak
     probe = (
-        centroids.select("label", cosine(F.col("centroid"), q).alias("c"))
+        centroids.select(
+            "label",
+            F.floor(
+                cosine(F.col("centroid"), q) * 1_000_000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
         .orderBy(F.col("c").desc(), "label")
         .limit(1)
     )
