@@ -485,7 +485,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_CACHE: dict[tuple[int, str], DataFrame] = {}
+_BM25_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,8 +498,10 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-stream aggregations are the dominant cost and the output is
     only matching-doc-sized (docs containing a query term), so the
     materialization is bounded by the posting lists, not the corpus
-    (the ER-closure memo discipline, `relational.py:_er_labels`)."""
-    key = (id(spark), sf_dir)
+    (the ER-closure memo discipline, `relational.py:_er_labels`).
+    Keyed on applicationId (not id(spark), which CPython can reuse
+    after a stopped session is GC'd)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _BM25_CACHE.get(key)
     if cached is not None:
         return cached

@@ -704,7 +704,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ER_LABEL_CACHE: dict[tuple[int, str], DataFrame] = {}
+_ER_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _er_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,8 +715,11 @@ def _er_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked levenshtein pair scan is the dominant cost and is shared
     verbatim by ``q_entity_resolution`` and ``q_er_golden_record``
     (and by repeated bench runs); materializing it once is the same
-    discipline as the PQ codebook memo (`vector.py:_pq_train`)."""
-    key = (id(spark), sf_dir)
+    discipline as the PQ codebook memo (`vector.py:_pq_train`).
+    Keyed on applicationId, not id(spark): CPython reuses object ids
+    after GC, which could hand a new session a checkpointed frame
+    bound to a dead SparkContext."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _ER_LABEL_CACHE.get(key)
     if cached is not None:
         return cached

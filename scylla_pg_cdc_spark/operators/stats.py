@@ -182,7 +182,7 @@ def q_mad_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MAD_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_MAD_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _mad_frames(
@@ -198,8 +198,9 @@ def _mad_frames(
     (session, sf_dir) behind localCheckpoints of the TINY med/mad
     frames — the ER-closure/PQ-codebook memo discipline. The
     corpus-sized dev frame is never materialized; it is re-derived
-    lazily from the cached 5-row median table."""
-    key = (id(spark), sf_dir)
+    lazily from the cached 5-row median table. Keyed on applicationId
+    (not id(spark), which CPython can reuse after a session is GC'd)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MAD_CACHE.get(key)
     if cached is not None:
         med, mad = cached

@@ -38,12 +38,19 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left row: the latest right row with the same key and
     ``right_ts <= left_ts`` (NULL-extended when none). Union-window
     construction, one shuffle. Right rows sort before left rows at
     equal timestamps, so an exactly-simultaneous right row IS visible
-    (matching DuckDB ASOF's ``>=``)."""
+    (matching DuckDB ASOF's ``>=``).
+
+    ``right_tiebreak``: column making the pick deterministic when
+    several right rows share (key, ts) — the row with the MINIMUM
+    tiebreak wins (without it, ``last(ignorenulls)`` picks whichever
+    tied row the shuffle happened to order last, and a differential
+    oracle can flake)."""
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
     lcols = left.columns
@@ -53,6 +60,11 @@ def asof_join(
         F.col(left_on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__src"),
+        *(
+            [F.lit(None).cast(rtypes[right_tiebreak]).alias("__tb")]
+            if right_tiebreak
+            else []
+        ),
     )
     r2 = right.select(
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
@@ -60,10 +72,16 @@ def asof_join(
         F.col(right_on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__src"),
+        *([F.col(right_tiebreak).alias("__tb")] if right_tiebreak else []),
+    )
+    # among right rows tied on (__k, __ts), DESC tiebreak puts the
+    # MIN-tiebreak row last, which is the one last(ignorenulls) carries
+    order = ["__ts", "__src"] + (
+        [F.desc_nulls_last("__tb")] if right_tiebreak else []
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__src")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l2.unionByName(r2).select(
@@ -83,7 +101,12 @@ def asof_join(
     "q_asof_join",
     oracle="""
     WITH ev AS (
-        SELECT user_id, event_id, epoch_ms(ts) AS ev_ms FROM events
+        -- one row per (user, ms): MIN(event_id) — the same
+        -- deterministic tie rule the Spark side applies via
+        -- right_tiebreak, so equal-timestamp events can never make
+        -- the two engines pick different rows
+        SELECT user_id, epoch_ms(ts) AS ev_ms, MIN(event_id) AS event_id
+        FROM events GROUP BY user_id, epoch_ms(ts)
     ), o AS (
         SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS order_ms
         FROM orders
@@ -99,8 +122,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each order picks the user's latest event at-or-
     before the order timestamp. The oracle uses DuckDB's NATIVE ASOF
     JOIN — an independent implementation the union-window plan must
-    match row-for-row. -1 sentinels stand in for no-match NULLs (keeps
-    both engines' dtypes integral)."""
+    match row-for-row; its right side is pre-reduced to one row per
+    (user, ms) with MIN(event_id), the identical tie rule the Spark
+    window applies, so the differential is deterministic. -1 sentinels
+    stand in for no-match NULLs (keeps both engines' dtypes
+    integral)."""
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_millis("ts").alias("ev_ms")
     )
@@ -114,6 +140,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_on="o_custkey", right_on="user_id",
         left_ts="order_ms", right_ts="ev_ms",
         value_cols=["event_id", "ev_ms"],
+        right_tiebreak="event_id",
     )
     return joined.select(
         "o_orderkey",
@@ -466,6 +493,7 @@ def asof_join_forward(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left row: the EARLIEST right row with the same key
     and ``right_ts >= left_ts`` (NULL-extended when none) — the
@@ -473,7 +501,11 @@ def asof_join_forward(
     construction mirrored: right rows sort AFTER left rows at equal
     timestamps (so an exactly-simultaneous right row is visible,
     matching DuckDB forward ASOF's ``<=``) and the carry is
-    first(ignorenulls) over the FOLLOWING frame."""
+    first(ignorenulls) over the FOLLOWING frame.
+
+    ``right_tiebreak``: deterministic pick among right rows tied on
+    (key, ts) — the MINIMUM tiebreak wins (same rule as
+    ``asof_join``)."""
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
     lcols = left.columns
@@ -483,6 +515,11 @@ def asof_join_forward(
         F.col(left_on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__src"),
+        *(
+            [F.lit(None).cast(rtypes[right_tiebreak]).alias("__tb")]
+            if right_tiebreak
+            else []
+        ),
     )
     r2 = right.select(
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
@@ -490,10 +527,16 @@ def asof_join_forward(
         F.col(right_on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__src"),
+        *([F.col(right_tiebreak).alias("__tb")] if right_tiebreak else []),
+    )
+    # ASC tiebreak: the first right row first(ignorenulls) reaches in
+    # the FOLLOWING frame is the min-tiebreak row of the earliest ts
+    order = ["__ts", "__src"] + (
+        [F.asc_nulls_last("__tb")] if right_tiebreak else []
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__src")
+        .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     filled = l2.unionByName(r2).select(
@@ -513,7 +556,10 @@ def asof_join_forward(
     "q_asof_join_forward",
     oracle="""
     WITH ev AS (
-        SELECT user_id, event_id, epoch_ms(ts) AS ev_ms FROM events
+        -- MIN(event_id) per (user, ms): the Spark side's tie rule,
+        -- see q_asof_join
+        SELECT user_id, epoch_ms(ts) AS ev_ms, MIN(event_id) AS event_id
+        FROM events GROUP BY user_id, epoch_ms(ts)
     ), o AS (
         SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS order_ms
         FROM orders
@@ -546,6 +592,7 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_on="o_custkey", right_on="user_id",
         left_ts="order_ms", right_ts="ev_ms",
         value_cols=["event_id", "ev_ms"],
+        right_tiebreak="event_id",
     )
     return joined.select(
         "o_orderkey",

@@ -31,6 +31,39 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 _CTE_DEF = re.compile(r"\b(\w+)\s+AS\s+(MATERIALIZED\s+)?\(", re.IGNORECASE)
 _OVER_NAME = re.compile(r"\bOVER\s+(\w+)", re.IGNORECASE)
+_WINDOW_KW = re.compile(r"\bWINDOW\b", re.IGNORECASE)
+_WINDOW_DEF = re.compile(r"\s*(\w+)\s+AS\s*\(", re.IGNORECASE)
+
+
+def _window_clause_names(sql: str) -> set[str]:
+    """Lower-cased names defined in any ``WINDOW a AS (...), b AS
+    (...)`` clause — found by paren-balanced scanning from each WINDOW
+    keyword, so a window referenced only by ANOTHER window definition
+    (never via ``OVER name``) is still recognized as a window spec."""
+    names: set[str] = set()
+    for kw in _WINDOW_KW.finditer(sql):
+        pos = kw.end()
+        while True:
+            m = _WINDOW_DEF.match(sql, pos)
+            if not m:
+                break
+            names.add(m.group(1).lower())
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            # another definition only if a comma chains it
+            j = i
+            while j < len(sql) and sql[j].isspace():
+                j += 1
+            if j < len(sql) and sql[j] == ",":
+                pos = j + 1
+            else:
+                break
+    return names
 
 
 def materialize_shared_ctes(sql: str) -> str:
@@ -50,20 +83,26 @@ def materialize_shared_ctes(sql: str) -> str:
     semantics byte-for-byte while making evaluation linear.
 
     Names defined in a ``WINDOW w AS (...)`` clause are window specs,
-    not CTEs, and are left alone — they are recognized by appearing as
-    ``OVER <name>`` somewhere in the query.
+    not CTEs, and are left alone — recognized either by appearing as
+    ``OVER <name>`` somewhere in the query or by position inside a
+    WINDOW clause (covers windows referenced only by other window
+    definitions). Reference counting is case-insensitive (SQL
+    identifiers are), and the rewrite is spliced at each regex match
+    position — never a first-occurrence string replace, which could
+    land on a same-shaped substring inside a comment or literal.
     """
-    window_names = {m.group(1) for m in _OVER_NAME.finditer(sql)}
+    window_names = {m.group(1).lower() for m in _OVER_NAME.finditer(sql)}
+    window_names |= _window_clause_names(sql)
     out = sql
-    for m in _CTE_DEF.finditer(sql):
+    for m in reversed(list(_CTE_DEF.finditer(sql))):
         cte, already = m.group(1), m.group(2)
-        if already or cte in window_names:
+        if already or cte.lower() in window_names:
             continue
-        refs = len(re.findall(rf"\b{cte}\b", sql)) - 1
+        refs = len(
+            re.findall(rf"\b{re.escape(cte)}\b", sql, re.IGNORECASE)
+        ) - 1
         if refs >= 2:
-            out = out.replace(
-                m.group(0), f"{cte} AS MATERIALIZED (", 1
-            )
+            out = out[: m.start()] + f"{cte} AS MATERIALIZED (" + out[m.end():]
     return out
 
 

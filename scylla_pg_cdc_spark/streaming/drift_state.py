@@ -91,21 +91,74 @@ def _ks(hist: DataFrame, cur: DataFrame) -> DataFrame:
     )
 
 
+def _committed_counts_dir(state_dir: str) -> str | None:
+    """The committed counts dir: the live dir, or the parked ``_prev``
+    if a crash hit between the swap's two renames."""
+    cdir = os.path.join(state_dir, "counts")
+    if os.path.isdir(cdir):
+        return cdir
+    if os.path.isdir(cdir + "_prev"):
+        return cdir + "_prev"
+    return None
+
+
+def committed_marker(state_dir: str) -> str | None:
+    """Epoch marker of the last COMMITTED fold (stored inside the
+    counts directory, so marker and state can never disagree)."""
+    d = _committed_counts_dir(state_dir)
+    if d is None:
+        return None
+    try:
+        with open(os.path.join(d, "_EPOCH")) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
 def monitor_epoch(
-    spark: SparkSession, state_dir: str, batch: DataFrame
+    spark: SparkSession, state_dir: str, batch: DataFrame,
+    marker: str | None = None,
 ) -> DataFrame:
     """KS-test one epoch of events against the persisted historical
     distribution, then fold the epoch into the state.
 
     Returns (event_type, n_hist, n_epoch, ks_ppm); first epoch
     bootstraps (no test — returned frame is empty) so the caller's
-    quarantine rule never fires on an empty baseline. The fold is a
-    count merge + atomic directory swap (the MV staging discipline,
-    `streaming/pipeline.py:fold_mv_bucketed`)."""
+    quarantine rule never fires on an empty baseline.
+
+    Crash-idempotence (the marker protocol of
+    ``streaming/pipeline.py:fold_digests``): the epoch ``marker`` is
+    staged INSIDE the new counts directory and committed by the same
+    atomic rename as the counts, with the old state parked at
+    ``_prev`` until the promote completes — there is no window where
+    the marker says "folded" but the counts don't contain the epoch,
+    and none where the history exists only as an unlinked inode. A
+    replay whose marker matches the committed one skips the fold and
+    returns the PERSISTED report for that epoch (written under
+    ``state_dir/report_epochs/<marker>`` before the swap, overwrite
+    mode — recomputing it after the fold would KS the epoch against a
+    baseline that already contains it). Callers that pass no marker
+    (ad-hoc/batch use) get the unconditional fold."""
+    import shutil
+
     cdir = os.path.join(state_dir, "counts")
+    rdir = os.path.join(state_dir, "report_epochs", marker or "adhoc")
+    if marker is not None and committed_marker(state_dir) == marker:
+        # replayed epoch: fold already committed; finish a possibly
+        # interrupted swap and hand back the persisted report
+        if not os.path.isdir(cdir):
+            os.rename(cdir + "_prev", cdir)
+        shutil.rmtree(cdir + "_prev", ignore_errors=True)
+        shutil.rmtree(cdir + "_next", ignore_errors=True)
+        if os.path.isdir(rdir):
+            return spark.read.parquet(rdir)
+        return _ks(
+            _value_counts(batch).limit(0), _value_counts(batch).limit(0)
+        )
+    prev = _committed_counts_dir(state_dir)
     cur = _value_counts(batch)
-    if os.path.isdir(cdir):
-        hist = spark.read.parquet(cdir)
+    if prev is not None:
+        hist = spark.read.parquet(prev)
         out = _ks(hist, cur)
         merged = (
             hist.unionAll(cur)
@@ -117,11 +170,20 @@ def monitor_epoch(
         out = _ks(cur.limit(0), cur.limit(0))
         merged = cur
     nxt = cdir + "_next"
+    shutil.rmtree(nxt, ignore_errors=True)
     merged.write.mode("overwrite").parquet(nxt)
     out = out.localCheckpoint()  # materialize BEFORE the swap below
+    if marker is not None:
+        # persist the report first (idempotent overwrite: a crash
+        # before the swap recomputes the identical frame from the
+        # still-committed pre-fold history)
+        out.write.mode("overwrite").parquet(rdir)
+        with open(os.path.join(nxt, "_EPOCH"), "w") as f:
+            f.write(marker)
+    back = cdir + "_prev"
+    shutil.rmtree(back, ignore_errors=True)
     if os.path.isdir(cdir):
-        import shutil
-
-        shutil.rmtree(cdir)
+        os.rename(cdir, back)
     os.rename(nxt, cdir)
+    shutil.rmtree(back, ignore_errors=True)
     return out

@@ -457,13 +457,6 @@ def run_upsert_pipeline(
         except OSError:
             return None
 
-    def _drift_marker() -> str | None:
-        try:
-            with open(os.path.join(drift_dir, "_EPOCH")) as f:
-                return f.read().strip()
-        except OSError:
-            return None
-
     def _fold_mv(removed: DataFrame, added: DataFrame, marker: str) -> None:
         group_cols, sum_cols = mv_spec
         fold_mv_bucketed(
@@ -504,19 +497,22 @@ def run_upsert_pipeline(
             clean = batch.filter(~poison)
             delta = None
             marker = f"epoch-{epoch_id}"
-            if drift_monitor and _drift_marker() != marker:
+            if drift_monitor:
                 from scylla_pg_cdc_spark.streaming.drift_state import (
                     monitor_epoch,
                 )
 
-                report = monitor_epoch(spark, drift_dir, clean)
-                report.withColumn(
-                    "epoch_id", F.lit(epoch_id)
-                ).write.mode("append").parquet(
-                    os.path.join(drift_dir, "report")
+                # monitor_epoch is marker-gated internally (in-dir
+                # marker, atomic swap) and returns the PERSISTED
+                # report on replay; the user-facing report is one
+                # hive partition per epoch, overwrite mode — both
+                # halves idempotent under any crash point
+                report = monitor_epoch(spark, drift_dir, clean, marker)
+                report.write.mode("overwrite").parquet(
+                    os.path.join(
+                        drift_dir, "report", f"epoch_id={epoch_id}"
+                    )
                 )
-                with open(os.path.join(drift_dir, "_EPOCH"), "w") as f:
-                    f.write(marker)
             need_mv = mv_spec is not None and _mv_marker() != marker
             need_dig = (
                 digest_buckets is not None and _digest_marker() != marker
@@ -555,12 +551,22 @@ def run_upsert_pipeline(
                 ).parquet(dlq_dir)
                 if delta is not None:
                     # compensate: the state never received this batch,
-                    # so fold the inverse delta (swap removed/added)
-                    if need_mv:
+                    # so fold the inverse delta (swap removed/added) —
+                    # but ONLY into folds whose committed marker proves
+                    # the forward fold of THIS epoch actually landed
+                    # (a fold that threw before its atomic rename never
+                    # happened; inverse-folding it would corrupt state
+                    # it never touched, and a fold committed by a
+                    # PREVIOUS attempt of this epoch must be
+                    # compensated even though need_* was False)
+                    if mv_spec is not None and _mv_marker() == marker:
                         _fold_mv(
                             delta[1], delta[0], marker + "-compensated"
                         )
-                    if need_dig:
+                    if (
+                        digest_buckets is not None
+                        and _digest_marker() == marker
+                    ):
                         fold_digests(
                             digest_dir, delta[1], delta[0],
                             marker + "-compensated", digest_buckets,

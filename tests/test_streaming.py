@@ -551,3 +551,95 @@ def test_streaming_ohlc_matches_batch_bars(spark, tmp_path):
     for k, v in got.items():
         assert want[k] == v, k
     assert len(got) >= int(0.9 * len(want))
+
+
+def test_monitor_epoch_marker_replay_does_not_refold(spark, tmp_path):
+    """ADVICE r5 (medium): a replay of the SAME marker after the fold
+    committed must not re-fold the epoch into its own baseline, and
+    must return the persisted (pre-fold-baseline) report — the crash
+    window between state commit and caller checkpoint."""
+    import os
+
+    from scylla_pg_cdc_spark.sources.tables import load_table
+    from scylla_pg_cdc_spark.streaming.drift_state import (
+        committed_marker,
+        monitor_epoch,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    state = str(tmp_path / "drift")
+    e0 = events.filter(F.col("event_id") % 2 == 0)
+    e1 = events.filter(F.col("event_id") % 2 == 1)
+    monitor_epoch(spark, state, e0, marker="epoch-0")
+    rep1 = sorted(
+        (r["event_type"], r["n_hist"], r["n_epoch"], r["ks_ppm"])
+        for r in monitor_epoch(spark, state, e1, marker="epoch-1").collect()
+    )
+    counts_after = sorted(
+        (r["event_type"], r["vc"], r["cnt"])
+        for r in spark.read.parquet(os.path.join(state, "counts")).collect()
+    )
+    assert committed_marker(state) == "epoch-1"
+    # replay epoch-1 (caller crashed before its checkpoint committed)
+    rep1_replay = sorted(
+        (r["event_type"], r["n_hist"], r["n_epoch"], r["ks_ppm"])
+        for r in monitor_epoch(spark, state, e1, marker="epoch-1").collect()
+    )
+    counts_replay = sorted(
+        (r["event_type"], r["vc"], r["cnt"])
+        for r in spark.read.parquet(os.path.join(state, "counts")).collect()
+    )
+    assert rep1_replay == rep1  # persisted report, not a re-KS
+    assert counts_replay == counts_after  # no double fold
+    assert len(rep1) > 0
+
+
+def test_monitor_epoch_recovers_mid_swap_crash(spark, tmp_path):
+    """A crash between the swap's two renames leaves only counts_prev
+    (old state) + counts_next (staged): the replay must still commit
+    exactly one fold and never lose the history."""
+    import os
+    import shutil
+
+    from scylla_pg_cdc_spark.sources.tables import load_table
+    from scylla_pg_cdc_spark.streaming.drift_state import monitor_epoch
+
+    events = load_table(spark, SF_SMALL, "events")
+    state = str(tmp_path / "drift")
+    e0 = events.filter(F.col("event_id") % 2 == 0)
+    e1 = events.filter(F.col("event_id") % 2 == 1)
+    monitor_epoch(spark, state, e0, marker="epoch-0")
+    rep = sorted(
+        (r["event_type"], r["n_hist"], r["n_epoch"], r["ks_ppm"])
+        for r in monitor_epoch(spark, state, e1, marker="epoch-1").collect()
+    )
+    want = sorted(
+        (r["event_type"], r["vc"], r["cnt"])
+        for r in spark.read.parquet(os.path.join(state, "counts")).collect()
+    )
+    # rewind to the mid-swap crash point: old state parked at _prev,
+    # new state still staged at _next, live dir missing
+    cdir = os.path.join(state, "counts")
+    shutil.rmtree(str(tmp_path / "snap"), ignore_errors=True)
+    os.makedirs(str(tmp_path / "snap"))
+    os.rename(cdir, cdir + "_next_staged")
+    # rebuild the epoch-0-only committed state as _prev
+    monitor_epoch(
+        spark, str(tmp_path / "snap"), e0, marker="epoch-0"
+    )
+    os.rename(os.path.join(str(tmp_path / "snap"), "counts"), cdir + "_prev")
+    os.rename(cdir + "_next_staged", cdir + "_next")
+    # replay epoch-1: committed marker (from _prev) is epoch-0, so the
+    # fold re-runs from the parked history and commits once
+    rep_replay = sorted(
+        (r["event_type"], r["n_hist"], r["n_epoch"], r["ks_ppm"])
+        for r in monitor_epoch(spark, state, e1, marker="epoch-1").collect()
+    )
+    got = sorted(
+        (r["event_type"], r["vc"], r["cnt"])
+        for r in spark.read.parquet(cdir).collect()
+    )
+    assert rep_replay == rep
+    assert got == want
+    assert not os.path.isdir(cdir + "_prev")
+    assert not os.path.isdir(cdir + "_next")

@@ -4,11 +4,44 @@ oracle gate (q_asof_join runs against DuckDB's NATIVE ASOF JOIN)."""
 
 from __future__ import annotations
 
-from scylla_pg_cdc_spark.operators.temporal import asof_join
+from scylla_pg_cdc_spark.operators.temporal import asof_join, asof_join_forward
 
 
 def _df(spark, rows, schema):
     return spark.createDataFrame(rows, schema)
+
+
+def test_asof_tiebreak_picks_min_id_both_directions(spark):
+    """Several right rows on the same (key, ts): with right_tiebreak
+    the MIN tiebreak must win deterministically in BOTH directions —
+    the rule the DuckDB oracles replicate by pre-reducing to
+    MIN(event_id) per (key, ts). Shuffled input orders (repartition)
+    must not change the pick."""
+    left = _df(spark, [(1, 100), (1, 300)], "k long, lts long")
+    right = _df(
+        spark,
+        # three ties at ts=100 and two at ts=300, ids deliberately
+        # out of order
+        [(1, 100, 9, "i9"), (1, 100, 3, "i3"), (1, 100, 7, "i7"),
+         (1, 300, 5, "i5"), (1, 300, 2, "i2")],
+        "rk long, rts long, rid long, v string",
+    ).repartition(8)
+    back = {
+        r["lts"]: (r["rid"], r["v"])
+        for r in asof_join(
+            left, right, "k", "rk", "lts", "rts", ["rid", "v"],
+            right_tiebreak="rid",
+        ).collect()
+    }
+    assert back == {100: (3, "i3"), 300: (2, "i2")}
+    fwd = {
+        r["lts"]: (r["rid"], r["v"])
+        for r in asof_join_forward(
+            left, right, "k", "rk", "lts", "rts", ["rid", "v"],
+            right_tiebreak="rid",
+        ).collect()
+    }
+    assert fwd == {100: (3, "i3"), 300: (2, "i2")}
 
 
 def test_asof_picks_latest_at_or_before(spark):
