@@ -609,20 +609,54 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ER_ROUNDS = 4
+_ER_SNM_W = 8
 
-
-def _er_label_ctes(rounds: int = _ER_ROUNDS) -> tuple[str, str]:
-    """Shared WITH-chain for the ER label propagation (pairs ->
-    symmetric+self edges -> ``rounds`` min-label rounds); returns the
-    CTE block and the name of the final label CTE so both the cluster
-    query and the golden-record query build on identical closure."""
-    sql = """
-    WITH pairs AS MATERIALIZED (
+_ER_NATION_PAIRS_SQL = """pairs AS MATERIALIZED (
         SELECT a.c_custkey AS a, b.c_custkey AS b
         FROM customer a JOIN customer b
           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 2
-    ), me AS MATERIALIZED (
+    )"""
+
+# scale-safe candidate generation: nation x sorted-neighborhood
+# composite block. rnk is a per-nation name-sorted ranking; candidates
+# are the next _ER_SNM_W neighbours in that order, reached through an
+# EQUI-join on (nation, rk + offset) against an 8-row offset relation —
+# the same N*w linear shape the Spark side gets from lead(), never a
+# block-quadratic intermediate (DuckDB would otherwise hash-join on
+# nation alone and filter, which is exactly the blow-up this variant
+# exists to avoid).
+_ER_SNM_PAIRS_SQL = f"""rnk AS MATERIALIZED (
+        SELECT c_custkey, c_name, c_nationkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey ORDER BY c_name, c_custkey
+               ) AS rk
+        FROM customer
+    ), pairs AS MATERIALIZED (
+        SELECT LEAST(x.c_custkey, y.c_custkey) AS a,
+               GREATEST(x.c_custkey, y.c_custkey) AS b,
+               x.c_nationkey AS nk,
+               levenshtein(x.c_name, y.c_name) AS dist
+        FROM rnk x
+        JOIN (SELECT UNNEST(range(1, {_ER_SNM_W + 1})) AS off) o ON TRUE
+        JOIN rnk y
+          ON y.c_nationkey = x.c_nationkey AND y.rk = x.rk + o.off
+        WHERE levenshtein(x.c_name, y.c_name) <= 2
+    )"""
+
+
+def _er_label_ctes(
+    rounds: int = _ER_ROUNDS, pairs_block: str = _ER_NATION_PAIRS_SQL
+) -> tuple[str, str]:
+    """Shared WITH-chain for the ER label propagation (pairs ->
+    symmetric+self edges -> ``rounds`` min-label rounds); returns the
+    CTE block and the name of the final label CTE so both the cluster
+    query and the golden-record query build on identical closure.
+    ``pairs_block`` supplies the candidate-pair CTEs (must end with a
+    CTE named ``pairs`` carrying columns a, b) — the nation block by
+    default, the SNM composite block for the _scaled variants."""
+    sql = """
+    WITH """ + pairs_block + """, me AS MATERIALIZED (
         SELECT a AS src, b AS dst FROM pairs
         UNION ALL SELECT b AS src, a AS dst FROM pairs
         UNION ALL SELECT n AS src, n AS dst FROM (
@@ -644,8 +678,10 @@ def _er_label_ctes(rounds: int = _ER_ROUNDS) -> tuple[str, str]:
     return sql, prev
 
 
-def _entity_resolution_sql(rounds: int = _ER_ROUNDS) -> str:
-    ctes, last = _er_label_ctes(rounds)
+def _entity_resolution_sql(
+    rounds: int = _ER_ROUNDS, pairs_block: str = _ER_NATION_PAIRS_SQL
+) -> str:
+    ctes, last = _er_label_ctes(rounds, pairs_block)
     return ctes + f"""
     SELECT CAST(lbl AS BIGINT) AS entity_id,
            CAST(COUNT(*) AS BIGINT) AS n_members
@@ -653,8 +689,10 @@ def _entity_resolution_sql(rounds: int = _ER_ROUNDS) -> str:
     """
 
 
-def _er_golden_sql(rounds: int = _ER_ROUNDS) -> str:
-    ctes, last = _er_label_ctes(rounds)
+def _er_golden_sql(
+    rounds: int = _ER_ROUNDS, pairs_block: str = _ER_NATION_PAIRS_SQL
+) -> str:
+    ctes, last = _er_label_ctes(rounds, pairs_block)
     return ctes + f""",
     mem AS (
         SELECT p.lbl AS entity_id, c.c_custkey, c.c_name, c.c_mktsegment,
@@ -704,7 +742,46 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ER_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ER_LABEL_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _er_propagate(
+    pairs: DataFrame, broadcast_labels: bool = True
+) -> DataFrame:
+    """``_ER_ROUNDS`` synchronized min-label rounds over an (a, b)
+    match-pair frame — symmetric + self-loop edges so each round is
+    ONE join + ONE min-agg referencing the previous labels exactly
+    once (the q_graph_components linear-unroll discipline). Returns
+    (n = member key, lbl = round-k minimum), localCheckpointed.
+
+    ``broadcast_labels``: hint the node-sized label frame onto the
+    stationary edge list. Right for the nation-block form (the match
+    graph is only similar names — tiny). The _scaled variants pass
+    False: their candidate graph is corpus-linear, so the labels are
+    corpus-sized and must flow through a hash join (AQE still
+    broadcasts when runtime stats say it fits)."""
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionAll(pairs.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    me = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .unionAll(nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")))
+        .localCheckpoint()
+    )
+    lbl = nodes.withColumn("lbl", F.col("n"))
+    for _ in range(_ER_ROUNDS):
+        j = lbl.withColumnRenamed("n", "src")
+        if broadcast_labels:
+            j = F.broadcast(j)
+        lbl = (
+            me.join(j, "src")
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return lbl.localCheckpoint()
 
 
 def _er_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,7 +796,7 @@ def _er_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Keyed on applicationId, not id(spark): CPython reuses object ids
     after GC, which could hand a new session a checkpointed frame
     bound to a dead SparkContext."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "nation")
     cached = _ER_LABEL_CACHE.get(key)
     if cached is not None:
         return cached
@@ -740,25 +817,80 @@ def _er_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein("name_a", "name_b") <= 2)
         .select("a", "b")
     )
-    nodes = (
-        pairs.select(F.col("a").alias("n"))
-        .unionAll(pairs.select(F.col("b").alias("n")))
-        .distinct()
+    lbl = _er_propagate(pairs, broadcast_labels=True)
+    _ER_LABEL_CACHE[key] = lbl
+    return lbl
+
+
+def _er_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe ER candidates: (nk, a, b, dist) verified
+    levenshtein<=2 pairs from the nation x sorted-neighborhood
+    COMPOSITE block — each customer is compared only against its next
+    ``_ER_SNM_W`` neighbours in per-nation name order, reached with
+    lead() over ONE window shuffle (no self-join at all, so the
+    intermediate is exactly N*w rows).
+
+    This is the fix for the nation-only block's fixed cardinality
+    (VERDICT r5 "What's wrong" #1: 25 blocks -> block size grows with
+    data -> candidate pairs quadratic, measured 1540 s at 10x).
+    Composite blocking bounds candidates at N*w REGARDLESS of scale;
+    the price is the standard sorted-neighborhood recall contract — a
+    matching pair whose names sort more than w apart inside their
+    nation is never compared (Hernandez-Stolfo merge/purge, same
+    contract as q_sorted_neighborhood)."""
+    c = load_table(spark, sf_dir, "customer")
+    win = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
+    # stage the lead() columns first (a generator select cannot hold
+    # window expressions), then explode the struct array
+    staged = c.select(
+        F.col("c_nationkey").alias("nk"),
+        "c_custkey",
+        "c_name",
+        *[
+            col
+            for i in range(1, _ER_SNM_W + 1)
+            for col in (
+                F.lead("c_custkey", i).over(win).alias(f"kb{i}"),
+                F.lead("c_name", i).over(win).alias(f"nb{i}"),
+            )
+        ],
     )
-    me = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .unionAll(nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")))
-        .localCheckpoint()
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.col(f"kb{i}").alias("kb"), F.col(f"nb{i}").alias("nb")
+            )
+            for i in range(1, _ER_SNM_W + 1)
+        ]
     )
-    lbl = nodes.withColumn("lbl", F.col("n"))
-    for _ in range(_ER_ROUNDS):
-        lbl = (
-            me.join(F.broadcast(lbl.withColumnRenamed("n", "src")), "src")
-            .groupBy(F.col("dst").alias("n"))
-            .agg(F.min("lbl").alias("lbl"))
+    ex = staged.select(
+        "nk", "c_custkey", "c_name", F.explode(nbrs).alias("x")
+    ).filter(F.col("x.kb").isNotNull())
+    return (
+        ex.withColumn("dist", F.levenshtein("c_name", F.col("x.nb")))
+        .filter(F.col("dist") <= 2)
+        .select(
+            "nk",
+            F.least("c_custkey", F.col("x.kb")).alias("a"),
+            F.greatest("c_custkey", F.col("x.kb")).alias("b"),
+            "dist",
         )
-    lbl = lbl.localCheckpoint()
+    )
+
+
+def _er_labels_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label rounds over the SNM composite-block candidates —
+    the labels backing the _scaled ER queries. Same memo discipline
+    as ``_er_labels``; labels flow through hash joins (the candidate
+    graph is corpus-linear, so no broadcast hint)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "snm")
+    cached = _ER_LABEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lbl = _er_propagate(
+        _er_snm_pairs(spark, sf_dir).select("a", "b"),
+        broadcast_labels=False,
+    )
     _ER_LABEL_CACHE[key] = lbl
     return lbl
 
@@ -779,7 +911,16 @@ def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite keys does not, so rn=1 picks stay exactly portable).
     Scale: windows partition by entity id — match-graph-sized, never
     corpus-sized."""
-    mem = _er_labels(spark, sf_dir).join(
+    return _golden_record_from(_er_labels(spark, sf_dir), spark, sf_dir)
+
+
+def _golden_record_from(
+    labels: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivorship aggregation shared by the nation-block and the
+    SNM-scaled golden-record queries — identical rules on either
+    label frame."""
+    mem = labels.join(
         load_table(spark, sf_dir, "customer"),
         F.col("n") == F.col("c_custkey"),
     ).select(
@@ -813,6 +954,82 @@ def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_c").cast("long").alias("total_bal_cents"),
         )
         .filter(F.col("n_members") >= 2)
+    )
+
+
+@query(
+    "q_entity_resolution_scaled",
+    oracle=_entity_resolution_sql(pairs_block=_ER_SNM_PAIRS_SQL),
+)
+def q_entity_resolution_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entity resolution with SCALE-SAFE composite blocking — the
+    100 TB form of ``q_entity_resolution``. The nation-only block has
+    FIXED cardinality (25), so block size — and the candidate-pair
+    count, quadratically — grows with the data (measured 1540 s at
+    10x, SCALE.md). Here candidates come from the nation x
+    sorted-neighborhood composite block (``_er_snm_pairs``: each
+    record vs its next 8 per-nation name-order neighbours via lead(),
+    one window shuffle, N*w candidates at ANY scale), then the same
+    4-round min-label closure and entity aggregation. The oracle
+    replays the identical composite block through an equi-join on
+    (nation, rank+offset), so the differential is exact; the declared
+    semantics are the sorted-neighborhood recall contract (pairs
+    sorting >w apart are never compared) + bounded-round labels —
+    both standard, both engine-portable. The nation-block original
+    stays registered as the small-data reference."""
+    lbl = _er_labels_scaled(spark, sf_dir)
+    return (
+        lbl.groupBy(F.col("lbl").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+@query(
+    "q_er_golden_record_scaled",
+    oracle=_er_golden_sql(pairs_block=_ER_SNM_PAIRS_SQL),
+)
+def q_er_golden_record_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Golden-record survivorship over the SCALE-SAFE composite-block
+    entity resolution (``q_entity_resolution_scaled``) — identical
+    survivorship rules to ``q_er_golden_record``, only the candidate
+    generation changes (N*w sorted-neighborhood candidates instead of
+    the block-quadratic nation join). Shares the memoized scaled
+    label frame, so running both _scaled queries costs one candidate
+    scan."""
+    return _golden_record_from(
+        _er_labels_scaled(spark, sf_dir), spark, sf_dir
+    )
+
+
+@query(
+    "q_fuzzy_name_match_scaled",
+    oracle=f"""
+    WITH {_ER_SNM_PAIRS_SQL}
+    SELECT nk AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist
+    FROM pairs GROUP BY nk
+    """,
+)
+def q_fuzzy_name_match_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy record linkage under the composite block: per-nation
+    count and total edit distance of the verified SNM candidate pairs
+    — ``q_fuzzy_name_match``'s report re-based on the scale-safe
+    candidate generator (N*w candidates from one lead() window, no
+    block-quadratic self-join). Same recall contract as the other
+    _scaled queries."""
+    return _er_snm_pairs(spark, sf_dir).groupBy(
+        F.col("nk").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("dist").cast("long").alias("sum_dist"),
     )
 
 

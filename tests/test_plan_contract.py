@@ -68,6 +68,15 @@ BUDGETS = {
     # two-phase sweep: the per-day offset table joins back as a
     # BROADCAST (a shuffled join here would serialize on event_type)
     "q_interval_overlap": (6, 1, 0, True),
+    # scaled ER candidates: ONE per-nation window shuffle feeding the
+    # lead() neighbourhood + ONE agg shuffle — never a self-join
+    "q_fuzzy_name_match_scaled": (2, 0, 0, False),
+    # post-checkpoint entity aggregation: one groupBy exchange (the
+    # label rounds live behind the memoized localCheckpoint)
+    "q_entity_resolution_scaled": (1, 0, 0, False),
+    # survivorship: both row_number windows + the groupBy share the
+    # entity_id exchange; the member join broadcasts the label frame
+    "q_er_golden_record_scaled": (1, 1, 0, True),
 }
 
 
