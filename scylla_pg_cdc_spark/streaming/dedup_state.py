@@ -88,20 +88,44 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
+def _compaction_manifest(state_dir: str) -> dict:
+    """The compactor's atomic manifest: ``{"generation": N,
+    "compacted": ["compacted-000001", ...], "covers": [epoch dirs
+    merged into them]}``. Readers SKIP covered epoch dirs even if the
+    compactor's post-commit cleanup hasn't deleted them yet, and read
+    ``compacted-*`` dirs ONLY when the manifest lists them — so every
+    crash point of the compactor leaves one consistent view (the
+    manifest swap via os.replace is the commit point)."""
+    import json
+
+    try:
+        with open(os.path.join(state_dir, "_COMPACTION")) as f:
+            return json.load(f)
+    except OSError:
+        return {"generation": 0, "compacted": [], "covers": []}
+
+
 def _state_parts(
     state_dir: str, sub: str, exclude: str | None
 ) -> list[str]:
-    """Committed epoch subdirectories under ``state_dir/sub``, oldest
+    """Committed state subdirectories under ``state_dir/sub``, oldest
     first, skipping ``exclude`` (the in-flight epoch's own partial
-    output on replay) and empty epochs (nothing admitted)."""
+    output on replay), empty epochs (nothing admitted), epochs the
+    compaction manifest marks as merged, and staged-but-uncommitted
+    ``compacted-*`` dirs."""
     d = os.path.join(state_dir, sub)
     if not os.path.isdir(d):
         return []
+    man = _compaction_manifest(state_dir)
+    covered = set(man["covers"])
+    live_compacted = set(man["compacted"])
     return sorted(
         os.path.join(d, m)
         for m in os.listdir(d)
         if not m.startswith(("_", "."))
         and m != exclude
+        and m not in covered
+        and (not m.startswith("compacted-") or m in live_compacted)
         and _has_parquet(os.path.join(d, m))
     )
 
@@ -122,7 +146,21 @@ def admit_epoch(
     the write overwrites it. First epoch bootstraps the state
     (everything admitted)."""
     if marker is None:
-        marker = f"b{len(_state_parts(state_dir, 'buckets', None)):06d}"
+        # monotonic auto-number: max over everything ever seen (disk
+        # AND compaction-covered names) so a compaction that deletes
+        # merged epoch dirs can never cause a marker collision
+        bdir0 = os.path.join(state_dir, "buckets")
+        seen = set(_compaction_manifest(state_dir)["covers"])
+        if os.path.isdir(bdir0):
+            seen.update(
+                m for m in os.listdir(bdir0) if not m.startswith(("_", "."))
+            )
+        nums = [
+            int(m[1:])
+            for m in seen
+            if m.startswith("b") and m[1:].isdigit()
+        ]
+        marker = f"b{(max(nums) + 1 if nums else 0):06d}"
     bdir = os.path.join(state_dir, "buckets")
     tdir = os.path.join(state_dir, "tokens")
     bucket_b, toks_b = _batch_features(batch)
@@ -276,6 +314,102 @@ def run_dedup_pipeline(
         "decisions": dec_dir,
         "checkpoint": checkpoint,
     }
+
+
+def compact_dedup_state(
+    spark: SparkSession, state_dir: str, min_parts: int = 2
+) -> dict:
+    """Merge the accumulated epoch subdirectories (and any previous
+    compaction output) into ONE ``compacted-<gen>`` generation per
+    state family — the background job that keeps ``admit_epoch``'s
+    per-epoch read fan-in O(1) instead of O(epochs), the dedup-state
+    analog of the LSM compactor (`streaming/lsm_state.py`).
+
+    Safe beside a LIVE appender and under any crash point:
+
+    - only epochs at or below the committed ``state/_EPOCH`` marker
+      are merged (an in-flight epoch's partial subdir is never read);
+    - the merged output is staged under ``compacted-<gen>`` — readers
+      ignore compacted dirs the manifest doesn't list, so the stage
+      is invisible;
+    - the COMMIT is one atomic ``os.replace`` of the ``_COMPACTION``
+      manifest: afterwards readers use the new generation and skip
+      the merged inputs even though they still exist on disk (no
+      window where a state doc is visible twice or not at all);
+    - input deletion is post-commit cleanup — a crash before it only
+      leaves garbage a later run removes.
+
+    Returns {"merged": [...], "generation": n, "skipped": reason?}.
+    """
+    import json
+    import shutil
+
+    committed = _epoch_marker(state_dir)
+    man = _compaction_manifest(state_dir)
+    candidates = [
+        os.path.basename(p)
+        for p in _state_parts(state_dir, "buckets", None)
+    ]
+    # never merge past the committed marker: epoch-* names sort with
+    # their ids, auto-numbered b* markers (batch-driven use) are
+    # committed by construction (admit_epoch returned)
+    mergeable = [
+        m
+        for m in candidates
+        if m.startswith("compacted-")
+        or not m.startswith("epoch-")
+        or (committed is not None and m <= committed)
+    ]
+    if len(mergeable) < min_parts:
+        return {
+            "merged": [],
+            "generation": man["generation"],
+            "skipped": f"only {len(mergeable)} mergeable parts",
+        }
+    gen = man["generation"] + 1
+    out_name = f"compacted-{gen:06d}"
+    for sub, cols, pby in (
+        ("buckets", ["doc_id", "band", "bucket"], "bp"),
+        ("tokens", ["doc_id", "toks", "n"], None),
+    ):
+        parts = [
+            os.path.join(state_dir, sub, m)
+            for m in mergeable
+            if _has_parquet(os.path.join(state_dir, sub, m))
+        ]
+        if not parts:
+            continue
+        merged = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(p).select(*cols) for p in parts],
+        )
+        out = os.path.join(state_dir, sub, out_name)
+        shutil.rmtree(out, ignore_errors=True)
+        if pby:
+            merged.withColumn(
+                pby, F.substring("bucket", 1, 1)
+            ).write.mode("overwrite").partitionBy(pby).parquet(out)
+        else:
+            merged.write.mode("overwrite").parquet(out)
+    # COMMIT: one atomic manifest swap
+    new_man = {
+        "generation": gen,
+        "compacted": [out_name],
+        "covers": sorted(
+            set(man["covers"])
+            | {m for m in mergeable if not m.startswith("compacted-")}
+        ),
+    }
+    tmp = os.path.join(state_dir, "_COMPACTION.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, os.path.join(state_dir, "_COMPACTION"))
+    # post-commit cleanup (crash-tolerant: covered dirs are already
+    # invisible to readers)
+    for sub in ("buckets", "tokens"):
+        for m in mergeable:
+            shutil.rmtree(os.path.join(state_dir, sub, m), ignore_errors=True)
+    return {"merged": mergeable, "generation": gen}
 
 
 def read_decisions(spark: SparkSession, dec_dir: str) -> DataFrame:

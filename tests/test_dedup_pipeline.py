@@ -162,3 +162,89 @@ def test_admit_epoch_marker_replay_idempotent(spark, tmp_path):
     assert any(not v[0] for v in d1.values()), (
         "epoch-1 rejected nothing - replay test never hit the join path"
     )
+
+
+def test_compaction_interleaved_with_live_appender(spark, tmp_path):
+    """Compacting between epochs must not change any admission
+    decision: run A = epochs with compaction after each, run B =
+    untouched baseline — identical decisions, and the compacted run's
+    state collapses to one generation directory."""
+    from scylla_pg_cdc_spark.streaming.dedup_state import (
+        compact_dedup_state,
+    )
+
+    full = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    eps = [full.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    base = str(tmp_path / "base")
+    comp = str(tmp_path / "comp")
+    want, got = {}, {}
+    for i, e in enumerate(eps):
+        for r in admit_epoch(spark, base, e, marker=f"epoch-{i}").collect():
+            want[r["doc_id"]] = (r["is_new"], r["n_matches"])
+        for r in admit_epoch(spark, comp, e, marker=f"epoch-{i}").collect():
+            got[r["doc_id"]] = (r["is_new"], r["n_matches"])
+        # background compactor fires BETWEEN live epochs (epoch-i is
+        # committed once admit_epoch returned)
+        with open(os.path.join(comp, "_EPOCH"), "w") as f:
+            f.write(f"epoch-{i}")
+        res = compact_dedup_state(spark, comp)
+        if i >= 1:
+            assert res["merged"], f"epoch {i}: nothing merged"
+    assert got == want
+    assert any(not v[0] for v in want.values())
+    # all epoch dirs merged away; exactly one live generation remains
+    # (gen 3: the epoch-0 run is skipped at min_parts=2, then three
+    # merges each fold the previous generation plus the new epoch)
+    subdirs = sorted(os.listdir(os.path.join(comp, "buckets")))
+    assert subdirs == ["compacted-000003"], subdirs
+
+
+def test_compaction_crash_before_manifest_is_invisible(spark, tmp_path):
+    """A compacted-* directory staged on disk WITHOUT a manifest entry
+    (crash before the atomic manifest swap) must be ignored by
+    readers: decisions identical to the pre-crash state, and the next
+    compactor run supersedes the orphan."""
+    import shutil as _sh
+
+    from scylla_pg_cdc_spark.streaming.dedup_state import (
+        _state_parts,
+        compact_dedup_state,
+    )
+
+    full = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    state = str(tmp_path / "state")
+    e0 = full.filter(F.col("doc_id") % 3 == 0)
+    e1 = full.filter(F.col("doc_id") % 3 == 1)
+    e2 = full.filter(F.col("doc_id") % 3 == 2)
+    admit_epoch(spark, state, e0, marker="epoch-0").collect()
+    admit_epoch(spark, state, e1, marker="epoch-1").collect()
+    with open(os.path.join(state, "_EPOCH"), "w") as f:
+        f.write("epoch-1")
+    # simulate the crash: stage a bogus compacted dir with REAL parquet
+    # (a partial merge) but never swap the manifest
+    for sub in ("buckets", "tokens"):
+        src = os.path.join(state, sub, "epoch-0")
+        _sh.copytree(src, os.path.join(state, sub, "compacted-000099"))
+    visible = [
+        os.path.basename(p) for p in _state_parts(state, "buckets", None)
+    ]
+    assert "compacted-000099" not in visible
+    d2 = {
+        r["doc_id"]: (r["is_new"], r["n_matches"])
+        for r in admit_epoch(spark, state, e2, marker="epoch-2").collect()
+    }
+    # clean-state reference (no orphan): identical decisions
+    ref = str(tmp_path / "ref")
+    admit_epoch(spark, ref, e0, marker="epoch-0").collect()
+    admit_epoch(spark, ref, e1, marker="epoch-1").collect()
+    d2_ref = {
+        r["doc_id"]: (r["is_new"], r["n_matches"])
+        for r in admit_epoch(spark, ref, e2, marker="epoch-2").collect()
+    }
+    assert d2 == d2_ref
+    assert any(not v[0] for v in d2.values())

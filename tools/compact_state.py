@@ -7,6 +7,7 @@ autovacuum running beside the sink's upsert transactions,
 
     python tools/compact_state.py <state_dir> [--threshold N] [--key K]
         [--buckets 3,17,29] [--dry-run]
+    python tools/compact_state.py <state_dir> --dedup [--min-parts N]
 
 - picks every bucket whose delta-file count exceeds ``--threshold``
   (or exactly ``--buckets`` if given),
@@ -20,6 +21,13 @@ Safe to run WHILE the ingest keeps appending: appends only add files,
 the compactor only replaces the files it listed at start, and the
 latest-per-key reducer is idempotent — a row present in both a
 just-compacted file and a racing append collapses to one on read.
+
+``--dedup`` compacts the near-dup admission state instead
+(`streaming/dedup_state.py`): merges the accumulated per-epoch
+bucket/token subdirectories into one ``compacted-<gen>`` generation
+behind an atomic manifest swap — safe beside the live admission
+pipeline (see ``compact_dedup_state``), keeps admit_epoch's read
+fan-in O(1) in epochs.
 
 Measurement mode (NEXT r2 #3 — the amortization curve):
 
@@ -61,6 +69,31 @@ def _bucket_stats(state_dir: str) -> dict[str, int]:
                 files += 1
                 size += os.path.getsize(os.path.join(root, n))
     return {"files": files, "bytes": size}
+
+
+def run_dedup(args: argparse.Namespace) -> dict:
+    from scylla_pg_cdc_spark.streaming.dedup_state import (
+        compact_dedup_state,
+    )
+
+    spark = get_session("compact-dedup-state")
+    spark.sparkContext.setLogLevel("ERROR")
+    before = _bucket_stats(args.state_dir)
+    t0 = time.time()
+    result = compact_dedup_state(
+        spark, args.state_dir, min_parts=args.min_parts
+    )
+    after = _bucket_stats(args.state_dir)
+    return {
+        "mode": "dedup-compact",
+        "state_dir": args.state_dir,
+        **result,
+        "files_before": before["files"],
+        "files_after": after["files"],
+        "bytes_before": before["bytes"],
+        "bytes_after": after["bytes"],
+        "sec": round(time.time() - t0, 2),
+    }
 
 
 def run_once(args: argparse.Namespace) -> dict:
@@ -163,6 +196,8 @@ def main() -> None:
     p.add_argument("--key", default="key")
     p.add_argument("--buckets", help="explicit bucket list, e.g. 3,17,29")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--dedup", action="store_true")
+    p.add_argument("--min-parts", type=int, default=2)
     p.add_argument("--measure", action="store_true")
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--keys", type=int, default=50_000)
@@ -172,6 +207,8 @@ def main() -> None:
     args = p.parse_args()
     if args.measure:
         print(json.dumps(measure(args)))
+    elif args.state_dir and args.dedup:
+        print(json.dumps(run_dedup(args)))
     elif args.state_dir:
         print(json.dumps(run_once(args)))
     else:
