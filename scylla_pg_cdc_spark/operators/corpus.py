@@ -698,3 +698,69 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+    ), tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM sh GROUP BY doc_id
+    ), fst AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ), nov AS (
+        SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM fst GROUP BY first_doc
+    )
+    SELECT t.doc_id, t.n_shingles,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST((1000000 * COALESCE(n.n_novel, 0)) // t.n_shingles
+                AS BIGINT) AS novelty_ppm
+    FROM tot t LEFT JOIN nov n ON t.doc_id = n.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-token shingles that appear in NO earlier document (first-seen
+    attribution by doc_id — the arrival-order proxy). The curation
+    signal behind "this crawl batch adds nothing new": a doc whose
+    shingles were all seen before contributes no fresh n-grams to a
+    training corpus even if it isn't a literal near-duplicate (the
+    LSH family catches whole-doc copies; novelty catches recombined
+    boilerplate). Scale: one shingle aggregation for first-seen
+    owners (shuffle keyed on the shingle — vocabulary-sized), one
+    per-doc count, one join back; never a pair join, so it is linear
+    where pairwise dedup is quadratic. Same shingle definition as the
+    MinHash family (`operators/text.py:shingles`), so the two
+    pipelines share scan work in a combined run."""
+    from scylla_pg_cdc_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3)
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    nov = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        tot.join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST((1000000 * n_novel) DIV n_shingles AS BIGINT)"),
+        )
+    )

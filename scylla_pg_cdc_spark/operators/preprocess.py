@@ -293,3 +293,83 @@ def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(vc, F.col("mean_cents")).cast("long").alias("value_cents"),
         F.col("value").isNull().alias("was_imputed"),
     )
+
+
+@query(
+    "q_length_band_filter",
+    oracle="""
+    WITH r AS (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY n_chars
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ), cuts AS (
+        SELECT lang, MAX(n) AS n,
+               MAX(CASE WHEN rk = (5 * n + 99) // 100
+                   THEN n_chars END) AS lo_cut,
+               MAX(CASE WHEN rk = (95 * n + 99) // 100
+                   THEN n_chars END) AS hi_cut
+        FROM r GROUP BY lang
+    )
+    SELECT c.lang,
+           CAST(c.n AS BIGINT) AS n_docs,
+           CAST(c.lo_cut AS BIGINT) AS lo_cut,
+           CAST(c.hi_cut AS BIGINT) AS hi_cut,
+           CAST(SUM(CASE WHEN d.n_chars >= c.lo_cut
+                          AND d.n_chars <= c.hi_cut
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM cuts c JOIN documents d ON d.lang = c.lang
+    GROUP BY c.lang, c.n, c.lo_cut, c.hi_cut
+    """,
+)
+def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-band outlier filter: keep documents whose
+    char length lies inside the language's exact [p5, p95] band — the
+    truncation-and-boilerplate cut a corpus pipeline applies BEFORE
+    quality scoring (extremely short docs are fragments, extremely
+    long ones are concatenation accidents; a global cut is wrong
+    because languages have different length distributions). The cuts
+    are exact lower order statistics at ceil-form ranks
+    (5n+99) DIV 100 / (95n+99) DIV 100, computed with the TWO-PHASE
+    rank-select decomposition (`functions/percentiles.py`) — never a
+    corpus-wide per-key sort window — then broadcast back onto the
+    scan for the band count. Output: per lang, total docs, both cuts,
+    and how many docs survive. The oracle recomputes the same ranks
+    with a naive per-lang ROW_NUMBER (tie-order independent: the
+    value at a global rank is a property of the sorted multiset)."""
+    from scylla_pg_cdc_spark.functions.percentiles import (
+        rank_select_percentiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    cuts = rank_select_percentiles(
+        docs,
+        "lang",
+        "n_chars",
+        [
+            ("lo_cut", "(5 * n + 99) DIV 100"),
+            ("hi_cut", "(95 * n + 99) DIV 100"),
+        ],
+        bucket_width=64,
+        checkpoint=False,
+    )
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.max("lo_cut").cast("long").alias("lo_cut"),
+            F.max("hi_cut").cast("long").alias("hi_cut"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") >= F.col("lo_cut"))
+                    & (F.col("n_chars") <= F.col("hi_cut")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

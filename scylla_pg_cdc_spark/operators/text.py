@@ -1429,3 +1429,154 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment_ppm"),
         )
     )
+
+
+@query(
+    "q_lsh_precision_recall",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN(substring(md5('0:' || shingle), 1, 8)) AS sig0,
+               MIN(substring(md5('0:' || shingle), 9, 8)) AS sig1,
+               MIN(substring(md5('0:' || shingle), 17, 8)) AS sig2,
+               MIN(substring(md5('0:' || shingle), 25, 8)) AS sig3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS sig4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS sig5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS sig6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS sig7
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bucket FROM sigs
+        UNION ALL
+        SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL
+        SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL
+        SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l
+        JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket
+         AND l.doc_id < r.doc_id
+    ),
+    sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    ov AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT ov.doc_a, ov.doc_b
+        FROM ov
+        JOIN sz sa ON ov.doc_a = sa.doc_id
+        JOIN sz sb ON ov.doc_b = sb.doc_id
+        WHERE 2 * ov.cnt >= (sa.n + sb.n - ov.cnt)
+    ),
+    m AS (
+        SELECT CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS c,
+               CASE WHEN t.doc_a IS NULL THEN 0 ELSE 1 END AS t
+        FROM cand c FULL JOIN truth t
+          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_candidates,
+           CAST(SUM(t) AS BIGINT) AS n_true,
+           CAST(SUM(c * t) AS BIGINT) AS n_hit,
+           CAST(CASE WHEN SUM(c) = 0 THEN -1
+                ELSE (1000000 * SUM(c * t)) // SUM(c) END AS BIGINT)
+               AS precision_ppm,
+           CAST(CASE WHEN SUM(t) = 0 THEN -1
+                ELSE (1000000 * SUM(c * t)) // SUM(t) END AS BIGINT)
+               AS recall_ppm
+    FROM m
+    """,
+)
+def q_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality evaluation of the banded MinHash LSH against
+    EXACT shingle-Jaccard ground truth (J >= 1/2, the integer
+    cross-multiplied compare) — precision = how many LSH candidate
+    pairs are true near-dups, recall = how many true near-dups LSH
+    surfaced. The in-engine evidence that the banding constants (4
+    bands x 2 hashes) fit the corpus, the same
+    tuning-evidence-as-a-query discipline as ``q_ivf_recall_curve``
+    (an ANN index you cannot measure is an ANN index you cannot
+    trust). Plan: candidates from the banded bucket join, truth from
+    the shared-shingle join (both bounded — never all-pairs), ONE
+    full-outer pair-key join + a single-row aggregation; -1 sentinels
+    keep the zero-denominator case integral. Scale: both pair sets
+    are output-bounded; the full-outer join is pair-keyed, so the
+    eval costs no more than the dedup pass it certifies."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3)
+    cand = lsh_candidate_pairs(minhash_signatures(sh)).select(
+        "doc_a", "doc_b", F.lit(1).alias("c")
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = (
+        ov.join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))),
+            "doc_b",
+        )
+        .filter(
+            F.lit(2) * F.col("cnt")
+            >= F.col("n_a") + F.col("n_b") - F.col("cnt")
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("t"))
+    )
+    m = cand.join(truth, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("c", F.lit(0)).alias("c"),
+        F.coalesce("t", F.lit(0)).alias("t"),
+    )
+    agg = m.agg(
+        F.sum("c").cast("long").alias("n_candidates"),
+        F.sum("t").cast("long").alias("n_true"),
+        F.sum(F.col("c") * F.col("t")).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        F.when(F.col("n_candidates") == 0, F.lit(-1))
+        .otherwise(
+            F.expr("CAST((1000000 * n_hit) DIV n_candidates AS BIGINT)")
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(F.col("n_true") == 0, F.lit(-1))
+        .otherwise(F.expr("CAST((1000000 * n_hit) DIV n_true AS BIGINT)"))
+        .cast("long")
+        .alias("recall_ppm"),
+    )

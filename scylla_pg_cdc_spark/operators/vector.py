@@ -1916,3 +1916,58 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(100 * hits) DIV 10").cast("long").alias("recall_pct"),
         )
     )
+
+
+_RANGE_MICRO = 200_000  # cosine >= 0.2 in micro-units
+
+
+@query(
+    "q_vector_range_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+        SELECT e.vec_id, e.label,
+               SUM(CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(q.qe[CAST(i AS INT) + 1] AS DOUBLE)) AS dp,
+               SUM(CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS na,
+               SUM(CAST(q.qe[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(q.qe[CAST(i AS INT) + 1] AS DOUBLE)) AS nb
+        FROM embeddings e, q, range(0, {DIM}) t(i)
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label,
+           CAST(FLOOR(dp / (sqrt(na) * sqrt(nb)) * 1000000 + 0.5) AS BIGINT)
+               AS cos_sim_micro
+    FROM s
+    WHERE CAST(FLOOR(dp / (sqrt(na) * sqrt(nb)) * 1000000 + 0.5) AS BIGINT)
+          >= {_RANGE_MICRO}
+    """,
+)
+def q_vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search: every vector whose cosine against the
+    fixed query meets a similarity floor (>= 0.2), not a top-k — the
+    other half of the ANN API (duplicate detection and retrieval
+    filters ask "all matches above tau", where k is unknowable in
+    advance). Same micro-quantized cosine as ``q_vector_knn`` so the
+    threshold compare is the SAME integer in both engines (the repo's
+    quantize-before-compare rule). Plan: one scan, narrow map, filter
+    — no shuffle at all, output bounded by the matches; the
+    LSH/IVF bucket prefilters compose in front of this exactly as
+    they do for top-k when the corpus is 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+    v = F.col("embedding").cast("array<double>")
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.floor(cosine(v, q) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("cos_sim_micro"),
+        )
+        .filter(F.col("cos_sim_micro") >= _RANGE_MICRO)
+    )
