@@ -1,8 +1,13 @@
 """Build an N-times amplified copy of a testdata directory so the
 FULL differential gate can run at amplified scale:
 
-    python tools/amplify.py [src_sf_dir] [dst_dir] [n_copies]
+    python tools/amplify.py [src_sf_dir] [dst_dir] [n_copies] [tables]
     python tools/check_oracle.py /tmp/amp10            # 10x gate
+
+``tables`` (optional comma list) amplifies only those fact tables —
+the 100x text/ANN sweep amplifies documents,embeddings alone and
+borrows the rest from the 10x build, keeping the dataset buildable
+in seconds instead of amplifying 60M lineitem rows nobody queries.
 
 Why this exists: scale bugs that sf-growth testing cannot reach hide
 in integer width and plan shape (round 5 example: q_spearman_trend
@@ -53,10 +58,15 @@ def _union(parts: list[DataFrame]) -> DataFrame:
     return out
 
 
-def amplify(src: str, dst: str, n: int) -> None:
+def amplify(
+    src: str, dst: str, n: int, tables: set[str] | None = None
+) -> None:
     spark = get_session()
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
+
+    def wanted(name: str) -> bool:
+        return tables is None or name in tables
 
     def write(df: DataFrame, name: str) -> None:
         df.write.mode("overwrite").parquet(
@@ -71,123 +81,131 @@ def amplify(src: str, dst: str, n: int) -> None:
         return (F.col(col) + F.lit(i * OFF)).alias(col)
 
     cust = load_table(spark, src, "customer")
-    write(
-        _union([
-            cust.select(
-                off("c_custkey", i), "c_name", "c_nationkey",
-                "c_acctbal", "c_mktsegment",
-            )
-            for i in range(n)
-        ]),
-        "customer",
-    )
+    if wanted("customer"):
+        write(
+            _union([
+                cust.select(
+                    off("c_custkey", i), "c_name", "c_nationkey",
+                    "c_acctbal", "c_mktsegment",
+                )
+                for i in range(n)
+            ]),
+            "customer",
+        )
 
     sup = load_table(spark, src, "supplier")
-    write(
-        _union([
-            sup.select(
-                off("s_suppkey", i), "s_name", "s_nationkey", "s_acctbal"
-            )
-            for i in range(n)
-        ]),
-        "supplier",
-    )
+    if wanted("supplier"):
+        write(
+            _union([
+                sup.select(
+                    off("s_suppkey", i), "s_name", "s_nationkey", "s_acctbal"
+                )
+                for i in range(n)
+            ]),
+            "supplier",
+        )
 
     part = load_table(spark, src, "part")
-    write(
-        _union([
-            part.select(
-                off("p_partkey", i), "p_name", "p_brand", "p_type",
-                "p_size", "p_retailprice",
-            )
-            for i in range(n)
-        ]),
-        "part",
-    )
+    if wanted("part"):
+        write(
+            _union([
+                part.select(
+                    off("p_partkey", i), "p_name", "p_brand", "p_type",
+                    "p_size", "p_retailprice",
+                )
+                for i in range(n)
+            ]),
+            "part",
+        )
 
     orders = load_table(spark, src, "orders")
-    write(
-        _union([
-            orders.select(
-                off("o_orderkey", i), off("o_custkey", i),
-                "o_orderstatus", "o_totalprice", "o_orderdate",
-                "o_orderpriority",
-            )
-            for i in range(n)
-        ]),
-        "orders",
-    )
+    if wanted("orders"):
+        write(
+            _union([
+                orders.select(
+                    off("o_orderkey", i), off("o_custkey", i),
+                    "o_orderstatus", "o_totalprice", "o_orderdate",
+                    "o_orderpriority",
+                )
+                for i in range(n)
+            ]),
+            "orders",
+        )
 
     li = load_table(spark, src, "lineitem")
-    write(
-        _union([
-            li.select(
-                off("l_orderkey", i), off("l_partkey", i),
-                off("l_suppkey", i), "l_linenumber", "l_quantity",
-                "l_extendedprice", "l_discount", "l_tax",
-                "l_returnflag", "l_linestatus", "l_shipdate",
-            )
-            for i in range(n)
-        ]),
-        "lineitem",
-    )
+    if wanted("lineitem"):
+        write(
+            _union([
+                li.select(
+                    off("l_orderkey", i), off("l_partkey", i),
+                    off("l_suppkey", i), "l_linenumber", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_tax",
+                    "l_returnflag", "l_linestatus", "l_shipdate",
+                )
+                for i in range(n)
+            ]),
+            "lineitem",
+        )
 
-    ev = load_table(spark, src, "events")
-    span_ms = ev.agg(
-        (
-            F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts")) + 1
-        ).alias("s")
-    ).head()["s"]
-    write(
-        _union([
-            ev.select(
-                off("event_id", i),
-                F.timestamp_millis(
-                    F.unix_millis("ts") + F.lit(i * span_ms)
-                ).alias("ts"),
-                off("user_id", i),
-                "event_type", "value", "props",
-            )
-            for i in range(n)
-        ]),
-        "events",
-    )
+    if wanted("events"):
+        ev = load_table(spark, src, "events")
+        span_ms = ev.agg(
+            (
+                F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts")) + 1
+            ).alias("s")
+        ).head()["s"]
+        write(
+            _union([
+                ev.select(
+                    off("event_id", i),
+                    F.timestamp_millis(
+                        F.unix_millis("ts") + F.lit(i * span_ms)
+                    ).alias("ts"),
+                    off("user_id", i),
+                    "event_type", "value", "props",
+                )
+                for i in range(n)
+            ]),
+            "events",
+        )
 
-    docs = load_table(spark, src, "documents")
-    write(
-        _union([
-            docs.select(
-                off("doc_id", i),
-                F.array_join(
-                    F.transform(
-                        F.split("text", " "),
-                        lambda t, i=i: F.concat(t, F.lit(f"_c{i}")),
-                    ),
-                    " ",
-                ).alias("text"),
-                "lang", "source", "n_chars",
-            )
-            for i in range(n)
-        ]),
-        "documents",
-    )
+    if wanted("documents"):
+        docs = load_table(spark, src, "documents")
+        write(
+            _union([
+                docs.select(
+                    off("doc_id", i),
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda t, i=i: F.concat(t, F.lit(f"_c{i}")),
+                        ),
+                        " ",
+                    ).alias("text"),
+                    "lang", "source", "n_chars",
+                )
+                for i in range(n)
+            ]),
+            "documents",
+        )
 
     emb = load_table(spark, src, "embeddings")
-    write(
-        _union([
-            (emb if i == 0 else emb.filter(F.col("vec_id") != 0)).select(
-                (F.col("vec_id") + F.lit(i * OFF)).alias("vec_id")
-                if i > 0
-                else F.col("vec_id"),
-                "embedding",
-                (F.col("label") + F.lit(i * 100)).cast("int").alias(
-                    "label"
-                ),
-            )
-            for i in range(n)
-        ]),
-        "embeddings",
-    )
+    if wanted("embeddings"):
+        write(
+            _union([
+                (emb if i == 0 else emb.filter(F.col("vec_id") != 0)).select(
+                    (F.col("vec_id") + F.lit(i * OFF)).alias("vec_id")
+                    if i > 0
+                    else F.col("vec_id"),
+                    "embedding",
+                    (F.col("label") + F.lit(i * 100)).cast("int").alias(
+                        "label"
+                    ),
+                )
+                for i in range(n)
+            ]),
+            "embeddings",
+        )
     print(f"amplified {src} x{n} -> {dst}")
 
 
@@ -195,4 +213,5 @@ if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/amp10"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    amplify(src, dst, n)
+    tables = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    amplify(src, dst, n, tables)
