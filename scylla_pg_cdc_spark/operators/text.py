@@ -1580,3 +1580,107 @@ def q_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+@query(
+    "q_neardup_survivorship",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), ovl AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT o.doc_a, o.doc_b
+        FROM ovl o
+        JOIN sizes sa ON o.doc_a = sa.doc_id
+        JOIN sizes sb ON o.doc_b = sb.doc_id
+        WHERE o.n_common * 1.0 / (sa.n + sb.n - o.n_common) > 0.8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(doc_id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc_id, e.b FROM reach r JOIN edges e ON e.a = r.lbl
+    ), clusters AS (
+        SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
+    ), mem AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, d.doc_id
+               ) AS rn
+        FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS survivor_doc,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+               AS survivor_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(n_chars) - MAX(CASE WHEN rn = 1 THEN n_chars END)
+                AS BIGINT) AS chars_saved
+    FROM mem GROUP BY cluster_id HAVING COUNT(*) >= 2
+    """,
+)
+def q_neardup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship over near-dup clusters — the corpus-side golden
+    record (`q_er_golden_record` is the entity-side twin): for every
+    multi-member cluster from the LSH->confirm->components pipeline,
+    keep the RICHEST member (max n_chars, doc_id tiebreak — "longest
+    version wins" is the standard near-dup survivor rule: truncated
+    copies lose to their originals) and report the byte savings the
+    dedup buys. The rn=1 pick is the engine-portable two-window
+    survivorship fold of the ER golden record, applied per cluster.
+    Scale: cluster labels are match-graph-sized, the survivorship
+    windows partition by cluster id — never corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    confirmed = q_text_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") > 0.8
+    )
+    clusters = resolve_dedup_clusters(
+        confirmed.select("doc_a", "doc_b"), docs
+    )
+    mem = clusters.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    ).select("cluster_id", "doc_id", "n_chars")
+    from pyspark.sql import Window as _W
+
+    rn = F.row_number().over(
+        _W.partitionBy("cluster_id").orderBy(
+            F.desc("n_chars"), "doc_id"
+        )
+    )
+    return (
+        mem.withColumn("rn", rn)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("survivor_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("survivor_chars"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            (
+                F.sum("n_chars")
+                - F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+            )
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
