@@ -1971,3 +1971,117 @@ def q_vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim_micro") >= _RANGE_MICRO)
     )
+
+
+@query(
+    "q_embed_neardup_collapsed",
+    oracle=f"""
+    WITH reps AS (
+        SELECT MIN(vec_id) AS vec_id,
+               CAST(COUNT(*) AS BIGINT) AS multiplicity,
+               embedding
+        FROM embeddings GROUP BY embedding
+    ),
+    bits AS (
+        SELECT e.vec_id, b.i,
+               CASE WHEN SUM(
+                   CAST(e.embedding[CAST(j AS INT) + 1] AS DOUBLE)
+                   * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
+                           % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
+               ) >= 0 THEN '1' ELSE '0' END AS bit
+        FROM reps e, range(0, 4) b(i), range(0, {DIM}) t(j)
+        GROUP BY e.vec_id, b.i
+    ),
+    buck AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY i) AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buck a JOIN buck b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    cos AS (
+        SELECT p.vec_a, p.vec_b,
+               SUM(CAST(ea.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(eb.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS dp,
+               SUM(CAST(ea.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(ea.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS na,
+               SUM(CAST(eb.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(eb.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS nb,
+               MAX(ma.multiplicity) AS mult_a,
+               MAX(mb.multiplicity) AS mult_b
+        FROM pairs p
+        JOIN reps ma ON ma.vec_id = p.vec_a
+        JOIN reps mb ON mb.vec_id = p.vec_b
+        JOIN embeddings ea ON ea.vec_id = p.vec_a
+        JOIN embeddings eb ON eb.vec_id = p.vec_b,
+             range(0, {DIM}) t(i)
+        GROUP BY p.vec_a, p.vec_b
+    )
+    SELECT vec_a, vec_b,
+           CAST(FLOOR(dp / (sqrt(na) * sqrt(nb)) * 1000000 + 0.5) AS BIGINT)
+               AS cos_sim_micro,
+           CAST(mult_a AS BIGINT) AS mult_a,
+           CAST(mult_b AS BIGINT) AS mult_b,
+           CAST(mult_a * mult_b AS BIGINT) AS n_raw_pairs
+    FROM cos
+    ORDER BY cos_sim_micro DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
+def q_embed_neardup_collapsed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding near-dup candidates with an EXACT-DUPLICATE COLLAPSE
+    prefilter: bit-identical vectors group to one representative (min
+    vec_id) carrying a multiplicity, and the sign-LSH bucket self-join
+    + cosine runs over representatives only. This is the
+    production-shape fix for the quadratic corner the 100x sweep
+    measured in ``q_embed_neardup`` (SCALE.md): when a corpus carries
+    k exact copies of a vector, raw pair output grows k^2-fold while
+    the DISTINCT-pair output is unchanged — collapsing first is one
+    linear hash aggregation (group by the raw vector) and the implied
+    raw-pair count survives as ``n_raw_pairs = mult_a * mult_b``. The
+    same move a text pipeline makes by exact-hash dedup before
+    MinHash. Top-20 representative pairs, micro-quantized, id
+    tiebreaks — exact in both engines (grouping on the float array is
+    bitwise value equality in both)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id"),
+        F.count(F.lit(1)).cast("long").alias("multiplicity"),
+    )
+    planes = _pseudo_planes(4, DIM)
+    v = F.col("embedding").cast("array<double>")
+    bucketed = reps.select(
+        "vec_id",
+        "multiplicity",
+        F.col("embedding").cast("array<double>").alias("vec"),
+        l2_norm(v).alias("norm"),
+        sign_lsh_bucket(v, planes).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    sim = dot(F.col("a.vec"), F.col("b.vec")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.floor(sim * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("cos_sim_micro"),
+        F.col("a.multiplicity").alias("mult_a"),
+        F.col("b.multiplicity").alias("mult_b"),
+        (F.col("a.multiplicity") * F.col("b.multiplicity"))
+        .cast("long")
+        .alias("n_raw_pairs"),
+    )
+    return pairs.orderBy(
+        F.col("cos_sim_micro").desc(), "vec_a", "vec_b"
+    ).limit(20)
