@@ -77,6 +77,15 @@ BUDGETS = {
     # survivorship: both row_number windows + the groupBy share the
     # entity_id exchange; the member join broadcasts the label frame
     "q_er_golden_record_scaled": (1, 1, 0, True),
+    # range query: pure scan + filter, NOTHING may shuffle
+    "q_vector_range_search": (0, 0, 0, True),
+    # exact-dup collapse agg + one bucket join + TakeOrdered
+    "q_embed_neardup_collapsed": (2, 1, 0, False),
+    # shingle first-owner agg + per-doc count + join back
+    "q_ngram_novelty": (4, 1, 0, False),
+    # two rank-select phases over a narrow pushed 2-col scan; the
+    # tiny cut table joins back as a broadcast
+    "q_length_band_filter": (10, 4, 0, True),
 }
 
 

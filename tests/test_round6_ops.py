@@ -116,3 +116,58 @@ def test_er_scaled_golden_consistent_with_scaled_clusters(spark):
         assert g["trusted_segment"] == cust[bals[0][1]][1]
         assert g["max_bal_cents"] == bals[0][0]
         assert g["total_bal_cents"] == sum(b for b, _ in bals)
+
+
+def test_embed_collapse_is_duplication_invariant(spark, tmp_path):
+    """Injecting k exact copies of every vector must leave the
+    collapsed representative pairs IDENTICAL except for multiplicities
+    (k x) and raw-pair counts (k^2 x) — the property that kept the
+    100x degenerate corpus linear."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from scylla_pg_cdc_spark.operators.vector import (
+        q_embed_neardup_collapsed,
+    )
+
+    src = "/root/testdata/sf0.001"
+    base = {
+        (r["vec_a"], r["vec_b"]): (
+            r["cos_sim_micro"], r["mult_a"], r["mult_b"], r["n_raw_pairs"]
+        )
+        for r in q_embed_neardup_collapsed(spark, src).collect()
+    }
+    # build a k=3 duplicated copy of the embeddings table
+    dup_dir = str(tmp_path / "dup")
+    os.makedirs(dup_dir)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"):
+        s = os.path.join(src, f"{t}.parquet")
+        d = os.path.join(dup_dir, f"{t}.parquet")
+        (shutil.copytree if os.path.isdir(s) else shutil.copy)(s, d)
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    k = 3
+    dups = emb
+    for i in range(1, k):
+        dups = dups.unionByName(
+            emb.select(
+                (F.col("vec_id") + F.lit(1_000_000 * i)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    dups.write.parquet(os.path.join(dup_dir, "embeddings.parquet"))
+    got = {
+        (r["vec_a"], r["vec_b"]): (
+            r["cos_sim_micro"], r["mult_a"], r["mult_b"], r["n_raw_pairs"]
+        )
+        for r in q_embed_neardup_collapsed(spark, dup_dir).collect()
+    }
+    assert set(got) == set(base)  # same representative pairs
+    for pair, (cos0, ma0, mb0, raw0) in base.items():
+        cos1, ma1, mb1, raw1 = got[pair]
+        assert cos1 == cos0
+        assert (ma1, mb1) == (k * ma0, k * mb0)
+        assert raw1 == k * k * raw0
