@@ -549,16 +549,27 @@ def run_upsert_pipeline(
                 ).withColumn("epoch_id", F.lit(epoch_id)).write.mode(
                     "append"
                 ).parquet(dlq_dir)
+                # compensate: the state never received this batch,
+                # so fold the inverse delta (swap removed/added) —
+                # but ONLY into folds whose committed marker proves
+                # the forward fold of THIS epoch actually landed
+                # (a fold that threw before its atomic rename never
+                # happened; inverse-folding it would corrupt state
+                # it never touched, and a fold committed by a
+                # PREVIOUS attempt of this epoch must be
+                # compensated even though need_* was False — in that
+                # replay case delta was never computed, so compute it
+                # now: the merge failed, so the state is still the
+                # pre-merge image the delta is defined against)
+                if delta is None and (
+                    (mv_spec is not None and _mv_marker() == marker)
+                    or (
+                        digest_buckets is not None
+                        and _digest_marker() == marker
+                    )
+                ):
+                    delta = compute_mv_delta(clean)
                 if delta is not None:
-                    # compensate: the state never received this batch,
-                    # so fold the inverse delta (swap removed/added) —
-                    # but ONLY into folds whose committed marker proves
-                    # the forward fold of THIS epoch actually landed
-                    # (a fold that threw before its atomic rename never
-                    # happened; inverse-folding it would corrupt state
-                    # it never touched, and a fold committed by a
-                    # PREVIOUS attempt of this epoch must be
-                    # compensated even though need_* was False)
                     if mv_spec is not None and _mv_marker() == marker:
                         _fold_mv(
                             delta[1], delta[0], marker + "-compensated"
