@@ -1684,3 +1684,113 @@ def q_neardup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+def _survivor_quality_sql() -> str:
+    stop = ", ".join(repr(w) for w in STOPWORDS["en"])
+    return f"""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), ovl AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT o.doc_a, o.doc_b
+        FROM ovl o
+        JOIN sizes sa ON o.doc_a = sa.doc_id
+        JOIN sizes sb ON o.doc_b = sb.doc_id
+        WHERE o.n_common * 1.0 / (sa.n + sb.n - o.n_common) > 0.8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(doc_id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc_id, e.b FROM reach r JOIN edges e ON e.a = r.lbl
+    ), clusters AS (
+        SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
+    ), q AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ({stop}))) AS BIGINT) AS n_stop,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+    ), mem AS (
+        SELECT c.cluster_id, q.doc_id, q.n_stop, q.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY q.n_stop DESC, q.n_chars DESC, q.doc_id
+               ) AS rn
+        FROM clusters c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS survivor_doc,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_stop END) AS BIGINT)
+               AS survivor_stopwords,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+               AS survivor_chars
+    FROM mem GROUP BY cluster_id HAVING COUNT(*) >= 2
+    """
+
+
+@query("q_survivor_quality", oracle=_survivor_quality_sql())
+def q_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted near-dup survivorship: the survivor per
+    multi-member cluster is the member with the most English-stopword
+    hits (the naturalness proxy from ``q_text_quality``), then the
+    longest, then the smallest id — the "keep the best-written copy"
+    policy, vs ``q_neardup_survivorship``'s longest-wins. Same
+    cluster machinery, same rn=1 survivorship fold, different quality
+    key — demonstrating the survivor rule is a pluggable ORDER BY,
+    which is exactly how a production pipeline swaps policies."""
+    docs = load_table(spark, sf_dir, "documents")
+    confirmed = q_text_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") > 0.8
+    )
+    clusters = resolve_dedup_clusters(
+        confirmed.select("doc_a", "doc_b"), docs
+    )
+    q = docs.select(
+        "doc_id",
+        _stopword_hits("en").alias("n_stop"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    mem = clusters.join(q, "doc_id").select(
+        "cluster_id", "doc_id", "n_stop", "n_chars"
+    )
+    from pyspark.sql import Window as _W
+
+    rn = F.row_number().over(
+        _W.partitionBy("cluster_id").orderBy(
+            F.desc("n_stop"), F.desc("n_chars"), "doc_id"
+        )
+    )
+    return (
+        mem.withColumn("rn", rn)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("survivor_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_stop")))
+            .cast("long")
+            .alias("survivor_stopwords"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("survivor_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
