@@ -764,3 +764,46 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((1000000 * n_novel) DIV n_shingles AS BIGINT)"),
         )
     )
+
+
+@query(
+    "q_dedup_rate_by_source",
+    oracle="""
+    WITH g AS (
+        SELECT source, md5(text) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+           CAST((1000000 * (SUM(n) - COUNT(*))) // SUM(n) AS BIGINT)
+               AS dup_ppm,
+           CAST(MAX(n) AS BIGINT) AS largest_group
+    FROM g GROUP BY source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate: group documents by content
+    hash within each source and report how much of the source is
+    redundant (dup docs, dup ppm, largest clone group) — the curation
+    dashboard metric that decides which ingestion feeds need dedup
+    FIRST, before any near-dup machinery runs. Two hash aggregations
+    with map-side combine; shuffle keyed on (source, md5) — never
+    wider than the distinct-text count. The md5 content hash is the
+    identical expression in both engines, so the differential is
+    exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_texts"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+        F.expr(
+            "CAST((1000000 * (SUM(n) - COUNT(1))) DIV SUM(n) AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.max("n").cast("long").alias("largest_group"),
+    )
