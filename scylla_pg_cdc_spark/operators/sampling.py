@@ -315,3 +315,101 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars")
     )
+
+
+@query(
+    "q_contamination_report",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT doc_id, text, {_BUCKET_SQL} AS bucket FROM documents
+    ), eval_sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM bucketed WHERE bucket >= 98)
+        ) WHERE length(shingle) > 0
+    ), train_sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM bucketed WHERE bucket < 98)
+        ) WHERE length(shingle) > 0
+    ), tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM eval_sh GROUP BY doc_id
+    ), leaked AS (
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_leaked
+        FROM eval_sh e
+        WHERE EXISTS (SELECT 1 FROM train_sh t WHERE t.shingle = e.shingle)
+        GROUP BY e.doc_id
+    ), hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_train_docs
+        FROM (
+            SELECT DISTINCT e.doc_id, t.doc_id AS train_doc
+            FROM eval_sh e JOIN train_sh t ON e.shingle = t.shingle
+        ) GROUP BY doc_id
+    )
+    SELECT tot.doc_id, tot.n_shingles,
+           CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+           CAST(COALESCE(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+           CAST((1000000 * COALESCE(l.n_leaked, 0)) // tot.n_shingles
+                AS BIGINT) AS leak_ppm
+    FROM tot
+    LEFT JOIN leaked l ON tot.doc_id = l.doc_id
+    LEFT JOIN hits h ON tot.doc_id = h.doc_id
+    """,
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-side contamination audit — the mirror of
+    ``q_decontaminate`` (which flags TRAINING docs): for every
+    held-out eval document, how many of its 3-token shingles leak
+    into the training slice, and how many distinct training documents
+    carry at least one — the report an eval-integrity review reads
+    before trusting a benchmark number. Plan: eval shingles are the
+    tiny side (2% hash slice) and join the training shingle stream;
+    the per-(eval, train) hit pairs are bounded by shared shingles.
+    At 100 TB the eval side broadcasts, exactly like decontaminate."""
+    from scylla_pg_cdc_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed = docs.select("doc_id", "text", portable_bucket("doc_id"))
+    ev = shingles(bucketed.filter(F.col("bucket") >= 98), k=3)
+    tr = shingles(bucketed.filter(F.col("bucket") < 98), k=3)
+    tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    leaked = (
+        ev.join(tr.select("shingle").distinct(), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    hits = (
+        ev.join(
+            tr.select(
+                F.col("shingle"), F.col("doc_id").alias("train_doc")
+            ),
+            "shingle",
+        )
+        .select("doc_id", "train_doc")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_train_docs"))
+    )
+    return (
+        tot.join(leaked, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
+            F.coalesce("n_train_docs", F.lit(0))
+            .cast("long")
+            .alias("n_train_docs"),
+            F.expr(
+                "CAST((1000000 * COALESCE(n_leaked, 0)) DIV n_shingles"
+                " AS BIGINT)"
+            ).alias("leak_ppm"),
+        )
+    )
