@@ -523,3 +523,92 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in _DECILES
         ],
     )
+
+
+@query(
+    "q_iqr_outliers",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, {_VC} AS vc FROM events
+        WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type, vc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY vc
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev
+    ), cuts AS (
+        SELECT event_type, MAX(n) AS n,
+               MAX(CASE WHEN rk = (n + 3) // 4 THEN vc END) AS q1,
+               MAX(CASE WHEN rk = (3 * n + 1) // 4 THEN vc END) AS q3
+        FROM r GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.q1 AS BIGINT) AS q1_cents,
+           CAST(c.q3 AS BIGINT) AS q3_cents,
+           CAST(c.q3 - c.q1 AS BIGINT) AS iqr_cents,
+           CAST(SUM(CASE WHEN 2 * e.vc < 2 * c.q1 - 3 * (c.q3 - c.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 2 * e.vc > 2 * c.q3 + 3 * (c.q3 - c.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM cuts c JOIN ev e ON e.event_type = c.event_type
+    GROUP BY c.event_type, c.n, c.q1, c.q3
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per event type: exact lower order
+    statistics Q1 (rank (n+3) DIV 4) and Q3 (rank (3n+1) DIV 4) on
+    integer cents, fences at 1.5*IQR expressed as the pure-integer
+    comparison ``2*x < 2*q1 - 3*IQR`` (no fractional fence value ever
+    materializes). The OTHER classic robust-outlier rule beside the
+    MAD-based ``q_robust_outliers`` — box-plot semantics, the one
+    monitoring dashboards draw. Quartiles come from the two-phase
+    rank-select decomposition (no corpus-wide per-key sort window);
+    the 5-row cut table broadcasts back onto the scan for the census.
+    The oracle recomputes the same ranks with the naive per-type
+    ROW_NUMBER (tie-order independent)."""
+    from scylla_pg_cdc_spark.functions.percentiles import (
+        rank_select_percentiles,
+    )
+
+    ev = _event_cents(spark, sf_dir).select("event_type", "vc")
+    cuts = rank_select_percentiles(
+        ev,
+        "event_type",
+        "vc",
+        [("q1", "(n + 3) DIV 4"), ("q3", "(3 * n + 1) DIV 4")],
+        bucket_width=1_000,
+        checkpoint=False,
+    )
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("q1").cast("long").alias("q1_cents"),
+            F.max("q3").cast("long").alias("q3_cents"),
+            (F.max("q3") - F.max("q1")).cast("long").alias("iqr_cents"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("vc")
+                    < F.lit(2) * F.col("q1")
+                    - F.lit(3) * (F.col("q3") - F.col("q1")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("vc")
+                    > F.lit(2) * F.col("q3")
+                    + F.lit(3) * (F.col("q3") - F.col("q1")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
