@@ -982,3 +982,44 @@ def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_new_users").over(w).cast("long"),
         )
     )
+
+
+@query(
+    "q_hourly_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN value IS NOT NULL
+                    THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS value_cents,
+           CAST(COUNT(value) AS BIGINT) AS n_valued
+    FROM events
+    GROUP BY event_type, hour(ts)
+    """,
+)
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: event counts
+    and exact cent totals by the cyclic hour key — the diurnal
+    baseline an anomaly detector normalizes against before flagging
+    (a 3x traffic spike at 14:00 is noise if 14:00 is always 3x; the
+    raw EWMA/KS monitors cannot see cyclic structure). One hash
+    aggregation on a 24-value key crossed with event types — map-side
+    combine collapses it to (types x 24) rows per partition, shuffle
+    is constant-bounded at any corpus size. Session timezone is UTC
+    in both engines, so hour(ts) is the identical integer."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("value_cents"),
+        F.count("value").cast("long").alias("n_valued"),
+    )

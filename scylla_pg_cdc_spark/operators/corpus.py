@@ -807,3 +807,54 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_ppm"),
         F.max("n").cast("long").alias("largest_group"),
     )
+
+
+@query(
+    "q_vocab_concentration",
+    oracle="""
+    WITH t AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ) WHERE length(token) > 0 GROUP BY lang, token
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST((1000000 * SUM(CAST(c AS HUGEINT) * c))
+                // (CAST(SUM(c) AS HUGEINT) * SUM(c))
+                AS BIGINT) AS hhi_ppm
+    FROM t GROUP BY lang
+    """,
+)
+def q_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level vocabulary concentration per language: Herfindahl
+    index over token frequencies — the log-free twin of vocabulary
+    entropy (1/HHI is the "effective vocabulary size"). A language
+    slice whose HHI spikes is dominated by few tokens (boilerplate,
+    scraped templates) and dilutes training signal; q_hhi_concentration
+    watches SOURCE mix, this watches the VOCABULARY itself. Exact
+    integer ratio widened past int64 (Spark decimal(38,0), DuckDB
+    HUGEINT — c^2 overflows bigint at ~3e9 occurrences of one token;
+    widened, exact to ~1e16 — same envelope row as HHI in
+    ENVELOPES.md). Plan: one (lang, token) count aggregation
+    (vocabulary-sized shuffle with map-side combine) + one per-lang
+    rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * SUM(CAST(c AS DECIMAL(38,0)) * c))"
+            " DIV (CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c)) AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
