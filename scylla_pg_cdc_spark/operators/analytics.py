@@ -1023,3 +1023,57 @@ def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_cents"),
         F.count("value").cast("long").alias("n_valued"),
     )
+
+
+@query(
+    "q_fulfillment_lag",
+    oracle="""
+    WITH lag AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               date_diff('day', o.o_orderdate, MAX(l.l_shipdate))
+                   AS lag_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(lag_days) AS BIGINT) AS sum_lag_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag_days,
+           CAST(SUM(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_90d
+    FROM lag GROUP BY o_orderpriority
+    """,
+)
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment lag by priority: days from order date to the
+    LAST line shipment per order, rolled up per priority class with an
+    SLA-breach census (>90 days) — the operational latency metric the
+    reference's warehouse validation layer summarizes with plain
+    AVG/SUM probes, in exact integer days (sum + count instead of a
+    float mean, so the differential is exact and the mean is
+    recoverable downstream). Plan: one orders-lineitem key join
+    (fact-fact, single shuffle each side under AQE) + per-order
+    max-shipdate aggregation + a 5-row priority rollup."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lag = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("last_ship", "o_orderdate").alias("lag_days"),
+        )
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("lag_days").cast("long").alias("sum_lag_days"),
+        F.max("lag_days").cast("long").alias("max_lag_days"),
+        F.sum(F.when(F.col("lag_days") > 90, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_90d"),
+    )
