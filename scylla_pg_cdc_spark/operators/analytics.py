@@ -1077,3 +1077,68 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_over_90d"),
     )
+
+
+@query(
+    "q_customer_rfm",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT custkey,
+               NTILE(5) OVER (ORDER BY last_order, custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_cents, custkey) AS m_score
+        FROM base
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every ordering customer scored 1-5 on
+    Recency (last order date), Frequency (order count), and Monetary
+    (exact cent total) via NTILE quintiles, reported as segment-cell
+    counts — the marketing-analytics workload a warehouse summary
+    layer serves. NTILE is deterministic once the ORDER BY is a total
+    order, so every ranking carries the custkey tiebreak and both
+    engines cut identical quintile boundaries (the same
+    tie-discipline as every rank window in this repo). Scale: the
+    base frame is one orders aggregation (customer-sized); the three
+    global NTILEs are single-partition windows over that REDUCED
+    frame — at 100 TB swap them for the two-phase rank-offset
+    decomposition (functions/sweep.py), the documented escape hatch
+    for global rankings."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("monetary_cents"),
+    )
+    scored = base.select(
+        F.ntile(5)
+        .over(Window.orderBy("last_order", "custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
