@@ -705,3 +705,43 @@ def q_stream_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_ms").alias("end_ms"),
         (F.max("ts_ms") - F.min("ts_ms")).cast("long").alias("duration_ms"),
     )
+
+
+@query(
+    "q_cdc_traffic_mix",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CASE WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPSERT' END AS op,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM events
+    GROUP BY date_trunc('day', ts),
+             CASE WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPSERT' END
+    """,
+)
+def q_cdc_traffic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC traffic mix per day: upsert vs tombstone volumes and the
+    distinct keys each touches — the replication-health dashboard the
+    reference's monitoring layer derives from connector metrics
+    (`src/monitoring/metrics.py` counts ops and lag; this is the
+    queryable warehouse face). A day whose DELETE share or
+    keys-per-event ratio jumps signals upstream schema churn or a
+    backfill, the things an operator checks before trusting the sink.
+    Plan: one hash aggregation; the distinct-key count is the second
+    (expand) shuffle COUNT(DISTINCT) always costs — at 100 TB swap it
+    for approx_count_distinct or the KMV sketch face
+    (`q_kmv_distinct`), both already registered."""
+    ev = load_table(spark, sf_dir, "events")
+    ch = as_change_stream(ev)
+    return (
+        ch.withColumn(
+            "day", F.date_trunc("day", F.timestamp_millis("commit_ms")).cast("date")
+        )
+        .groupBy("day", "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("key").alias("n_keys"),
+        )
+    )
