@@ -601,3 +601,72 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("event_id", F.lit(-1)).alias("next_event_id"),
         F.coalesce("ev_ms", F.lit(-1)).alias("next_event_ms"),
     )
+
+
+@query(
+    "q_attribution_first_touch",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id AS view_id, epoch_ms(ts) AS view_ms
+        FROM events WHERE event_type = 'view'
+    ), c AS (
+        SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ms
+        FROM events WHERE event_type = 'click'
+    ), pairs AS (
+        SELECT c.user_id, c.click_id, c.click_ms, v.view_id, v.view_ms,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.click_id
+                   ORDER BY v.view_ms ASC, v.view_id ASC
+               ) AS rn
+        FROM c JOIN v
+          ON v.user_id = c.user_id
+         AND v.view_ms < c.click_ms
+         AND v.view_ms >= c.click_ms - 3600000
+    )
+    SELECT user_id, click_id, click_ms, view_id AS attributed_view,
+           CAST(click_ms - view_ms AS BIGINT) AS touch_gap_ms
+    FROM pairs WHERE rn = 1
+    """,
+)
+def q_attribution_first_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIRST-TOUCH attribution: each click credits the EARLIEST view
+    by the same user within the preceding hour — the discovery-credit
+    policy, vs ``q_attribution_last_touch``'s conversion-credit. The
+    implementation differs in exactly one thing — the rn=1 window's
+    ORDER BY flips to (view_ms ASC, view_id ASC) — the demonstration
+    that attribution policy is a pluggable ordering over the same
+    bounded interval join, the same lesson as the survivorship pair.
+    Same single-shuffle scale shape as last-touch."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_millis("ts").alias("view_ms"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_millis("ts").alias("click_ms"),
+    )
+    pairs = c.join(v, "user_id").filter(
+        (F.col("view_ms") < F.col("click_ms"))
+        & (F.col("view_ms") >= F.col("click_ms") - 3600000)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("click_id").orderBy("view_ms", "view_id")
+    )
+    return (
+        pairs.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "click_id",
+            "click_ms",
+            F.col("view_id").alias("attributed_view"),
+            (F.col("click_ms") - F.col("view_ms"))
+            .cast("long")
+            .alias("touch_gap_ms"),
+        )
+    )
