@@ -2085,3 +2085,56 @@ def q_embed_neardup_collapsed(
     return pairs.orderBy(
         F.col("cos_sim_micro").desc(), "vec_a", "vec_b"
     ).limit(20)
+
+
+@query(
+    "q_embed_norm_census",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, label,
+               CAST(FLOOR(sqrt(SUM(
+                   CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+               )) * 1000000 + 0.5) AS BIGINT) AS norm_micro
+        FROM embeddings, range(0, {DIM}) t(i)
+        GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(norm_micro) AS BIGINT) AS min_norm_micro,
+           CAST(MAX(norm_micro) AS BIGINT) AS max_norm_micro,
+           CAST(SUM(norm_micro) AS BIGINT) AS sum_norm_micro,
+           CAST(SUM(CASE WHEN norm_micro = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero
+    FROM n GROUP BY label
+    """,
+)
+def q_embed_norm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm hygiene census per label: micro-quantized L2
+    norm extremes, total, and zero-vector count — the sanity pass an
+    ANN pipeline runs BEFORE cosine math (a zero vector divides by
+    zero in every similarity; a wild norm outlier usually means a
+    corrupt row or an unscaled model export). One narrow map + one
+    label-keyed aggregation, no shuffle wider than the label
+    cardinality; the norm is the same mirrored sqrt expression both
+    engines round to the identical micro integer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nm = emb.select(
+        "label",
+        F.floor(
+            l2_norm(F.col("embedding").cast("array<double>"))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("norm_micro"),
+    )
+    return nm.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("norm_micro").alias("min_norm_micro"),
+        F.max("norm_micro").alias("max_norm_micro"),
+        F.sum("norm_micro").cast("long").alias("sum_norm_micro"),
+        F.sum(F.when(F.col("norm_micro") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+    )
