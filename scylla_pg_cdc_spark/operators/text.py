@@ -1794,3 +1794,48 @@ def q_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+def _langid_confusion_sql() -> str:
+    scores = " , ".join(
+        "len(list_filter(string_split(text, ' '), "
+        f"t -> t IN ({', '.join(repr(w) for w in ws)}))) AS score_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    return f"""
+    WITH scored AS (
+        SELECT lang AS actual_lang, {scores}
+        FROM documents
+    ), pred AS (
+        SELECT actual_lang,
+               CASE WHEN score_en >= score_es AND score_en >= score_de
+                         AND score_en >= score_fr AND score_en >= score_zh
+                         AND score_en > 0 THEN 'en'
+                    WHEN score_es >= score_de AND score_es >= score_fr
+                         AND score_es >= score_zh AND score_es > 0 THEN 'es'
+                    WHEN score_de >= score_fr AND score_de >= score_zh
+                         AND score_de > 0 THEN 'de'
+                    WHEN score_fr >= score_zh AND score_fr > 0 THEN 'fr'
+                    WHEN score_zh > 0 THEN 'zh'
+                    ELSE 'unknown' END AS predicted_lang
+        FROM scored
+    )
+    SELECT actual_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY actual_lang, predicted_lang
+    """
+
+
+@query("q_langid_confusion", oracle=_langid_confusion_sql())
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: (actual, predicted) document
+    counts for the stopword-hit classifier — the EVALUATION face of
+    ``q_text_langid`` (a classifier whose error structure you can't
+    query is a classifier you can't tune; the diagonal/off-diagonal
+    split is precision-recall raw material per language). Same scores
+    and argmax precedence as the base query, rolled to a <=36-cell
+    matrix in one aggregation."""
+    base = q_text_langid(spark, sf_dir)
+    return base.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
