@@ -1839,3 +1839,73 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("actual_lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "q_lsh_band_stats",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN(substring(md5('0:' || shingle), 1, 8)) AS sig0,
+               MIN(substring(md5('0:' || shingle), 9, 8)) AS sig1,
+               MIN(substring(md5('0:' || shingle), 17, 8)) AS sig2,
+               MIN(substring(md5('0:' || shingle), 25, 8)) AS sig3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS sig4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS sig5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS sig6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS sig7
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bucket FROM sigs
+        UNION ALL
+        SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL
+        SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL
+        SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs
+    ),
+    bsz AS (
+        SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM banded GROUP BY band, bucket
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM bsz GROUP BY band
+    """,
+)
+def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-balance census: per band, bucket count, largest
+    bucket, and the TOTAL candidate-pair budget sum(n*(n-1)/2) — the
+    number the bucket self-join will actually expand to. This is the
+    capacity-planning face of the MinHash index (`q_lsh_precision_
+    recall` measures quality; this measures COST): a band whose
+    max_bucket explodes is the quadratic corner forming, the signal
+    to re-band or pre-collapse exact dups BEFORE running the join
+    (the q_embed_neardup_collapsed lesson, observable in advance).
+    Two aggregations, both keyed no wider than (band, bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    banded = banded_buckets(minhash_signatures(shingles(docs)))
+    bsz = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return bsz.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).cast("long").alias(
+            "candidate_pairs"
+        ),
+    )
