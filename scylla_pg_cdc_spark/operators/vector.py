@@ -2138,3 +2138,45 @@ def q_embed_norm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_zero"),
     )
+
+
+@query(
+    "q_ivf_cell_balance",
+    oracle="""
+    WITH c AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings WHERE vec_id <> 0
+        GROUP BY label
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(MIN(n) AS BIGINT) AS min_cell,
+           CAST(MAX(n) AS BIGINT) AS max_cell,
+           CAST((1000000 * MAX(n)) // SUM(n) AS BIGINT)
+               AS max_cell_share_ppm
+    FROM c
+    """,
+)
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-cell balance census: cell count, extremes, and the
+    largest cell's corpus share — the probe-cost budget of the
+    inverted-file index (probing a cell costs its size; a skewed IVF
+    concentrates every query on the hot cell and the index degrades
+    toward brute force). The vector twin of ``q_lsh_band_stats``:
+    quality lives in ``q_ivf_recall_curve``, cost lives here. One
+    label-keyed count + a single-row rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = (
+        emb.filter(F.col("vec_id") != 0)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+        F.expr("CAST((1000000 * MAX(n)) DIV SUM(n) AS BIGINT)").alias(
+            "max_cell_share_ppm"
+        ),
+    )
