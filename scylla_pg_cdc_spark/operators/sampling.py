@@ -413,3 +413,83 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leak_ppm"),
         )
     )
+
+
+@query(
+    "q_split_leakage",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, md5(text) AS h,
+               CASE WHEN {_BUCKET_SQL} < 90 THEN 'train'
+                    WHEN {_BUCKET_SQL} < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), g AS (
+        SELECT h,
+               CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN split = 'valid' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_valid,
+               CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test
+        FROM s GROUP BY h
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_texts,
+           CAST(SUM(CASE WHEN n_train > 0 AND (n_valid > 0 OR n_test > 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_texts,
+           CAST(SUM(CASE WHEN n_train > 0 AND (n_valid > 0 OR n_test > 0)
+                    THEN n_valid + n_test ELSE 0 END) AS BIGINT)
+               AS n_heldout_docs_leaked,
+           CAST(SUM(CASE WHEN n_train > 0 AND (n_valid > 0 OR n_test > 0)
+                    THEN n_train ELSE 0 END) AS BIGINT)
+               AS n_train_docs_involved
+    FROM g
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-hygiene audit: EXACT texts that appear on BOTH sides of
+    the train / held-out boundary of the hash split — the leakage
+    that silently inflates every benchmark number even when doc_ids
+    differ (the split is keyed on doc_id, so two copies of one text
+    can land in different splits; ``q_contamination_report`` catches
+    n-gram overlap, this catches whole-text duplication). One content-
+    hash aggregation carrying the per-split counts + a single-row
+    rollup — linear, and the fix it motivates is exact dedup BEFORE
+    splitting (`q_text_exact_dedup`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = portable_bucket("doc_id")
+    s = docs.select(
+        F.md5("text").alias("h"),
+        F.when(b < 90, "train")
+        .when(b < 95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    g = s.groupBy("h").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "n_train"
+        ),
+        F.sum(F.when(F.col("split") == "valid", 1).otherwise(0)).alias(
+            "n_valid"
+        ),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+            "n_test"
+        ),
+    )
+    leaky = (F.col("n_train") > 0) & (
+        (F.col("n_valid") > 0) | (F.col("n_test") > 0)
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_texts"),
+        F.sum(F.when(leaky, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaky_texts"),
+        F.sum(
+            F.when(leaky, F.col("n_valid") + F.col("n_test")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_heldout_docs_leaked"),
+        F.sum(F.when(leaky, F.col("n_train")).otherwise(0))
+        .cast("long")
+        .alias("n_train_docs_involved"),
+    )
