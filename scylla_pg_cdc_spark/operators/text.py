@@ -1909,3 +1909,72 @@ def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_pairs"
         ),
     )
+
+
+@query(
+    "q_filter_yield",
+    oracle=f"""
+    WITH base AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               {_EN_STOP_SQL} AS en_stop
+        FROM documents
+    ), v AS (
+        SELECT lang, n_words,
+               CASE WHEN n_words < 30 THEN 'too_short'
+                    WHEN n_words > 90 THEN 'too_long'
+                    WHEN 2 * n_distinct < n_words THEN 'low_diversity'
+                    WHEN en_stop = 0 THEN 'no_stopword'
+                    ELSE 'keep' END AS verdict
+        FROM base
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(n_words) AS BIGINT) AS words_total,
+           CAST(SUM(CASE WHEN verdict = 'keep' THEN n_words ELSE 0 END)
+                AS BIGINT) AS words_kept,
+           CAST((1000000 * SUM(CASE WHEN verdict = 'keep' THEN n_words
+                               ELSE 0 END)) // SUM(n_words) AS BIGINT)
+               AS yield_ppm
+    FROM v GROUP BY lang
+    """,
+)
+def q_filter_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter YIELD per language: docs and words in vs out of
+    the C4/Gopher-style gate (``q_quality_filter``'s exact rule
+    stack), with the kept-word share in ppm — the number a corpus
+    curator actually budgets with ("the filter costs us 38% of
+    German"). A language whose yield collapses flags a rule tuned on
+    the wrong language (stopword lists are per-language; this report
+    catches the bias quantitatively). Same narrow projection as the
+    filter itself + a 5-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_distinct = F.size(F.array_distinct(F.split("text", " ")))
+    en_stop = _stopword_hits("en")
+    v = docs.select(
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words < 30, "too_short")
+        .when(n_words > 90, "too_long")
+        .when(2 * n_distinct < n_words, "low_diversity")
+        .when(en_stop == 0, "no_stopword")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+    kept = F.col("verdict") == "keep"
+    return v.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum("n_words").cast("long").alias("words_total"),
+        F.sum(F.when(kept, F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("words_kept"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN verdict = 'keep' THEN n_words"
+            " ELSE 0 END)) DIV SUM(n_words) AS BIGINT)"
+        ).alias("yield_ppm"),
+    )
