@@ -1978,3 +1978,107 @@ def q_filter_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END)) DIV SUM(n_words) AS BIGINT)"
         ).alias("yield_ppm"),
     )
+
+
+@query(
+    "q_dedup_funnel",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), ovl AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT o.doc_a, o.doc_b
+        FROM ovl o
+        JOIN sizes sa ON o.doc_a = sa.doc_id
+        JOIN sizes sb ON o.doc_b = sb.doc_id
+        WHERE o.n_common * 1.0 / (sa.n + sb.n - o.n_common) > 0.8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(doc_id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc_id, e.b FROM reach r JOIN edges e ON e.a = r.lbl
+    ), clusters AS (
+        SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
+    ), exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents GROUP BY md5(text)
+    ), flags AS (
+        SELECT d.source, d.n_chars,
+               CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ex_keep,
+               CASE WHEN e.doc_id IS NOT NULL AND c.cluster_id = d.doc_id
+                    THEN 1 ELSE 0 END AS nd_keep
+        FROM documents d
+        LEFT JOIN exact_keep e ON d.doc_id = e.doc_id
+        JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ex_keep) AS BIGINT) AS n_after_exact,
+           CAST(SUM(nd_keep) AS BIGINT) AS n_after_neardup,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_in,
+           CAST(SUM(CASE WHEN nd_keep = 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_out
+    FROM flags GROUP BY source
+    """,
+)
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL per source: raw docs -> exact-dedup survivors
+    (keep-min per content hash) -> near-dup canonical survivors
+    (cluster minimum, and only if also the exact survivor) with char
+    volumes in and out — the stage-by-stage yield report a pipeline
+    owner reads to see WHERE the corpus shrinks (a source whose
+    near-dup stage eats everything is a template farm; one whose
+    exact stage does is a re-crawl). Composes the registered stages
+    verbatim: q_text_exact_dedup's keep-min rule and
+    q_text_neardup_dedup's cluster canonical. Linear everywhere the
+    stages are; the closure is the same bounded label propagation."""
+    docs = load_table(spark, sf_dir, "documents")
+    confirmed = q_text_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") > 0.8
+    )
+    clusters = resolve_dedup_clusters(
+        confirmed.select("doc_a", "doc_b"), docs
+    )
+    exact_keep = docs.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id", F.lit(1).alias("ex_keep"))
+    flags = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(exact_keep, "doc_id", "left")
+        .join(clusters.select("doc_id", "cluster_id"), "doc_id")
+        .select(
+            "source",
+            "n_chars",
+            F.coalesce("ex_keep", F.lit(0)).alias("ex_keep"),
+            F.when(
+                (F.coalesce("ex_keep", F.lit(0)) == 1)
+                & (F.col("cluster_id") == F.col("doc_id")),
+                1,
+            )
+            .otherwise(0)
+            .alias("nd_keep"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ex_keep").cast("long").alias("n_after_exact"),
+        F.sum("nd_keep").cast("long").alias("n_after_neardup"),
+        F.sum("n_chars").cast("long").alias("chars_in"),
+        F.sum(F.when(F.col("nd_keep") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_out"),
+    )
