@@ -373,3 +373,84 @@ def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@query(
+    "q_pack_efficiency",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS cum_before
+        FROM d
+    ), a AS (
+        SELECT source, n_tokens,
+               cum_before // {PACK_BUDGET} AS pack_id,
+               cum_before % {PACK_BUDGET} AS pack_offset
+        FROM c
+    )
+    SELECT source,
+           CAST(MAX(pack_id) + 1 AS BIGINT) AS n_packs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST((MAX(pack_id) + 1) * {PACK_BUDGET} AS BIGINT)
+               AS capacity_tokens,
+           CAST((1000000 * SUM(n_tokens))
+                // ((MAX(pack_id) + 1) * {PACK_BUDGET}) AS BIGINT)
+               AS fill_ppm,
+           CAST(SUM(CASE WHEN pack_offset + n_tokens > {PACK_BUDGET}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+    FROM a GROUP BY source
+    """,
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency rollup per source shard: sequences used,
+    token fill ratio against the fixed budget, and how many documents
+    straddle a pack boundary — the batch-construction efficiency
+    numbers a training-infra owner watches (fill below ~95% wastes
+    accelerator steps; a high boundary-crossing share means the
+    consumer splits documents constantly and attention masks
+    fragment). Pure integer arithmetic over the same deterministic
+    assignment as ``q_doc_pack``; one window + a 20-row rollup."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    a = d.select(
+        "source",
+        "n_tokens",
+        (cum_before / PACK_BUDGET).cast("long").alias("pack_id"),
+        (cum_before % PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
+    return a.groupBy("source").agg(
+        (F.max("pack_id") + 1).cast("long").alias("n_packs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        ((F.max("pack_id") + 1) * PACK_BUDGET)
+        .cast("long")
+        .alias("capacity_tokens"),
+        F.expr(
+            f"CAST((1000000 * SUM(n_tokens))"
+            f" DIV ((MAX(pack_id) + 1) * {PACK_BUDGET}) AS BIGINT)"
+        ).alias("fill_ppm"),
+        F.sum(
+            F.when(
+                F.col("pack_offset") + F.col("n_tokens") > PACK_BUDGET, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_boundary_docs"),
+    )
