@@ -1142,3 +1142,52 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@query(
+    "q_repeat_rate",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST((1000000 * SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS repeat_ppm
+    FROM per_cust GROUP BY segment
+    """,
+)
+def q_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-customer rate per market segment: ordering customers
+    split into one-time vs repeat (2+ orders), with the repeat share
+    in ppm — the loyalty headline that pairs with the RFM cells
+    (``q_customer_rfm`` says who the segments are; this says how each
+    acquisition segment retains). One broadcast dim join + a
+    customer-keyed count + a 5-row rollup; exact integer ppm."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    per_cust = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("segment", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return per_cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0"
+            " END)) DIV COUNT(1) AS BIGINT)"
+        ).alias("repeat_ppm"),
+    )
