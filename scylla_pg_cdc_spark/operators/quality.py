@@ -291,3 +291,90 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_l_orderkey").cast("long").alias("max_order"),
         )
     )
+
+
+# Benford first-digit expectation log10(1 + 1/d), in exact ppm
+# (public constants, rounded half-up once here, used by both engines)
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_case_sql() -> str:
+    return (
+        "CASE first_digit "
+        + " ".join(
+            f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+        )
+        + " END"
+    )
+
+
+@query(
+    "q_benford_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS first_digit
+        FROM orders WHERE o_totalprice > 0
+    ), c AS (
+        SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(COUNT(*)) OVER () AS total
+        FROM d GROUP BY first_digit
+    )
+    SELECT first_digit, n,
+           CAST((1000000 * n) // total AS BIGINT) AS observed_ppm,
+           CAST({_benford_case_sql()} AS BIGINT) AS benford_ppm,
+           CAST(ABS((1000000 * n) // total - {_benford_case_sql()})
+                AS BIGINT) AS abs_dev_ppm
+    FROM c
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed first-digit
+    shares vs the Benford expectation log10(1+1/d) — the classic
+    fabricated-or-truncated-data tripwire for financial columns
+    (naturally-grown amounts follow Benford; capped, generated, or
+    hand-entered ones don't). Digits come from the exact integer cents
+    string, shares are exact ppm, and the expectation is a shared
+    integer constant table — no logarithm is evaluated at query time,
+    keeping the repo's no-libm portability rule. One digit-keyed
+    aggregation (9 groups); the deviation column is what a monitor
+    thresholds."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("first_digit")
+    )
+    c = d.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    total_w = Window.partitionBy()
+    bexpr = (
+        "CASE first_digit "
+        + " ".join(f"WHEN {dd} THEN {p}" for dd, p in _BENFORD_PPM.items())
+        + " END"
+    )
+    return (
+        c.withColumn("total", F.sum("n").over(total_w))
+        .select(
+            "first_digit",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST((1000000 * n) DIV total AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            F.expr(f"CAST({bexpr} AS BIGINT)").alias("benford_ppm"),
+            F.expr(
+                f"CAST(ABS((1000000 * n) DIV total - {bexpr}) AS BIGINT)"
+            ).alias("abs_dev_ppm"),
+        )
+    )
