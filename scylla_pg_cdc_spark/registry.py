@@ -107,7 +107,19 @@ def materialize_shared_ctes(sql: str) -> str:
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register ``fn`` as the builder for query ``name``."""
+    """Register ``fn`` as the builder for query ``name``.
+
+    Registration checklist (every new ``@query`` ships, in the SAME
+    commit, with):
+      1. an exact DuckDB oracle (or a documented rows-only omission),
+      2. ``python tools/check_oracle.py /root/testdata/sf{0.001,0.01,0.1} <name>``,
+      3. a refreshed ``tests/query_schemas.json`` via
+         ``python -c "from tests.test_contract_schemas import regenerate; regenerate()"``
+         — ``test_query_schemas_unchanged`` fails deterministically on a
+         stale snapshot (round-6 lesson: one missing entry made the
+         whole suite red),
+      4. an ``OPERATORS.md`` inventory line + count bump.
+    """
     if oracle is not None:
         oracle = materialize_shared_ctes(oracle)
 
