@@ -86,6 +86,14 @@ BUDGETS = {
     # two rank-select phases over a narrow pushed 2-col scan; the
     # tiny cut table joins back as a broadcast
     "q_length_band_filter": (10, 4, 0, True),
+    # prefix-filtered exact similarity twins: df rank + prefix
+    # self-join + pair distinct + array verify — every shuffle keyed
+    # and linear, NEVER the naive shared-shingle self-join shape
+    "q_text_ngram_jaccard_scaled": (12, 5, 0, True),
+    "q_shingle_containment_scaled": (13, 5, 0, True),
+    # banded candidates + prefix-filtered truth + ONE pair-key
+    # full-outer (the SMJ) + single-row metric agg
+    "q_lsh_precision_recall_scaled": (17, 6, 1, True),
 }
 
 
