@@ -255,6 +255,15 @@ def admit_epoch(
     return decisions
 
 
+def _epoch_num(name: str | None) -> int | None:
+    """Numeric id of an ``epoch-<n>`` marker (padded or not), else
+    None — epoch ordering must NEVER be a string compare (ADVICE r6:
+    'epoch-10' <= 'epoch-9' lexicographically)."""
+    if name and name.startswith("epoch-") and name[6:].isdigit():
+        return int(name[6:])
+    return None
+
+
 def _epoch_marker(state_dir: str) -> str | None:
     try:
         with open(os.path.join(state_dir, "_EPOCH")) as f:
@@ -336,8 +345,18 @@ def compact_dedup_state(
       manifest: afterwards readers use the new generation and skip
       the merged inputs even though they still exist on disk (no
       window where a state doc is visible twice or not at all);
-    - input deletion is post-commit cleanup — a crash before it only
-      leaves garbage a later run removes.
+    - input deletion is DEFERRED one generation: committing gen N
+      removes only gen N-1's pending_delete list, so a live
+      admit_epoch still scanning under the previous manifest never
+      has a dir deleted out from under it; a crash merely leaves
+      garbage the next commit removes.
+
+    Concurrency contract: safe beside the marker-gated streaming
+    pipeline (epoch-%09d markers, compared NUMERICALLY against the
+    committed ``state/_EPOCH``). Batch-driven/ad-hoc admitters
+    (auto ``b*`` or custom markers) publish no commit marker, so the
+    compactor cannot distinguish their in-flight dirs from committed
+    ones — do NOT run compaction concurrently with those.
 
     Returns {"merged": [...], "generation": n, "skipped": reason?}.
     """
@@ -350,17 +369,42 @@ def compact_dedup_state(
         os.path.basename(p)
         for p in _state_parts(state_dir, "buckets", None)
     ]
-    # never merge past the committed marker: epoch-* names sort with
-    # their ids, auto-numbered b* markers (batch-driven use) are
-    # committed by construction (admit_epoch returned)
-    mergeable = [
-        m
-        for m in candidates
-        if m.startswith("compacted-")
-        or not m.startswith("epoch-")
-        or (committed is not None and m <= committed)
-    ]
+    # never merge past the committed marker. Epoch ids compare
+    # NUMERICALLY (ADVICE r6: a lexicographic 'epoch-10' <= 'epoch-9'
+    # would let the compactor merge — then delete — an in-flight
+    # epoch dir under unpadded markers, and never compact unpadded
+    # committed epochs once ids reach 10+). Auto-numbered b* markers
+    # (batch-driven use) are committed by construction once
+    # admit_epoch RETURNS, but a compactor cannot see an in-flight
+    # one — hence the concurrency contract in the docstring: run
+    # compaction beside the marker-gated pipeline only, never beside
+    # a non-pipeline (b*/ad-hoc) admitter.
+    committed_n = _epoch_num(committed) if committed else None
+
+    def _merge_ok(m: str) -> bool:
+        if m.startswith("compacted-"):
+            return True
+        if not m.startswith("epoch-"):
+            return True  # b*/ad-hoc markers: see concurrency contract
+        n = _epoch_num(m)
+        return committed_n is not None and n is not None and n <= committed_n
+
+    mergeable = [m for m in candidates if _merge_ok(m)]
     if len(mergeable) < min_parts:
+        # still drain the previous commit's deferred deletions: a full
+        # generation (or at minimum this later compactor run) has
+        # passed since those dirs were delisted from the manifest
+        pend = man.get("pending_delete", [])
+        if pend:
+            for sub in ("buckets", "tokens"):
+                for m in pend:
+                    shutil.rmtree(
+                        os.path.join(state_dir, sub, m), ignore_errors=True
+                    )
+            tmp = os.path.join(state_dir, "_COMPACTION.tmp")
+            with open(tmp, "w") as f:
+                json.dump(dict(man, pending_delete=[]), f)
+            os.replace(tmp, os.path.join(state_dir, "_COMPACTION"))
         return {
             "merged": [],
             "generation": man["generation"],
@@ -391,7 +435,14 @@ def compact_dedup_state(
             ).write.mode("overwrite").partitionBy(pby).parquet(out)
         else:
             merged.write.mode("overwrite").parquet(out)
-    # COMMIT: one atomic manifest swap
+    # COMMIT: one atomic manifest swap. Inputs merged THIS generation
+    # go on the pending_delete list and are removed only when the NEXT
+    # generation commits (ADVICE r6: an admit_epoch that read the
+    # PREVIOUS manifest is still scanning the old epoch dirs and
+    # ignoring the new compacted-* dir — immediate deletion raced it
+    # into missing state or mid-scan file-not-found; one-generation
+    # deferral keeps every dir a stale-manifest reader can reference
+    # on disk until a full compaction cycle has passed).
     new_man = {
         "generation": gen,
         "compacted": [out_name],
@@ -399,15 +450,17 @@ def compact_dedup_state(
             set(man["covers"])
             | {m for m in mergeable if not m.startswith("compacted-")}
         ),
+        "pending_delete": sorted(mergeable),
     }
     tmp = os.path.join(state_dir, "_COMPACTION.tmp")
     with open(tmp, "w") as f:
         json.dump(new_man, f)
     os.replace(tmp, os.path.join(state_dir, "_COMPACTION"))
-    # post-commit cleanup (crash-tolerant: covered dirs are already
-    # invisible to readers)
+    # post-commit cleanup of the PREVIOUS generation's inputs only
+    # (crash-tolerant: they are invisible to every reader holding
+    # either of the last two manifests)
     for sub in ("buckets", "tokens"):
-        for m in mergeable:
+        for m in man.get("pending_delete", []):
             shutil.rmtree(os.path.join(state_dir, sub, m), ignore_errors=True)
     return {"merged": mergeable, "generation": gen}
 

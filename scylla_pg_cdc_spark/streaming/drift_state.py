@@ -155,6 +155,13 @@ def monitor_epoch(
         return _ks(
             _value_counts(batch).limit(0), _value_counts(batch).limit(0)
         )
+    # finish an interrupted swap FIRST: after a crash between the
+    # swap's two renames, ``_prev`` is the ONLY committed dir, and the
+    # generic rmtree(back) below must never delete a _prev without a
+    # live sibling (a second crash in that window would lose the whole
+    # drift history and silently bootstrap — ADVICE r6)
+    if not os.path.isdir(cdir) and os.path.isdir(cdir + "_prev"):
+        os.rename(cdir + "_prev", cdir)
     prev = _committed_counts_dir(state_dir)
     cur = _value_counts(batch)
     if prev is not None:

@@ -195,9 +195,21 @@ def test_compaction_interleaved_with_live_appender(spark, tmp_path):
             assert res["merged"], f"epoch {i}: nothing merged"
     assert got == want
     assert any(not v[0] for v in want.values())
-    # all epoch dirs merged away; exactly one live generation remains
-    # (gen 3: the epoch-0 run is skipped at min_parts=2, then three
-    # merges each fold the previous generation plus the new epoch)
+    # gen-3's inputs survive the commit by ONE generation (deferred
+    # deletion: a stale-manifest reader may still scan them), but the
+    # LIVE view is the single latest generation
+    from scylla_pg_cdc_spark.streaming.dedup_state import _state_parts
+
+    live = [os.path.basename(p) for p in _state_parts(comp, "buckets", None)]
+    assert live == ["compacted-000003"], live
+    subdirs = sorted(os.listdir(os.path.join(comp, "buckets")))
+    assert subdirs == [
+        "compacted-000002", "compacted-000003", "epoch-3",
+    ], subdirs
+    # a later compactor pass (even one with nothing to merge) drains
+    # the deferred deletions; exactly one generation dir remains
+    res = compact_dedup_state(spark, comp)
+    assert res["merged"] == []
     subdirs = sorted(os.listdir(os.path.join(comp, "buckets")))
     assert subdirs == ["compacted-000003"], subdirs
 
@@ -248,3 +260,35 @@ def test_compaction_crash_before_manifest_is_invisible(spark, tmp_path):
     }
     assert d2 == d2_ref
     assert any(not v[0] for v in d2.values())
+
+
+def test_compaction_epoch_compare_is_numeric(spark, tmp_path):
+    """Unpadded markers: with committed marker 'epoch-9', a
+    lexicographic guard would treat 'epoch-10' <= 'epoch-9' as
+    committed and merge (then delete) the in-flight epoch dir; the
+    numeric compare must merge epoch-9 only (ADVICE r6)."""
+    from scylla_pg_cdc_spark.streaming.dedup_state import (
+        _state_parts,
+        compact_dedup_state,
+    )
+
+    full = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    state = str(tmp_path / "state")
+    admit_epoch(
+        spark, state, full.filter(F.col("doc_id") % 2 == 0),
+        marker="epoch-9",
+    ).collect()
+    # epoch-10 is ON DISK but NOT committed (its admit is "in flight":
+    # no _EPOCH update)
+    admit_epoch(
+        spark, state, full.filter(F.col("doc_id") % 2 == 1),
+        marker="epoch-10",
+    ).collect()
+    with open(os.path.join(state, "_EPOCH"), "w") as f:
+        f.write("epoch-9")
+    res = compact_dedup_state(spark, state, min_parts=1)
+    assert res["merged"] == ["epoch-9"], res
+    live = [os.path.basename(p) for p in _state_parts(state, "buckets", None)]
+    assert "epoch-10" in live and "compacted-000001" in live

@@ -148,3 +148,39 @@ def test_prefix_filter_survives_boilerplate(spark):
         if 2 * c >= (na + nb - c)
     }
     assert (100, 101) in want and want <= set(got)
+
+
+def test_drift_fold_recovers_interrupted_swap(spark, tmp_path):
+    """Crash window between the swap's renames (ADVICE r6): with
+    ``counts`` missing and only ``counts_prev`` committed, the next
+    NEW-marker fold must first restore the live dir — same reports as
+    an uninterrupted twin, and no silent bootstrap losing history."""
+    import os
+
+    from scylla_pg_cdc_spark.streaming.drift_state import monitor_epoch
+
+    ev = load_table(spark, SF_SMALL, "events")
+    epochs = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    outs_a, outs_b = [], []
+    for i, e in enumerate(epochs):
+        outs_a.append(
+            sorted(
+                map(tuple, monitor_epoch(spark, a, e, f"m{i}").collect())
+            )
+        )
+        if i == 1:
+            # simulate the crash: live dir renamed away, promote of
+            # counts_next never happened (next is stale garbage)
+            os.rename(
+                os.path.join(b, "counts"), os.path.join(b, "counts_prev")
+            )
+        outs_b.append(
+            sorted(
+                map(tuple, monitor_epoch(spark, b, e, f"m{i}").collect())
+            )
+        )
+    assert outs_a == outs_b
+    assert any(outs_a[2]), "epoch 3 produced no drift rows"
+    assert not os.path.isdir(os.path.join(b, "counts_prev"))
