@@ -2404,3 +2404,302 @@ def q_lsh_precision_recall_scaled(
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle cost-face reports + containment collapse + MinHash calibration
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+"""
+
+
+@query(
+    "q_shingle_df_profile",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    dfc AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM sh GROUP BY shingle
+    )
+    SELECT CAST(length(bin(df)) AS BIGINT) AS df_band,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(MAX(df) AS BIGINT) AS max_df,
+           CAST(SUM(df) AS BIGINT) AS rows_total,
+           CAST(SUM(CAST(df AS HUGEINT) * (df - 1)) // 2 AS BIGINT)
+               AS pair_budget
+    FROM dfc GROUP BY df_band
+    """,
+)
+def q_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency profile in log2 bands (band =
+    bit-length of df) with the NAIVE candidate-pair budget
+    sum(df*(df-1)/2) per band — the Zipfian cost face of shared-
+    shingle joins: one glance shows whether the corpus carries hot
+    boilerplate shingles (high bands with huge pair budgets) and
+    therefore whether a naive exact verifier would go quadratic
+    (exactly what `prefix_jaccard_pairs` defuses). The per-band
+    budget is the same integer the LSH census `q_lsh_band_stats`
+    reports for buckets, here for raw shingles. df*(df-1) is widened
+    (Spark decimal(38,0) / DuckDB HUGEINT): bigint overflows once one
+    shingle reaches ~4.3e9 docs — see ENVELOPES.md. Plan: one
+    vocabulary-sized aggregation + a <=40-row band rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    dfc = (
+        shingles(docs, k=3)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return dfc.groupBy(
+        F.length(F.bin("df")).cast("long").alias("df_band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.max("df").cast("long").alias("max_df"),
+        F.sum("df").cast("long").alias("rows_total"),
+        F.expr(
+            "CAST(SUM(CAST(df AS DECIMAL(38,0)) * (df - 1)) / 2"
+            " AS BIGINT)"
+        ).alias("pair_budget"),
+    )
+
+
+@query(
+    "q_boilerplate_shingles",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    dfc AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM sh GROUP BY shingle
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    r AS (
+        SELECT shingle, df,
+               ROW_NUMBER() OVER (ORDER BY df DESC, shingle) AS rnk
+        FROM dfc
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, shingle, df,
+           CAST((1000000 * df) // n_docs AS BIGINT) AS df_share_ppm
+    FROM r, nd WHERE rnk <= 20
+    """,
+)
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-20 hottest shingles by document frequency, with the
+    share of the corpus containing each (ppm) — the DROP-LIST a
+    production dedup run feeds its DF-cap with (boilerplate
+    headers/footers/navigation chrome rank here; a shingle present in
+    30% of documents cannot decide a near-dup and only inflates
+    joins). Plan: vocabulary aggregation -> TakeOrderedAndProject
+    top-20 (never a global sort), then the 20-row frame gets its rank
+    window and the broadcast 1-row doc count."""
+    docs = load_table(spark, sf_dir, "documents")
+    dfc = (
+        shingles(docs, k=3)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    top = dfc.orderBy(F.desc("df"), "shingle").limit(20)
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.desc("df"), "shingle")
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(
+            "rnk",
+            "shingle",
+            F.col("df").cast("long").alias("df"),
+            F.expr(
+                "CAST((1000000 * df) DIV n_docs AS BIGINT)"
+            ).alias("df_share_ppm"),
+        )
+    )
+
+
+@query(
+    "q_containment_collapse",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ov AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    hits AS (
+        SELECT ov.doc_a, ov.doc_b, sa.n AS n_a, sb.n AS n_b
+        FROM ov
+        JOIN sz sa ON ov.doc_a = sa.doc_id
+        JOIN sz sb ON ov.doc_b = sb.doc_id
+        WHERE 5 * ov.c >= 4 * LEAST(sa.n, sb.n)
+    ),
+    victims AS (
+        SELECT CASE WHEN n_a < n_b THEN doc_a
+                    WHEN n_b < n_a THEN doc_b
+                    ELSE GREATEST(doc_a, doc_b) END AS doc_id
+        FROM hits
+    ),
+    vc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_containers
+        FROM victims GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(vc.n_containers, 0) AS n_containers,
+           vc.doc_id IS NULL AS is_kept
+    FROM documents d LEFT JOIN vc ON d.doc_id = vc.doc_id
+    """,
+)
+def q_containment_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotation/boilerplate-inclusion collapse: a doc 80%-contained
+    (by distinct-shingle containment) in a LARGER doc is dropped —
+    the asymmetric dedup policy Jaccard clustering cannot express (a
+    short doc quoted inside a long one never reaches a Jaccard
+    threshold; Broder's containment does). The smaller side of each
+    C>=0.8 pair loses (size tie -> larger doc_id loses, so the rule
+    is a total order and deterministic); the keep-list plus per-doc
+    container counts come back for every document. Pairs come from
+    the LOSSLESS asymmetric prefix filter
+    (``prefix_containment_pairs``), never the naive shared-shingle
+    join; the oracle replays the naive join, differentially proving
+    the blocking again."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_containment_pairs(shingles(docs, k=3), 4, 5).filter(
+        F.lit(5) * F.col("n_common") >= F.lit(4) * F.least("n_a", "n_b")
+    )
+    victims = pairs.select(
+        F.when(F.col("n_a") < F.col("n_b"), F.col("doc_a"))
+        .when(F.col("n_b") < F.col("n_a"), F.col("doc_b"))
+        .otherwise(F.greatest("doc_a", "doc_b"))
+        .alias("doc_id")
+    )
+    vc = victims.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_containers")
+    )
+    return (
+        docs.select("doc_id")
+        .join(vc.withColumn("hit", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_containers", F.lit(0))
+            .cast("long")
+            .alias("n_containers"),
+            F.coalesce(~F.col("hit"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN xa.sig{i} = xb.sig{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sigs AS (
+        SELECT doc_id,
+               MIN(substring(md5('0:' || shingle), 1, 8)) AS sig0,
+               MIN(substring(md5('0:' || shingle), 9, 8)) AS sig1,
+               MIN(substring(md5('0:' || shingle), 17, 8)) AS sig2,
+               MIN(substring(md5('0:' || shingle), 25, 8)) AS sig3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS sig4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS sig5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS sig6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS sig7
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(sig0 || '|' || sig1) AS bucket FROM sigs
+        UNION ALL
+        SELECT doc_id, 1, md5(sig2 || '|' || sig3) FROM sigs
+        UNION ALL
+        SELECT doc_id, 2, md5(sig4 || '|' || sig5) FROM sigs
+        UNION ALL
+        SELECT doc_id, 3, md5(sig6 || '|' || sig7) FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l
+        JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket
+         AND l.doc_id < r.doc_id
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sh GROUP BY doc_id),
+    ov AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    m AS (
+        SELECT ({agree}) AS n_agree,
+               COALESCE(ov.c, 0) AS c, sa.n AS n_a, sb.n AS n_b
+        FROM cand cd
+        JOIN sigs xa ON cd.doc_a = xa.doc_id
+        JOIN sigs xb ON cd.doc_b = xb.doc_id
+        JOIN sz sa ON cd.doc_a = sa.doc_id
+        JOIN sz sb ON cd.doc_b = sb.doc_id
+        LEFT JOIN ov ON ov.doc_a = cd.doc_a AND ov.doc_b = cd.doc_b
+    )
+    SELECT CAST(n_agree AS BIGINT) AS n_agree,
+           CAST((10 * c) // (n_a + n_b - c) AS BIGINT) AS jac_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM m GROUP BY n_agree, jac_decile
+    """
+
+
+@query("q_minhash_jaccard_calibration", oracle=_minhash_calibration_sql())
+def q_minhash_jaccard_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash CALIBRATION matrix over the LSH candidate set:
+    (signature-agreement count 0..8) x (exact Jaccard decile 0..10)
+    -> pair counts. E[agreement/8] = J, so mass far off the diagonal
+    means the 8-hash signature is too coarse for the corpus — the
+    measured basis for choosing N_HASHES/band shape, completing the
+    tuning-evidence trio with `q_lsh_precision_recall` (candidate
+    quality) and `q_lsh_band_stats` (cost). Exact overlaps are
+    CANDIDATE-SCOPED via `_exact_pair_counts` (arrays + one pair-key
+    join — never the naive shared-shingle join), so the whole
+    evaluation is LSH-output-bounded at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3)
+    sigs = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    agree = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+    )
+    exact = _exact_pair_counts(cand, sh)
+    return (
+        agree.join(exact, ["doc_a", "doc_b"])
+        .select(
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.expr(
+                "CAST((10 * n_common) DIV (n_a + n_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jac_decile"),
+        )
+        .groupBy("n_agree", "jac_decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -94,6 +94,13 @@ BUDGETS = {
     # banded candidates + prefix-filtered truth + ONE pair-key
     # full-outer (the SMJ) + single-row metric agg
     "q_lsh_precision_recall_scaled": (17, 6, 1, True),
+    # vocabulary agg + <=40-row band rollup, no sorts
+    "q_shingle_df_profile": (3, 0, 0, False),
+    # asymmetric prefix blocking + keep-list join-back
+    "q_containment_collapse": (15, 5, 1, True),
+    # candidate-scoped calibration: sig joins + array verify, never
+    # a naive shingle self-join
+    "q_minhash_jaccard_calibration": (13, 6, 1, True),
 }
 
 
@@ -148,6 +155,9 @@ def test_plan_budget(spark, name):
             # q_funnel_windowed: three SINGLE-ROW stage aggregates
             # stitched with crossJoin(broadcast(...))
             "q_funnel_windowed",
+            # q_boilerplate_shingles: the 1-row corpus doc count
+            # attached to a 20-row top-k frame
+            "q_boilerplate_shingles",
         )
     ),
 )

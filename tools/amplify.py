@@ -4,6 +4,18 @@ FULL differential gate can run at amplified scale:
     python tools/amplify.py [src_sf_dir] [dst_dir] [n_copies] [tables]
     python tools/check_oracle.py /tmp/amp10            # 10x gate
 
+``--boilerplate=P`` (anywhere on the command line) additionally
+prepends a fixed 12-token header to P% of documents (deterministic:
+``doc_id % 100 < P``; the header tokens are NOT per-copy suffixed, so
+they are corpus-wide hot shingles). Synthetic amplification otherwise
+has benign shingle document-frequency — real web corpora share
+boilerplate headers/footers, and THAT is what makes naive
+shared-shingle self-joins quadratic (VERDICT r6 "What's wrong #2").
+The skewed set gates the prefix-filtered similarity family:
+
+    python tools/amplify.py /root/testdata/sf0.1 /tmp/amp10z 10 \\
+        documents --boilerplate=20
+
 ``tables`` (optional comma list) amplifies only those fact tables —
 the 100x text/ANN sweep amplifies documents,embeddings alone and
 borrows the rest from the 10x build, keeping the dataset buildable
@@ -58,8 +70,15 @@ def _union(parts: list[DataFrame]) -> DataFrame:
     return out
 
 
+BOILER_TOKENS = 12
+
+
 def amplify(
-    src: str, dst: str, n: int, tables: set[str] | None = None
+    src: str,
+    dst: str,
+    n: int,
+    tables: set[str] | None = None,
+    boiler_pct: int = 0,
 ) -> None:
     spark = get_session()
     shutil.rmtree(dst, ignore_errors=True)
@@ -171,23 +190,41 @@ def amplify(
 
     if wanted("documents"):
         docs = load_table(spark, src, "documents")
-        write(
-            _union([
-                docs.select(
-                    off("doc_id", i),
-                    F.array_join(
-                        F.transform(
-                            F.split("text", " "),
-                            lambda t, i=i: F.concat(t, F.lit(f"_c{i}")),
-                        ),
-                        " ",
-                    ).alias("text"),
-                    "lang", "source", "n_chars",
+        amp_docs = _union([
+            docs.select(
+                off("doc_id", i),
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t, i=i: F.concat(t, F.lit(f"_c{i}")),
+                    ),
+                    " ",
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+            for i in range(n)
+        ])
+        if boiler_pct:
+            # corpus-wide hot shingles: the header is shared across
+            # copies (NO per-copy suffix) and hits the same docs in
+            # every copy (doc_id % 100 is offset-invariant: OFF % 100
+            # == 0); n_chars keeps its length(text) invariant
+            header = " ".join(f"bp{j}" for j in range(BOILER_TOKENS))
+            hit = (F.col("doc_id") % 100) < boiler_pct
+            amp_docs = amp_docs.select(
+                "doc_id",
+                F.when(
+                    hit, F.concat(F.lit(header + " "), F.col("text"))
                 )
-                for i in range(n)
-            ]),
-            "documents",
-        )
+                .otherwise(F.col("text"))
+                .alias("text"),
+                "lang",
+                "source",
+            ).select(
+                "doc_id", "text", "lang", "source",
+                F.length("text").cast("long").alias("n_chars"),
+            )
+        write(amp_docs, "documents")
 
     emb = load_table(spark, src, "embeddings")
     if wanted("embeddings"):
@@ -210,8 +247,15 @@ def amplify(
 
 
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/amp10"
-    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    tables = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
-    amplify(src, dst, n, tables)
+    boiler_pct = 0
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--boilerplate="):
+            boiler_pct = int(a.split("=", 1)[1])
+        else:
+            argv.append(a)
+    src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    dst = argv[1] if len(argv) > 1 else "/tmp/amp10"
+    n = int(argv[2]) if len(argv) > 2 else 10
+    tables = set(argv[3].split(",")) if len(argv) > 3 else None
+    amplify(src, dst, n, tables, boiler_pct)
