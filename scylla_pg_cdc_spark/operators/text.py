@@ -2703,3 +2703,174 @@ def q_minhash_jaccard_calibration(
         .groupBy("n_agree", "jac_decile")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+_NAIVE_CONFIRMED_PAIRS_SQL = """
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        ) WHERE length(shingle) > 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), ovl AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT o.doc_a, o.doc_b
+        FROM ovl o
+        JOIN sizes sa ON o.doc_a = sa.doc_id
+        JOIN sizes sb ON o.doc_b = sb.doc_id
+        WHERE o.n_common * 1.0 / (sa.n + sb.n - o.n_common) > 0.8
+    )
+"""
+
+
+@query(
+    "q_cross_source_dup_matrix",
+    oracle=f"""
+    WITH {_NAIVE_CONFIRMED_PAIRS_SQL}
+    SELECT LEAST(da.source, db.source) AS src_lo,
+           GREATEST(da.source, db.source) AS src_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY src_lo, src_hi
+    """,
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH feeds duplicate each other: confirmed near-dup pairs
+    (J > 0.8, the prefix-filtered confirm) cross-tabulated by
+    unordered source pair. The diagonal (src_lo = src_hi) is
+    within-feed duplication (re-crawls, template farms); off-diagonal
+    mass means two feeds overlap and one of them is mostly paying
+    storage for the other — the report that decides which source to
+    drop, upstream of any per-source dedup-rate number. Plan:
+    pair-keyed joins to a 2-column doc projection + a <=|sources|^2
+    rollup; the oracle replays the naive shared-shingle pair set, so
+    the matrix is one more differential proof of the lossless
+    blocking."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = confirmed_neardup_pairs(spark, sf_dir)
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("source_a", "source_b").alias("src_lo"),
+            F.greatest("source_a", "source_b").alias("src_hi"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+@query(
+    "q_dedup_cluster_profile",
+    oracle=f"""
+    WITH RECURSIVE {_NAIVE_CONFIRMED_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(doc_id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc_id, e.b FROM reach r JOIN edges e ON e.a = r.lbl
+    ), clusters AS (
+        SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
+    ), sz AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(length(bin(n)) AS BIGINT) AS size_band,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(MAX(n) AS BIGINT) AS largest,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS removable_docs
+    FROM sz GROUP BY size_band
+    """,
+)
+def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE census in log2 bands (band = bit-length
+    of cluster size): clusters, docs, the largest cluster, and the
+    docs dedup would remove per band — the shape report that
+    separates a corpus of scattered pair-dups (band 2) from a
+    template farm (one giant band-10+ cluster, where pair
+    materialization itself goes quadratic and collapse-first
+    strategies apply, cf. q_embed_neardup_collapsed). Composes the
+    prefix-filtered confirm + the same bounded component resolution
+    as q_text_neardup_dedup; the oracle solves components with the
+    recursive-CTE closure over the naive pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = confirmed_neardup_pairs(spark, sf_dir)
+    clusters = resolve_dedup_clusters(pairs, docs)
+    sz = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sz.groupBy(
+        F.length(F.bin("n")).cast("long").alias("size_band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.max("n").cast("long").alias("largest"),
+        (F.sum("n") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("removable_docs"),
+    )
+
+
+@query(
+    "q_tokenizer_compression",
+    oracle="""
+    WITH t AS (
+        SELECT lang, source,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> length(x) > 0)) AS BIGINT) AS n_words
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS words_total,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST((1000000 * SUM(n_chars)) // SUM(n_words) AS BIGINT)
+               AS chars_per_word_ppm
+    FROM t GROUP BY lang, source
+    """,
+)
+def q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chars-per-word by (lang, source) in exact ppm — the
+    tokenizer-budget face of corpus curation: training cost is priced
+    in TOKENS but storage and crawling in BYTES, and the ratio varies
+    by language and feed (a source whose ratio spikes is markup-heavy
+    or long-word spam; across languages it calibrates per-language
+    token budgets). Narrow 4-column projection, one rollup, nothing
+    shuffles twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    ).cast("long")
+    t = docs.select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_words.alias("n_words"),
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words_total"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.expr(
+            "CAST((1000000 * SUM(n_chars)) DIV SUM(n_words) AS BIGINT)"
+        ).alias("chars_per_word_ppm"),
+    )

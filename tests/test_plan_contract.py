@@ -101,6 +101,10 @@ BUDGETS = {
     # candidate-scoped calibration: sig joins + array verify, never
     # a naive shingle self-join
     "q_minhash_jaccard_calibration": (13, 6, 1, True),
+    # prefix confirm + two pair-keyed source joins + matrix rollup
+    "q_cross_source_dup_matrix": (13, 7, 0, True),
+    # narrow 4-col projection, ONE rollup shuffle
+    "q_tokenizer_compression": (1, 0, 0, False),
 }
 
 
