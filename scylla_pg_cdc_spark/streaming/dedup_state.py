@@ -272,11 +272,32 @@ def _epoch_marker(state_dir: str) -> str | None:
         return None
 
 
+def maybe_compact_dedup_state(
+    spark: SparkSession, state_dir: str, epoch_threshold: int = 8
+) -> dict:
+    """Cadenced compaction: run ``compact_dedup_state`` only once the
+    number of LIVE un-merged state parts reaches ``epoch_threshold`` —
+    the epoch-count analog of the LSM compactor's per-bucket file
+    threshold (`lsm_state.py:buckets_needing_compaction`). Keeps
+    ``admit_epoch``'s read fan-in bounded at O(threshold) while
+    amortizing the merge cost over that many epochs; cheap enough to
+    call after EVERY committed epoch."""
+    live = len(_state_parts(state_dir, "buckets", None))
+    if live < epoch_threshold:
+        return {
+            "merged": [],
+            "generation": _compaction_manifest(state_dir)["generation"],
+            "skipped": f"{live} live parts < threshold {epoch_threshold}",
+        }
+    return compact_dedup_state(spark, state_dir)
+
+
 def run_dedup_pipeline(
     spark: SparkSession,
     docs_dir: str,
     work_dir: str,
     max_files_per_trigger: int = 1,
+    compact_every: int | None = None,
 ) -> dict[str, str]:
     """Streaming greedy dedup admission: readStream over a directory
     of document parquet files -> foreachBatch(admit_epoch) with the
@@ -286,7 +307,13 @@ def run_dedup_pipeline(
     restart with the same checkpoint is a no-op; a crash-replayed
     epoch recomputes against exactly the prior-epoch state (see module
     docstring). ``max_files_per_trigger=1`` gives per-file epochs —
-    the tightest greedy granularity a file stream offers."""
+    the tightest greedy granularity a file stream offers.
+    ``compact_every=N`` runs the cadenced compactor after each
+    committed epoch (merge fires when N live parts accumulate), so a
+    long-lived deployment's read fan-in stays O(N) without any
+    external scheduler — the compaction runs AFTER the marker commit,
+    exactly the between-epochs point the interleaved-appender test
+    exercises."""
     state_dir = os.path.join(work_dir, "state")
     dec_dir = os.path.join(work_dir, "decisions")
     checkpoint = os.path.join(work_dir, "checkpoint")
@@ -310,6 +337,8 @@ def run_dedup_pipeline(
         os.makedirs(state_dir, exist_ok=True)
         with open(os.path.join(state_dir, "_EPOCH"), "w") as f:
             f.write(marker)
+        if compact_every:
+            maybe_compact_dedup_state(spark, state_dir, compact_every)
 
     q = (
         stream.writeStream.foreachBatch(process)

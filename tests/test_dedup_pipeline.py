@@ -292,3 +292,29 @@ def test_compaction_epoch_compare_is_numeric(spark, tmp_path):
     assert res["merged"] == ["epoch-9"], res
     live = [os.path.basename(p) for p in _state_parts(state, "buckets", None)]
     assert "epoch-10" in live and "compacted-000001" in live
+
+
+def test_pipeline_with_compaction_cadence_matches_baseline(
+    spark, tmp_path
+):
+    """compact_every wires the cadenced compactor INTO the streaming
+    pipeline (after each marker commit): decisions must equal the
+    uncompacted pipeline's exactly, and the state's live read fan-in
+    stays bounded by the threshold."""
+    from scylla_pg_cdc_spark.streaming.dedup_state import _state_parts
+
+    docs_dir = _split_docs_dir(spark, tmp_path, n_splits=4)
+    base = run_dedup_pipeline(spark, docs_dir, str(tmp_path / "wb"))
+    comp = run_dedup_pipeline(
+        spark, docs_dir, str(tmp_path / "wc"), compact_every=2
+    )
+    key = lambda out: {  # noqa: E731
+        r["doc_id"]: (r["is_new"], r["n_matches"], r["epoch_id"])
+        for r in read_decisions(spark, out["decisions"]).collect()
+    }
+    assert key(comp) == key(base)
+    live = _state_parts(comp["state"], "buckets", None)
+    assert 0 < len(live) <= 2, live
+    assert any(
+        os.path.basename(p).startswith("compacted-") for p in live
+    )
