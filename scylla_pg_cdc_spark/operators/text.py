@@ -2306,7 +2306,23 @@ def q_text_ngram_jaccard_scaled(
     the prefix is ~0.8n, but the excluded 0.2n are each doc's
     HOTTEST shingles — exactly the boilerplate 3-grams that make the
     naive join quadratic on Zipfian text (a doc's output pair count
-    is still inherently bounded by its true >0.2 neighbors)."""
+    is still inherently bounded by its true >0.2 neighbors).
+
+    Cost model (measured, SCALE.md round 7): candidates scale
+    LINEARLY with corpus copies (498k at sf0.1 -> 4.98M at 10x), but
+    any exact verify pays ~|S| bytes per candidate, so a LOW
+    threshold on a high-overlap corpus is CANDIDATE-bound — at 100x
+    synthetic (50M candidates x two ~1.6 KB shingle arrays) the
+    verify spill exceeds local disk. That is the data's property,
+    not the plan's (same doctrine as q_embed_neardup at 100x): at
+    extreme scale run low-t exploration per shard / via LSH
+    (q_text_minhash_dedup), and reserve the exact twin for t >= 0.5
+    where the prefix is short (t=0.8: 12.8k candidates at sf0.1,
+    128k at 10x — the shape every composer uses). On Zipfian-DF
+    corpora the naive form is not an alternative at ANY threshold
+    (it OOMs on the 100%-boilerplate set); on benign-DF corpora at
+    low t the naive pair-count join is the cheaper verifier —
+    q_shingle_df_profile is the report that decides which to run."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = prefix_jaccard_pairs(shingles(docs, k=3), 2, 10)
     return (
