@@ -1191,3 +1191,92 @@ def q_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END)) DIV COUNT(1) AS BIGINT)"
         ).alias("repeat_ppm"),
     )
+
+
+@query(
+    "q_weekly_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS day_of_week,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN value IS NOT NULL
+                    THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY day_of_week, hour_of_day
+    """,
+)
+def q_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day traffic heatmap: events, distinct
+    users, exact cent totals per cell — the WEEKLY face of
+    ``q_hourly_profile`` (weekday-vs-weekend structure that a pure
+    hour profile averages away; capacity planning and anomaly
+    baselines read this matrix). Day numbering is portable by
+    construction: Spark's dayofweek is 1-based Sunday, DuckDB's
+    0-based Sunday, so Spark emits ``dayofweek(ts) - 1``. One hash
+    aggregation on a <=168-cell key — map-side combine bounds the
+    shuffle at any corpus size (COUNT DISTINCT adds the standard
+    expand pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - F.lit(1)).cast("long").alias("day_of_week"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
+@query(
+    "q_basket_profile",
+    oracle="""
+    WITH c AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(length(bin(c.n_items)) AS BIGINT) AS size_band,
+           o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(c.n_items) AS BIGINT) AS items_total,
+           CAST(MAX(c.n_items) AS BIGINT) AS max_items
+    FROM c JOIN orders o ON c.l_orderkey = o.o_orderkey
+    GROUP BY size_band, o.o_orderstatus
+    """,
+)
+def q_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution in log2 bands crossed with order
+    status: how many line items an order carries, and whether fat
+    baskets skew toward open/fulfilled states — the order-shape census
+    a fulfillment planner and a join-skew analyst both read (the max
+    band bounds the per-key fan-in of any order-grain join). Plan:
+    one map-side-combined count per order, then a broadcast-scale
+    status join and a <=10x3-cell rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return (
+        c.join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+            ),
+            "l_orderkey",
+        )
+        .groupBy(
+            F.length(F.bin("n_items")).cast("long").alias("size_band"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").cast("long").alias("items_total"),
+            F.max("n_items").cast("long").alias("max_items"),
+        )
+    )

@@ -2890,3 +2890,87 @@ def q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * SUM(n_chars)) DIV SUM(n_words) AS BIGINT)"
         ).alias("chars_per_word_ppm"),
     )
+
+
+@query(
+    "q_prefix_blocking_stats",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    dfc AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM sh GROUP BY shingle
+    ),
+    rk AS (
+        SELECT s.doc_id, s.shingle,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                  ORDER BY d.df, s.shingle) AS pos,
+               COUNT(*) OVER (PARTITION BY s.doc_id) AS n
+        FROM sh s JOIN dfc d USING (shingle)
+    ),
+    pg AS (
+        SELECT shingle,
+               CAST(COUNT(*) AS BIGINT) AS total_rows,
+               CAST(SUM(CASE WHEN pos <= n - ((8 * n + 9) // 10) + 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS pcnt
+        FROM rk GROUP BY shingle
+    )
+    SELECT CAST(SUM(total_rows) AS BIGINT) AS shingle_rows,
+           CAST(SUM(pcnt) AS BIGINT) AS prefix_rows,
+           CAST((1000000 * SUM(pcnt)) // SUM(total_rows) AS BIGINT)
+               AS prefix_share_ppm,
+           CAST(SUM(CASE WHEN pcnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS blocking_shingles,
+           CAST(MAX(pcnt) AS BIGINT) AS max_block,
+           CAST(SUM(CAST(pcnt AS HUGEINT) * (pcnt - 1)) // 2 AS BIGINT)
+               AS candidate_budget
+    FROM pg
+    """,
+)
+def q_prefix_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-cost census of the prefix filter at the composer
+    threshold (t = 8/10): how many shingle rows survive into the
+    prefix (share in ppm), how many distinct shingles actually block,
+    the largest blocking group, and the candidate budget
+    sum(cnt*(cnt-1)/2) over PREFIX groups — the direct, queryable
+    measurement that prefix blocking bounded the join
+    (`q_shingle_df_profile` reports the same budget for the NAIVE
+    join; the gap between the two numbers is the filter's win, and a
+    max_block that tracks max_df means the corpus needs a DF-cap on
+    top). Plan: one df aggregation, one per-doc rank window, one
+    per-shingle rollup, one single-row census — no joins between big
+    sides, nothing quadratic anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3)
+    df_sh = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_sh, "shingle").select(
+        "shingle",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "shingle"))
+        .alias("pos"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id"))
+        .alias("n"),
+    )
+    pg = ranked.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(
+            F.when(
+                F.col("pos") <= F.expr("n - ((8 * n + 9) DIV 10) + 1"), 1
+            ).otherwise(0)
+        ).alias("pcnt"),
+    )
+    return pg.agg(
+        F.sum("total_rows").cast("long").alias("shingle_rows"),
+        F.sum("pcnt").cast("long").alias("prefix_rows"),
+        F.expr(
+            "CAST((1000000 * SUM(pcnt)) DIV SUM(total_rows) AS BIGINT)"
+        ).alias("prefix_share_ppm"),
+        F.sum(F.when(F.col("pcnt") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("blocking_shingles"),
+        F.max("pcnt").cast("long").alias("max_block"),
+        F.expr(
+            "CAST(SUM(CAST(pcnt AS DECIMAL(38,0)) * (pcnt - 1)) / 2"
+            " AS BIGINT)"
+        ).alias("candidate_budget"),
+    )

@@ -105,6 +105,12 @@ BUDGETS = {
     "q_cross_source_dup_matrix": (13, 7, 0, True),
     # narrow 4-col projection, ONE rollup shuffle
     "q_tokenizer_compression": (1, 0, 0, False),
+    # <=168-cell heatmap: agg shuffle + COUNT DISTINCT expand
+    "q_weekly_heatmap": (2, 0, 0, False),
+    # per-order count + broadcast status join + tiny rollup
+    "q_basket_profile": (2, 1, 0, True),
+    # df agg + per-doc rank window + per-shingle rollup + 1-row census
+    "q_prefix_blocking_stats": (6, 1, 0, False),
 }
 
 
