@@ -745,3 +745,73 @@ def q_cdc_traffic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("key").alias("n_keys"),
         )
     )
+
+
+@query(
+    "q_cdc_key_churn",
+    oracle="""
+    WITH ch AS (
+        SELECT user_id AS key,
+               CASE WHEN event_type = 'error' THEN 'DELETE'
+                    ELSE 'UPSERT' END AS op,
+               CAST(epoch_ms(ts) AS BIGINT) AS commit_ms,
+               event_id
+        FROM events
+    ), ranked AS (
+        SELECT key, op,
+               ROW_NUMBER() OVER (
+                   PARTITION BY key
+                   ORDER BY commit_ms DESC, event_id DESC
+               ) AS rn
+        FROM ch
+    ), per_key AS (
+        SELECT key,
+               CAST(COUNT(*) AS BIGINT) AS n_ops,
+               CAST(SUM(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deletes,
+               MAX(CASE WHEN rn = 1 THEN op END) AS last_op
+        FROM ranked GROUP BY key
+    )
+    SELECT CAST(length(bin(n_ops)) AS BIGINT) AS churn_band,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_ops) AS BIGINT) AS events_total,
+           CAST(SUM(n_deletes) AS BIGINT) AS deletes_total,
+           CAST(SUM(CASE WHEN last_op = 'DELETE' THEN 1 ELSE 0 END)
+                AS BIGINT) AS dead_keys,
+           CAST(SUM(n_ops) - COUNT(*) AS BIGINT) AS redundant_events
+    FROM per_key GROUP BY churn_band
+    """,
+)
+def q_cdc_key_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-churn census over the change stream in log2 bands (band =
+    bit-length of ops-per-key): keys, total events, tombstones,
+    keys whose LAST op is a delete (dead at compaction), and the
+    redundant rows upsert compaction removes (events - keys) — the
+    report that prices compaction before running it (a band-10 tail
+    means hot keys dominate the state; ``redundant_events`` IS the
+    LSM compactor's win, cf. `streaming/lsm_state.py`). The
+    last-writer pick uses the same (commit_ms, event_id) total order
+    as ``compact_latest``, mirrored with MAX_BY over the identical
+    tuple in DuckDB. Plan: one per-key aggregation (max_by carries
+    the last op without a window), one <=20-row band rollup."""
+    ch = as_change_stream(load_table(spark, sf_dir, "events"))
+    per_key = ch.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0)).alias(
+            "n_deletes"
+        ),
+        F.expr("max_by(op, struct(commit_ms, event_id))").alias("last_op"),
+    )
+    return per_key.groupBy(
+        F.length(F.bin("n_ops")).cast("long").alias("churn_band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_ops").cast("long").alias("events_total"),
+        F.sum("n_deletes").cast("long").alias("deletes_total"),
+        F.sum(F.when(F.col("last_op") == "DELETE", 1).otherwise(0))
+        .cast("long")
+        .alias("dead_keys"),
+        (F.sum("n_ops") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("redundant_events"),
+    )

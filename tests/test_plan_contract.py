@@ -111,6 +111,8 @@ BUDGETS = {
     "q_basket_profile": (2, 1, 0, True),
     # df agg + per-doc rank window + per-shingle rollup + 1-row census
     "q_prefix_blocking_stats": (6, 1, 0, False),
+    # per-key max_by agg + <=20-row band rollup
+    "q_cdc_key_churn": (2, 0, 0, False),
 }
 
 
