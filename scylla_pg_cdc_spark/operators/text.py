@@ -2974,3 +2974,63 @@ def q_prefix_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("candidate_budget"),
     )
+
+
+@query(
+    "q_text_ngram_jaccard_sharded",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE source = 'src6')
+        ) WHERE length(shingle) > 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), ovl AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT o.doc_a, o.doc_b, o.n_common,
+           o.n_common * 1.0 / (sa.n + sb.n - o.n_common) AS jaccard
+    FROM ovl o
+    JOIN sizes sa ON o.doc_a = sa.doc_id
+    JOIN sizes sb ON o.doc_b = sb.doc_id
+    WHERE o.n_common * 1.0 / (sa.n + sb.n - o.n_common) > 0.2
+    """,
+)
+def q_text_ngram_jaccard_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION shape for low-threshold exact Jaccard at
+    extreme scale: the prefix-filtered verifier scoped to ONE shard
+    (source = 'src6' — a shard the synthetic corpus gives within-shard
+    near-dups, so the check is non-vacuous) — the same move `q_jaccard_prefix_join` makes
+    for token sets, registered here so the corpus-wide twin's
+    documented candidate bound (SCALE.md round 7: ~50M candidates x
+    two shingle arrays exceeds spill disk at 100x) has an in-tree
+    answer rather than advice. Candidate count scales with the
+    SHARD, not the corpus (run one job per shard; near-dups across
+    shards at J>0.2 are what the corpus-wide LSH path is for). Same
+    prefix blocking, same float threshold, same naive-join oracle —
+    one more differential losslessness proof, per shard."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src6"
+    )
+    pairs = prefix_jaccard_pairs(shingles(docs, k=3), 2, 10)
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0.2)
+    )

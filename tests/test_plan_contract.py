@@ -113,6 +113,8 @@ BUDGETS = {
     "q_prefix_blocking_stats": (6, 1, 0, False),
     # per-key max_by agg + <=20-row band rollup
     "q_cdc_key_churn": (2, 0, 0, False),
+    # shard-scoped low-t prefix verify; source filter pushed to scan
+    "q_text_ngram_jaccard_sharded": (12, 5, 0, True),
 }
 
 
