@@ -791,8 +791,10 @@ def q_cdc_key_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     means hot keys dominate the state; ``redundant_events`` IS the
     LSM compactor's win, cf. `streaming/lsm_state.py`). The
     last-writer pick uses the same (commit_ms, event_id) total order
-    as ``compact_latest``, mirrored with MAX_BY over the identical
-    tuple in DuckDB. Plan: one per-key aggregation (max_by carries
+    as ``compact_latest``; the DuckDB oracle expresses it as
+    ROW_NUMBER() OVER (ORDER BY commit_ms DESC, event_id DESC) with
+    rn = 1 — equivalent to max_by over that tuple because event_id is
+    unique. Plan: one per-key aggregation (max_by carries
     the last op without a window), one <=20-row band rollup."""
     ch = as_change_stream(load_table(spark, sf_dir, "events"))
     per_key = ch.groupBy("key").agg(

@@ -375,10 +375,18 @@ def compact_dedup_state(
       the merged inputs even though they still exist on disk (no
       window where a state doc is visible twice or not at all);
     - input deletion is DEFERRED one generation: committing gen N
-      removes only gen N-1's pending_delete list, so a live
-      admit_epoch still scanning under the previous manifest never
-      has a dir deleted out from under it; a crash merely leaves
-      garbage the next commit removes.
+      removes only gen N-1's pending_delete list (deleted just BEFORE
+      the gen-N manifest swap — those dirs are invisible to readers
+      of both the N-1 and N manifests, and doing it pre-swap means a
+      crash at any point leaves them either on disk and still listed,
+      or gone and about to be delisted — never orphaned unlisted
+      garbage); a live admit_epoch still scanning under the previous
+      manifest never has a dir deleted out from under it. The
+      no-merge drain path additionally requires the committed epoch
+      marker to have ADVANCED past the one recorded at the delisting
+      commit (``pending_delete_epoch``) — proof that the admit that
+      could have been mid-scan under the stale manifest has finished
+      — before it removes anything.
 
     Concurrency contract: safe beside the marker-gated streaming
     pipeline (epoch-%09d markers, compared NUMERICALLY against the
@@ -420,11 +428,21 @@ def compact_dedup_state(
 
     mergeable = [m for m in candidates if _merge_ok(m)]
     if len(mergeable) < min_parts:
-        # still drain the previous commit's deferred deletions: a full
-        # generation (or at minimum this later compactor run) has
-        # passed since those dirs were delisted from the manifest
+        # drain the previous commit's deferred deletions ONLY once the
+        # committed epoch marker has advanced past the one recorded at
+        # that commit (ADVICE r7: an admit that loaded the pre-commit
+        # manifest can still be mid-scan right after the commit; a
+        # newer committed epoch proves it finished). Legacy manifests
+        # or non-epoch markers record no epoch -> leave the drain to
+        # the next real commit's one-generation deferral.
         pend = man.get("pending_delete", [])
-        if pend:
+        pend_epoch = man.get("pending_delete_epoch")
+        if (
+            pend
+            and pend_epoch is not None
+            and committed_n is not None
+            and committed_n > pend_epoch
+        ):
             for sub in ("buckets", "tokens"):
                 for m in pend:
                     shutil.rmtree(
@@ -432,7 +450,10 @@ def compact_dedup_state(
                     )
             tmp = os.path.join(state_dir, "_COMPACTION.tmp")
             with open(tmp, "w") as f:
-                json.dump(dict(man, pending_delete=[]), f)
+                json.dump(
+                    dict(man, pending_delete=[], pending_delete_epoch=None),
+                    f,
+                )
             os.replace(tmp, os.path.join(state_dir, "_COMPACTION"))
         return {
             "merged": [],
@@ -464,6 +485,19 @@ def compact_dedup_state(
             ).write.mode("overwrite").partitionBy(pby).parquet(out)
         else:
             merged.write.mode("overwrite").parquet(out)
+    # Drain the PREVIOUS generation's inputs BEFORE the manifest swap
+    # (ADVICE r7: deleting after the swap left a crash window in which
+    # gen N-1's pending list was already replaced in the new manifest
+    # yet its dirs survived on disk, referenced by no manifest — never
+    # collectable). Pre-swap is equally safe: those dirs were delisted
+    # by manifest N-1, so they are invisible to readers of both the
+    # N-1 manifest (the newest any live reader can hold) and the N
+    # manifest about to commit. Crash here = dirs gone but still
+    # listed in N-1's pending_delete; the next commit or epoch-guarded
+    # drain rmtree's them as a no-op and clears the list.
+    for sub in ("buckets", "tokens"):
+        for m in man.get("pending_delete", []):
+            shutil.rmtree(os.path.join(state_dir, sub, m), ignore_errors=True)
     # COMMIT: one atomic manifest swap. Inputs merged THIS generation
     # go on the pending_delete list and are removed only when the NEXT
     # generation commits (ADVICE r6: an admit_epoch that read the
@@ -472,6 +506,10 @@ def compact_dedup_state(
     # into missing state or mid-scan file-not-found; one-generation
     # deferral keeps every dir a stale-manifest reader can reference
     # on disk until a full compaction cycle has passed).
+    # pending_delete_epoch records the committed epoch AT THIS COMMIT
+    # so the no-merge drain path can prove a full admit cycle has
+    # passed before deleting (None for non-epoch/batch markers — then
+    # only the next commit may drain).
     new_man = {
         "generation": gen,
         "compacted": [out_name],
@@ -480,17 +518,12 @@ def compact_dedup_state(
             | {m for m in mergeable if not m.startswith("compacted-")}
         ),
         "pending_delete": sorted(mergeable),
+        "pending_delete_epoch": committed_n,
     }
     tmp = os.path.join(state_dir, "_COMPACTION.tmp")
     with open(tmp, "w") as f:
         json.dump(new_man, f)
     os.replace(tmp, os.path.join(state_dir, "_COMPACTION"))
-    # post-commit cleanup of the PREVIOUS generation's inputs only
-    # (crash-tolerant: they are invisible to every reader holding
-    # either of the last two manifests)
-    for sub in ("buckets", "tokens"):
-        for m in man.get("pending_delete", []):
-            shutil.rmtree(os.path.join(state_dir, sub, m), ignore_errors=True)
     return {"merged": mergeable, "generation": gen}
 
 

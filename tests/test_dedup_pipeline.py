@@ -206,8 +206,20 @@ def test_compaction_interleaved_with_live_appender(spark, tmp_path):
     assert subdirs == [
         "compacted-000002", "compacted-000003", "epoch-3",
     ], subdirs
-    # a later compactor pass (even one with nothing to merge) drains
-    # the deferred deletions; exactly one generation dir remains
+    # a later no-merge compactor pass does NOT drain yet: the
+    # committed epoch hasn't advanced past the delisting commit, so an
+    # admit that loaded the pre-commit manifest could still be
+    # mid-scan (ADVICE r7 — the drain used to fire unconditionally)
+    res = compact_dedup_state(spark, comp)
+    assert res["merged"] == []
+    subdirs = sorted(os.listdir(os.path.join(comp, "buckets")))
+    assert subdirs == [
+        "compacted-000002", "compacted-000003", "epoch-3",
+    ], subdirs
+    # once one more epoch commits, the same pass drains the deferred
+    # deletions; exactly one generation dir remains
+    with open(os.path.join(comp, "_EPOCH"), "w") as f:
+        f.write("epoch-4")
     res = compact_dedup_state(spark, comp)
     assert res["merged"] == []
     subdirs = sorted(os.listdir(os.path.join(comp, "buckets")))

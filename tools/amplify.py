@@ -190,6 +190,12 @@ def amplify(
 
     if wanted("documents"):
         docs = load_table(spark, src, "documents")
+        # n_chars is recomputed from the AMPLIFIED text in both modes
+        # (ADVICE r7: the per-copy _c{i} suffixes lengthen the text,
+        # so passing the base n_chars through broke the
+        # n_chars == length(text) invariant in the plain path while
+        # the boilerplate path preserved it — two amplified datasets
+        # with different n_chars semantics)
         amp_docs = _union([
             docs.select(
                 off("doc_id", i),
@@ -200,10 +206,13 @@ def amplify(
                     ),
                     " ",
                 ).alias("text"),
-                "lang", "source", "n_chars",
+                "lang", "source",
             )
             for i in range(n)
-        ])
+        ]).select(
+            "doc_id", "text", "lang", "source",
+            F.length("text").cast("long").alias("n_chars"),
+        )
         if boiler_pct:
             # corpus-wide hot shingles: the header is shared across
             # copies (NO per-copy suffix) and hits the same docs in
