@@ -24,6 +24,8 @@ is bounded per bucket.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -374,6 +376,19 @@ def prefix_jaccard_pairs(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
     achievable overlap) prune further, and the exact overlap is
     counted on per-doc sorted shingle arrays with array_intersect —
     bounded by candidates x doc length, no second explode."""
+    return _exact_pair_counts(
+        _prefix_jaccard_candidates(sh, t_num, t_den), sh
+    )
+
+
+def _prefix_jaccard_candidates(
+    sh: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """The lossless PPJoin candidate set ``(doc_a, doc_b)`` with
+    doc_a < doc_b — every pair whose distinct-shingle Jaccard can
+    reach ``t_num/t_den`` survives the prefix + length + positional
+    filters (construction and hot-shingle posture documented on
+    ``prefix_jaccard_pairs``)."""
     df_sh = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_sh, "shingle").select(
         "doc_id",
@@ -408,7 +423,7 @@ def prefix_jaccard_pairs(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
         f"({t_num} * (n_a + n_b) + {t_num + t_den} - 1)"
         f" DIV {t_num + t_den}"
     )
-    cand = (
+    return (
         pa.join(pb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
@@ -423,7 +438,62 @@ def prefix_jaccard_pairs(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _exact_pair_counts(cand, sh)
+
+
+def bounded_prefix_jaccard_pairs(
+    sh: DataFrame,
+    t_num: int,
+    t_den: int,
+    pairs_per_batch: int = 4_000_000,
+) -> DataFrame:
+    """``prefix_jaccard_pairs`` with the exact-verify phase bounded in
+    batches — the corpus-wide answer for LOW thresholds at extreme
+    scale (SCALE.md round 7: at t=0.2 the candidate count stays linear
+    in corpus copies, but a single-pass verify joins EVERY candidate
+    to two ~|S|-byte shingle arrays at once, and at 100x that 50M x
+    ~3.2 KB payload exceeds local spill disk). Identical return
+    contract and values: ``(doc_a, doc_b, n_common, n_a, n_b)`` for
+    the full lossless candidate superset — callers' thresholds and
+    DuckDB naive-join oracles are unchanged, so every green hash now
+    ALSO proves the batch decomposition dropped and duplicated
+    nothing.
+
+    Shape: materialize the candidate set once (localCheckpoint — the
+    same memoization move ``q_entity_resolution_scaled`` uses), count
+    it from the checkpoint, and verify in ``ceil(count /
+    pairs_per_batch)`` slices keyed by ``pmod(xxhash64(doc_a, doc_b),
+    B)`` — each candidate pair lands in EXACTLY one slice, each slice
+    is its own bounded Spark job whose join payload is ~pairs_per_batch
+    x |S| bytes (default 4M pairs ~= 13 GB at the 100x shingle width,
+    inside one local[32] spill budget; a 1000-executor cluster runs
+    the same slices with per-executor payloads 1000x smaller), and the
+    returned frame is the lazy union of the checkpointed slice
+    results. One slice (the common case below the cap) returns the
+    single-pass plan unchanged. The sequential slice loop is the
+    bound-the-batch discipline of the reference's reconciler
+    (`scripts/reconcile.py:378-413` pages its full-table diff through
+    bounded key batches for exactly this reason)."""
+    cand = _prefix_jaccard_candidates(sh, t_num, t_den).localCheckpoint()
+    n_cand = cand.count()
+    n_batches = max(1, -(-n_cand // pairs_per_batch))
+    if n_batches == 1:
+        return _exact_pair_counts(cand, sh)
+    arrs = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("shingle")).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint()
+    )
+    slice_key = F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(n_batches))
+    parts = [
+        _exact_pair_counts(
+            cand.filter(slice_key == b), arrs, pre_aggregated=True
+        ).localCheckpoint()
+        for b in range(n_batches)
+    ]
+    return reduce(DataFrame.unionByName, parts)
 
 
 def prefix_containment_pairs(
@@ -488,14 +558,22 @@ def prefix_containment_pairs(
     return _exact_pair_counts(cand, sh)
 
 
-def _exact_pair_counts(cand: DataFrame, sh: DataFrame) -> DataFrame:
+def _exact_pair_counts(
+    cand: DataFrame, sh: DataFrame, pre_aggregated: bool = False
+) -> DataFrame:
     """Attach exact (n_common, n_a, n_b) to candidate doc pairs via
     per-doc sorted shingle arrays + array_intersect — one groupBy of
     the shingle frame and two pair-keyed joins, no shingle
-    re-explode."""
-    arrs = sh.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("shingle")).alias("toks"),
-        F.count(F.lit(1)).alias("n"),
+    re-explode. ``pre_aggregated=True`` means ``sh`` is already the
+    per-doc (doc_id, toks, n) array frame (the batched verifier
+    checkpoints it once and reuses it across slices)."""
+    arrs = (
+        sh
+        if pre_aggregated
+        else sh.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list("shingle")).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     aa = arrs.select(
         F.col("doc_id").alias("doc_a"),
@@ -2297,34 +2375,35 @@ def q_text_ngram_jaccard_scaled(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (3-token shingles, J>0.2)
-    through the LOSSLESS prefix filter (``prefix_jaccard_pairs``) —
-    the scale-safe twin of ``q_text_ngram_jaccard``, which keeps the
-    naive shared-shingle self-join as the small-data reference. Same
+    through the LOSSLESS prefix filter with a BOUNDED verify
+    (``bounded_prefix_jaccard_pairs``) — the corpus-wide scale-safe
+    twin of ``q_text_ngram_jaccard``, which keeps the naive
+    shared-shingle self-join as the small-data reference. Same
     output, same oracle (the naive join), so the hash match proves
-    the prefix/length/positional filter stack lost no pair; the final
-    threshold is the identical float expression. At a 0.2 threshold
-    the prefix is ~0.8n, but the excluded 0.2n are each doc's
-    HOTTEST shingles — exactly the boilerplate 3-grams that make the
-    naive join quadratic on Zipfian text (a doc's output pair count
-    is still inherently bounded by its true >0.2 neighbors).
+    BOTH that the prefix/length/positional filter stack lost no pair
+    AND that the batched verify decomposition dropped and duplicated
+    nothing; the final threshold is the identical float expression.
+    At a 0.2 threshold the prefix is ~0.8n, but the excluded 0.2n are
+    each doc's HOTTEST shingles — exactly the boilerplate 3-grams
+    that make the naive join quadratic on Zipfian text.
 
-    Cost model (measured, SCALE.md round 7): candidates scale
-    LINEARLY with corpus copies (498k at sf0.1 -> 4.98M at 10x), but
-    any exact verify pays ~|S| bytes per candidate, so a LOW
-    threshold on a high-overlap corpus is CANDIDATE-bound — at 100x
-    synthetic (50M candidates x two ~1.6 KB shingle arrays) the
-    verify spill exceeds local disk. That is the data's property,
-    not the plan's (same doctrine as q_embed_neardup at 100x): at
-    extreme scale run low-t exploration per shard / via LSH
-    (q_text_minhash_dedup), and reserve the exact twin for t >= 0.5
-    where the prefix is short (t=0.8: 12.8k candidates at sf0.1,
-    128k at 10x — the shape every composer uses). On Zipfian-DF
-    corpora the naive form is not an alternative at ANY threshold
-    (it OOMs on the 100%-boilerplate set); on benign-DF corpora at
-    low t the naive pair-count join is the cheaper verifier —
+    Cost model (measured, SCALE.md rounds 7-8): candidates scale
+    LINEARLY with corpus copies (498k at sf0.1 -> 4.98M at 10x ->
+    ~50M at 100x — never quadratic), but an exact verify pays ~|S|
+    bytes per candidate, and ONE pass over 50M candidates x two
+    ~1.6 KB shingle arrays exceeded local spill disk (the r7 weak
+    item). The verify now runs in pair-hash slices of <=4M candidates
+    — each slice a bounded job, the union provably the identical
+    pair set — so the corpus-wide low-threshold form holds at 100x
+    (r8 gate) instead of requiring per-shard scoping
+    (q_text_ngram_jaccard_sharded remains the cheaper production
+    shape when shard-local pairs suffice). On Zipfian-DF corpora the
+    naive form is not an alternative at ANY threshold (it OOMs on
+    the 100%-boilerplate set); on benign-DF corpora at low t the
+    naive pair-count join is the cheaper verifier —
     q_shingle_df_profile is the report that decides which to run."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = prefix_jaccard_pairs(shingles(docs, k=3), 2, 10)
+    pairs = bounded_prefix_jaccard_pairs(shingles(docs, k=3), 2, 10)
     return (
         pairs.select(
             "doc_a",

@@ -86,10 +86,14 @@ BUDGETS = {
     # two rank-select phases over a narrow pushed 2-col scan; the
     # tiny cut table joins back as a broadcast
     "q_length_band_filter": (10, 4, 0, True),
+    # bounded-verify corpus-wide twin: the candidate phase runs behind
+    # a memoized localCheckpoint (its 12-shuffle prefix plan stays
+    # pinned via q_text_ngram_jaccard_sharded below), so the RETURNED
+    # plan is checkpoint scan + array-verify joins only
+    "q_text_ngram_jaccard_scaled": (5, 2, 0, True),
     # prefix-filtered exact similarity twins: df rank + prefix
     # self-join + pair distinct + array verify — every shuffle keyed
     # and linear, NEVER the naive shared-shingle self-join shape
-    "q_text_ngram_jaccard_scaled": (12, 5, 0, True),
     "q_shingle_containment_scaled": (13, 5, 0, True),
     # banded candidates + prefix-filtered truth + ONE pair-key
     # full-outer (the SMJ) + single-row metric agg
