@@ -3113,3 +3113,145 @@ def q_text_ngram_jaccard_sharded(
         )
         .filter(F.col("jaccard") > 0.2)
     )
+
+
+@query(
+    "q_dfcap_prefilter_effect",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    dfc AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM sh GROUP BY shingle
+    ),
+    droplist AS (
+        SELECT shingle, df FROM dfc ORDER BY df DESC, shingle LIMIT 20
+    ),
+    capped AS (
+        SELECT doc_id, shingle FROM sh
+        WHERE shingle NOT IN (SELECT shingle FROM droplist)
+    ),
+    szf AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ovf AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pf AS (
+        SELECT doc_a, doc_b FROM ovf
+        JOIN szf sa ON doc_a = sa.doc_id
+        JOIN szf sb ON doc_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) > 0.8
+    ),
+    szc AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    ovc AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM capped a JOIN capped b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pc AS (
+        SELECT doc_a, doc_b FROM ovc
+        JOIN szc sa ON doc_a = sa.doc_id
+        JOIN szc sb ON doc_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) > 0.8
+    ),
+    m AS (
+        SELECT COALESCE(pf.doc_a, pc.doc_a) AS doc_a,
+               CASE WHEN pf.doc_a IS NULL THEN 0 ELSE 1 END AS f,
+               CASE WHEN pc.doc_a IS NULL THEN 0 ELSE 1 END AS c
+        FROM pf FULL OUTER JOIN pc
+          ON pf.doc_a = pc.doc_a AND pf.doc_b = pc.doc_b
+    ),
+    agg AS (
+        SELECT CAST(SUM(f) AS BIGINT) AS n_pairs_full,
+               CAST(SUM(c) AS BIGINT) AS n_pairs_capped,
+               CAST(SUM(f * c) AS BIGINT) AS n_pairs_both
+        FROM m
+    )
+    SELECT n_pairs_full, n_pairs_capped, n_pairs_both,
+           CASE WHEN n_pairs_full = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST((1000000 * n_pairs_both) // n_pairs_full
+                          AS BIGINT) END AS recall_ppm,
+           CASE WHEN n_pairs_capped = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST((1000000 * n_pairs_both) // n_pairs_capped
+                          AS BIGINT) END AS precision_ppm,
+           (SELECT CAST(SUM(df) AS BIGINT) FROM droplist) AS rows_dropped
+    FROM agg
+    """,
+)
+def q_dfcap_prefilter_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the boilerplate drop-list (VERDICT r7 next-round #8):
+    anti-join the shingle frame against the top-20 hottest shingles —
+    exactly the list ``q_boilerplate_shingles`` reports — and measure
+    what the DF-cap does to the confirmed near-dup pair set at the
+    composer threshold (J > 0.8). One row: pair counts on the full vs
+    capped corpus, their overlap, recall/precision of the capped set
+    against the full one (ppm, floor-div), and the shingle rows the
+    cap removed (the join-side cost the cap buys back). Capping
+    changes BOTH intersection and union, so capped pairs can appear
+    as well as disappear — precision and recall are both reported,
+    and both engines compute the identical deterministic cap (df
+    DESC, shingle ASC, LIMIT 20), so the differential is exact, not
+    a bound. The pair sets come from the lossless prefix filter on
+    each corpus; the oracle replays BOTH naive joins — on the skewed
+    boilerplate corpus this is the query that prices the
+    drop-the-header decision before a production run commits to it.
+    Plan: one vocabulary agg -> TakeOrdered(20) broadcast anti-join,
+    two prefix-family pair jobs, one pair-keyed full-outer, one
+    single-row census (the 1-row drop-cost frame rides a broadcast
+    cross join, same carve-out as q_boilerplate_shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    droplist = dfc.orderBy(F.desc("df"), "shingle").limit(20)
+    capped = sh.join(
+        F.broadcast(droplist.select("shingle")), "shingle", "left_anti"
+    )
+
+    def confirmed(s: DataFrame) -> DataFrame:
+        return (
+            prefix_jaccard_pairs(s, 8, 10)
+            .filter(
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                > 0.8
+            )
+            .select("doc_a", "doc_b")
+        )
+
+    pf = confirmed(sh).withColumn("f", F.lit(1))
+    pc = confirmed(capped).withColumn("c", F.lit(1))
+    m = pf.join(pc, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("f", F.lit(0)).alias("f"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    agg = m.agg(
+        F.sum("f").cast("long").alias("n_pairs_full"),
+        F.sum("c").cast("long").alias("n_pairs_capped"),
+        F.sum(F.col("f") * F.col("c")).cast("long").alias("n_pairs_both"),
+    )
+    drop_cost = droplist.agg(
+        F.sum("df").cast("long").alias("rows_dropped")
+    )
+    return agg.crossJoin(F.broadcast(drop_cost)).select(
+        "n_pairs_full",
+        "n_pairs_capped",
+        "n_pairs_both",
+        F.when(F.col("n_pairs_full") == 0, F.lit(-1))
+        .otherwise(
+            F.expr("CAST((1000000 * n_pairs_both) DIV n_pairs_full AS BIGINT)")
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(F.col("n_pairs_capped") == 0, F.lit(-1))
+        .otherwise(
+            F.expr(
+                "CAST((1000000 * n_pairs_both) DIV n_pairs_capped AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+        "rows_dropped",
+    )

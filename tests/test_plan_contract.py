@@ -176,6 +176,9 @@ def test_plan_budget(spark, name):
             # q_boilerplate_shingles: the 1-row corpus doc count
             # attached to a 20-row top-k frame
             "q_boilerplate_shingles",
+            # q_dfcap_prefilter_effect: the 1-row drop-cost aggregate
+            # attached to the 1-row pair census the same way
+            "q_dfcap_prefilter_effect",
         )
     ),
 )

@@ -61,6 +61,50 @@ def test_bounded_verify_single_slice_path(spark):
     assert one == single
 
 
+def test_dfcap_prefilter_effect_matches_serial(spark):
+    """Serial replay of the DF-cap applier: drop the top-20 hottest
+    shingles (df DESC, shingle ASC), recompute J>0.8 pairs on both
+    corpora in pure Python, and check the census row exactly."""
+    from scylla_pg_cdc_spark.operators.text import (
+        q_dfcap_prefilter_effect,
+    )
+
+    sets = _shingle_sets(spark)
+    df_count: dict = {}
+    for s in sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    drop = set(
+        g
+        for g, _ in sorted(df_count.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :20
+        ]
+    )
+    rows_dropped = sum(df_count[g] for g in drop)
+    capped = {
+        d: s - drop for d, s in sets.items() if s - drop
+    }
+
+    def pairs(ss):
+        out = set()
+        for a, b in combinations(sorted(ss), 2):
+            c = len(ss[a] & ss[b])
+            if c and c / (len(ss[a]) + len(ss[b]) - c) > 0.8:
+                out.add((a, b))
+        return out
+
+    pf, pc = pairs(sets), pairs(capped)
+    row = q_dfcap_prefilter_effect(spark, SF_SMALL).collect()[0]
+    assert row["n_pairs_full"] == len(pf)
+    assert row["n_pairs_capped"] == len(pc)
+    assert row["n_pairs_both"] == len(pf & pc)
+    assert row["rows_dropped"] == rows_dropped
+    if pf:
+        assert row["recall_ppm"] == 1000000 * len(pf & pc) // len(pf)
+    if pc:
+        assert row["precision_ppm"] == 1000000 * len(pf & pc) // len(pc)
+
+
 def test_bounded_verify_covers_serial_truth(spark):
     """The sliced union still covers every true J > 0.2 pair with
     exact serial counts (losslessness survives the decomposition)."""
