@@ -16,7 +16,7 @@ DuckDB oracle, and at 100 TB is a narrow, shuffle-free projection
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.registry import query
@@ -492,4 +492,80 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(leaky, F.col("n_train")).otherwise(0))
         .cast("long")
         .alias("n_train_docs_involved"),
+    )
+
+
+@query(
+    "q_token_budget_mix",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((1000000 * n_tokens)
+                // SUM(n_tokens) OVER () AS BIGINT) AS share_ppm,
+           CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE))
+                      / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER ()
+                      * 1000000 + 0.5) AS BIGINT) AS w_alpha05_micro,
+           CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE))
+                      / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER ()
+                      * (CAST(SUM(n_tokens) OVER () AS DOUBLE) / n_tokens)
+                      * 1000000 + 0.5) AS BIGINT) AS oversample_micro
+    FROM per_src
+    """,
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened corpus mixing weights (alpha = 0.5) per
+    source — the sampling table an LLM training run derives before
+    drawing batches (rare domains get up-weighted by sqrt-flattening,
+    the standard multinomial-temperature move): raw token share (ppm,
+    exact integer floor-div), the alpha=0.5 sampling weight, and the
+    resulting per-domain oversampling factor weight/share (>1e6 micro
+    means the domain is seen more often than raw proportion). Token
+    counts are whitespace tokens (the ``q_text_token_count``
+    convention); weights are half-up micro-quantized so the 20-term
+    float denominator is engine-stable. Plan: one per-source
+    aggregation shuffle, then window totals over the 20-row frame
+    (Exchange Single on a dimension-sized frame, never a broadcast
+    nested loop)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    sq_sum = F.sum(sq).over(w_all)
+    tok_sum = F.sum("n_tokens").over(w_all)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens").alias("_t"),
+        tok_sum.alias("_ts"),
+        (sq / sq_sum).alias("_w"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST((1000000 * _t) DIV _ts AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.floor(F.col("_w") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("w_alpha05_micro"),
+        F.floor(
+            F.col("_w")
+            * (F.col("_ts").cast("double") / F.col("_t"))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("oversample_micro"),
     )

@@ -2180,3 +2180,120 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cell_share_ppm"
         ),
     )
+
+
+@query(
+    "q_hard_negative_mining",
+    oracle=f"""
+    WITH bits AS (
+        SELECT e.vec_id, b.i,
+               CASE WHEN SUM(
+                   CAST(e.embedding[CAST(j AS INT) + 1] AS DOUBLE)
+                   * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
+                           % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
+               ) >= 0 THEN '1' ELSE '0' END AS bit
+        FROM embeddings e, range(0, 6) b(i), range(0, {DIM}) t(j)
+        GROUP BY e.vec_id, b.i
+    ),
+    bucketed AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY i) AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    base AS (
+        SELECT e.vec_id, e.label, e.embedding, b.bucket
+        FROM embeddings e JOIN bucketed b USING (vec_id)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               c.vec_id AS neg_id, c.label AS neg_label,
+               SUM(CAST(a.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(c.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS dp,
+               SUM(CAST(a.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(a.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS na,
+               SUM(CAST(c.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(c.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS nc
+        FROM base a
+        JOIN base c ON a.bucket = c.bucket AND a.label <> c.label,
+             range(0, {DIM}) t(i)
+        WHERE a.vec_id % 50 = 0
+        GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+        SELECT anchor_id, anchor_label, neg_id, neg_label,
+               CAST(FLOOR(dp / (sqrt(na) * sqrt(nc)) * 1000000 + 0.5)
+                    AS BIGINT) AS cos_sim_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY CAST(FLOOR(dp / (sqrt(na) * sqrt(nc))
+                                       * 1000000 + 0.5) AS BIGINT) DESC,
+                            neg_id
+               ) AS rn
+        FROM pairs
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim_micro,
+           CAST(rn AS BIGINT) AS rnk
+    FROM scored WHERE rn <= 3
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every
+    anchor vector (deterministic 2% panel, vec_id % 50 == 0) the top-3
+    most-similar vectors of a DIFFERENT label — the highest-value
+    negatives a contrastive loss can see, and the classic
+    embedding-pipeline step after dedup. Candidates come from the
+    sign-LSH bucket join (the same 6-hyperplane LCG construction as
+    ``q_vector_lsh_buckets``, reproduced exactly in the oracle), so
+    the search never goes all-pairs: anchors x same-bucket members
+    only, then exact cosine in engine-stable half-up micro-units with
+    a (cos DESC, neg_id) rank — both the LSH scoping and the ranked
+    verify are the documented ANN scale posture (buckets scale with
+    corpus / 64; the anchor panel is a fixed fraction, so the join is
+    linear-per-bucket, never quadratic in the corpus). Plan: the tiny
+    anchor panel broadcasts into the bucket join; one window shuffle
+    on anchor_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _pseudo_planes(6, DIM)
+    v = F.col("embedding").cast("array<double>")
+    bucketed = emb.select(
+        "vec_id", "label", "embedding",
+        sign_lsh_bucket(v, planes).alias("bucket"),
+    )
+    anchors = bucketed.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+        "bucket",
+    )
+    cand = bucketed.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("n_emb"),
+        "bucket",
+    )
+    scored = (
+        cand.join(F.broadcast(anchors), "bucket")
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.floor(
+                cosine(
+                    F.col("a_emb").cast("array<double>"),
+                    F.col("n_emb").cast("array<double>"),
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_sim_micro"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim_micro"), "neg_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -105,6 +105,98 @@ def test_dfcap_prefilter_effect_matches_serial(spark):
         assert row["precision_ppm"] == 1000000 * len(pf & pc) // len(pc)
 
 
+def test_hard_negative_mining_matches_serial(spark):
+    """Serial replay: LCG hyperplanes, sign buckets, exact cosine in
+    micro-units, top-3 different-label per anchor — pure Python."""
+    import math
+
+    from scylla_pg_cdc_spark.operators.vector import (
+        DIM,
+        _pseudo_planes,
+        q_hard_negative_mining,
+    )
+
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+    planes = _pseudo_planes(6, DIM)
+
+    def bucket(v):
+        return "".join(
+            "1" if sum(a * b for a, b in zip(v, p)) >= 0 else "0"
+            for p in planes
+        )
+
+    bk = {vid: bucket(v) for vid, (v, _l) in emb.items()}
+
+    def cos_micro(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(dp / (na * nb) * 1_000_000 + 0.5)
+
+    want = {}
+    for aid, (av, al) in emb.items():
+        if aid % 50 != 0:
+            continue
+        cands = [
+            (cos_micro(av, cv), cid, cl)
+            for cid, (cv, cl) in emb.items()
+            if cl != al and bk[cid] == bk[aid]
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (cm, cid, cl) in enumerate(cands[:3], start=1):
+            want[(aid, cid)] = (al, cl, cm, rnk)
+    got = {
+        (r["anchor_id"], r["neg_id"]): (
+            r["anchor_label"],
+            r["neg_label"],
+            r["cos_sim_micro"],
+            r["rnk"],
+        )
+        for r in q_hard_negative_mining(spark, SF_SMALL).collect()
+    }
+    assert want and got == want
+
+
+def test_token_budget_mix_matches_serial(spark):
+    import math
+
+    from scylla_pg_cdc_spark.operators.sampling import q_token_budget_mix
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "source", "text"
+    )
+    per = {}
+    for r in docs.collect():
+        n = len(r["text"].split(" "))
+        d, t = per.get(r["source"], (0, 0))
+        per[r["source"]] = (d + 1, t + n)
+    tot = sum(t for _d, t in per.values())
+    sq_sum = sum(math.sqrt(t) for _d, t in per.values())
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_tokens"],
+            r["share_ppm"],
+            r["w_alpha05_micro"],
+            r["oversample_micro"],
+        )
+        for r in q_token_budget_mix(spark, SF_SMALL).collect()
+    }
+    assert len(got) == len(per)
+    for src, (d, t) in per.items():
+        w = math.sqrt(t) / sq_sum
+        assert got[src] == (
+            d,
+            t,
+            1_000_000 * t // tot,
+            math.floor(w * 1_000_000 + 0.5),
+            math.floor(w * (tot / t) * 1_000_000 + 0.5),
+        ), src
+
+
 def test_bounded_verify_covers_serial_truth(spark):
     """The sliced union still covers every true J > 0.2 pair with
     exact serial counts (losslessness survives the decomposition)."""
