@@ -24,7 +24,8 @@ is bounded per bucket.
 
 from __future__ import annotations
 
-from functools import reduce
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -458,42 +459,49 @@ def bounded_prefix_jaccard_pairs(
     ALSO proves the batch decomposition dropped and duplicated
     nothing.
 
-    Shape: materialize the candidate set once (localCheckpoint — the
-    same memoization move ``q_entity_resolution_scaled`` uses), count
-    it from the checkpoint, and verify in ``ceil(count /
-    pairs_per_batch)`` slices keyed by ``pmod(xxhash64(doc_a, doc_b),
-    B)`` — each candidate pair lands in EXACTLY one slice, each slice
-    is its own bounded Spark job whose join payload is ~pairs_per_batch
-    x |S| bytes (default 4M pairs ~= 13 GB at the 100x shingle width,
-    inside one local[32] spill budget; a 1000-executor cluster runs
-    the same slices with per-executor payloads 1000x smaller), and the
-    returned frame is the lazy union of the checkpointed slice
-    results. One slice (the common case below the cap) returns the
-    single-pass plan unchanged. The sequential slice loop is the
-    bound-the-batch discipline of the reference's reconciler
-    (`scripts/reconcile.py:378-413` pages its full-table diff through
-    bounded key batches for exactly this reason)."""
-    cand = _prefix_jaccard_candidates(sh, t_num, t_den).localCheckpoint()
+    Shape: stage the candidate set to parquet once (disk-only — an
+    earlier localCheckpoint variant retained multi-GB block-manager
+    blocks for the session's lifetime and starved the NEXT query's
+    100x run; parquet staging is also the shape a real cluster uses,
+    a staging table), count it from the stage, and verify in
+    ``ceil(count / pairs_per_batch)`` slices keyed by
+    ``pmod(xxhash64(doc_a, doc_b), B)`` — each candidate pair lands
+    in EXACTLY one slice, each slice is its own bounded Spark job
+    whose join payload is ~pairs_per_batch x |S| bytes (default 4M
+    pairs ~= 13 GB at the 100x shingle width, inside one local[32]
+    spill budget; a 1000-executor cluster runs the same slices with
+    per-executor payloads 1000x smaller), each slice's small result
+    appends to one output stage, and the returned frame reads that
+    union. One slice (the common case below the cap) verifies the
+    staged candidates in the unchanged single-pass plan. The
+    sequential slice loop is the bound-the-batch discipline of the
+    reference's reconciler (`scripts/reconcile.py:378-413` pages its
+    full-table diff through bounded key batches for exactly this
+    reason)."""
+    spark = sh.sparkSession
+    stage = tempfile.mkdtemp(prefix="prefix_verify_stage_")
+    cand_dir = os.path.join(stage, "cand")
+    _prefix_jaccard_candidates(sh, t_num, t_den).write.mode(
+        "overwrite"
+    ).parquet(cand_dir)
+    cand = spark.read.parquet(cand_dir)
     n_cand = cand.count()
     n_batches = max(1, -(-n_cand // pairs_per_batch))
     if n_batches == 1:
         return _exact_pair_counts(cand, sh)
-    arrs = (
-        sh.groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list("shingle")).alias("toks"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .localCheckpoint()
-    )
+    arrs_dir = os.path.join(stage, "arrs")
+    sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("shingle")).alias("toks"),
+        F.count(F.lit(1)).alias("n"),
+    ).write.mode("overwrite").parquet(arrs_dir)
+    arrs = spark.read.parquet(arrs_dir)
+    out_dir = os.path.join(stage, "verified")
     slice_key = F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(n_batches))
-    parts = [
+    for b in range(n_batches):
         _exact_pair_counts(
             cand.filter(slice_key == b), arrs, pre_aggregated=True
-        ).localCheckpoint()
-        for b in range(n_batches)
-    ]
-    return reduce(DataFrame.unionByName, parts)
+        ).write.mode("append").parquet(out_dir)
+    return spark.read.parquet(out_dir)
 
 
 def prefix_containment_pairs(
