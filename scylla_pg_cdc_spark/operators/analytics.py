@@ -1280,3 +1280,78 @@ def q_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_items").cast("long").alias("max_items"),
         )
     )
+
+
+@query(
+    "q_skyline_2d",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ), grp AS (
+        SELECT total_cents, MAX(n_orders) AS max_n
+        FROM base GROUP BY total_cents
+    ), front AS (
+        SELECT total_cents, max_n,
+               MAX(max_n) OVER (
+                   ORDER BY total_cents DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_best
+        FROM grp
+    )
+    SELECT b.custkey, b.total_cents, b.n_orders
+    FROM base b
+    JOIN front f ON b.total_cents = f.total_cents
+    WHERE b.n_orders = f.max_n
+      AND b.n_orders > COALESCE(f.prev_best, -1)
+    """,
+)
+def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier, Borzsony ICDE'01): the customers
+    no other customer dominates on (total spend, order count) — both
+    >=, at least one strictly > — the classic multi-objective "best
+    customers / best configs" operator missing from plain SQL
+    vocabularies. For two MAX dimensions the frontier is computable
+    without the O(n^2) dominance anti-join: group to one row per
+    spend value (max order-count per value), then a running max over
+    STRICTLY GREATER spend values; a point survives iff it carries
+    its value-group's max count AND beats every richer group's best
+    (ties on both axes are mutually non-dominating, so duplicates
+    all survive — the ROWS ... 1 PRECEDING frame excludes the
+    current value group exactly). Exact cents; no floats anywhere.
+    Scale: the window runs over the REDUCED per-value frame (<=
+    customers, usually far smaller); at 100 TB apply the
+    skyline-union identity first — local skylines per partition are
+    a superset of the global frontier, so a per-partition pre-filter
+    bounds the single-partition pass by (frontier x partitions) —
+    the same escape hatch as q_customer_rfm's global NTILE."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    grp = base.groupBy("total_cents").agg(F.max("n_orders").alias("max_n"))
+    w = (
+        Window.orderBy(F.desc("total_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # filtering to SURVIVING value groups first shrinks the join side
+    # to frontier size (the running max is strictly increasing down
+    # the spend order), so the broadcast is genuinely tiny — and a
+    # base row then survives iff it carries its surviving group's max
+    # (n_orders = max_n > prev_best is implied by group survival)
+    front = grp.select(
+        "total_cents",
+        "max_n",
+        F.max("max_n").over(w).alias("prev_best"),
+    ).filter(F.col("max_n") > F.coalesce(F.col("prev_best"), F.lit(-1)))
+    return (
+        base.join(F.broadcast(front), "total_cents")
+        .filter(F.col("n_orders") == F.col("max_n"))
+        .select("custkey", "total_cents", "n_orders")
+    )

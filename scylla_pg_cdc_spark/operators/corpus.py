@@ -858,3 +858,96 @@ def q_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c)) AS BIGINT)"
         ).alias("hhi_ppm"),
     )
+
+
+@query(
+    "q_domain_tvd",
+    oracle="""
+    WITH tok AS (
+        SELECT source, token FROM (
+""" + _TOK_SQL + """
+        ) WHERE length(token) > 0
+    ), stc AS (
+        SELECT source, token, COUNT(*) AS o FROM tok GROUP BY source, token
+    ), ctc AS (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), src AS (
+        SELECT source, COUNT(*) AS ns FROM tok GROUP BY source
+    ), tot AS (
+        SELECT COUNT(*) AS n1 FROM tok
+    ), present AS (
+        SELECT s.source,
+               MIN(src.ns) AS ns,
+               MIN(t.n1) AS n1,
+               SUM(ABS(CAST(s.o AS HUGEINT) * (t.n1 - src.ns)
+                       - CAST(ctc.c - s.o AS HUGEINT) * src.ns))
+                   AS num_present,
+               SUM(CAST(ctc.c AS HUGEINT)) AS covered
+        FROM stc s
+        JOIN ctc ON s.token = ctc.token
+        JOIN src ON s.source = src.source
+        CROSS JOIN tot t
+        GROUP BY s.source
+    )
+    SELECT source,
+           CAST(ns AS BIGINT) AS n_tokens,
+           CAST(n1 - ns AS BIGINT) AS n_rest_tokens,
+           CAST((CAST(1000000 AS HUGEINT)
+                 * (num_present + CAST(ns AS HUGEINT) * (n1 - covered)))
+                // (2 * CAST(ns AS HUGEINT) * (n1 - ns)) AS BIGINT)
+               AS tvd_ppm
+    FROM present
+    """,
+)
+def q_domain_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source total-variation distance between the source's token
+    distribution and the REST of the corpus (leave-one-out, so a
+    large source is not compared against a mix it dominates) — the
+    bounded [0,1] companion to ``q_domain_chisq`` used to weigh
+    domain mixing: TVD is exactly the largest probability mass a
+    domain classifier could separate, and unlike chi-square it does
+    not blow up on rare tokens. Log-free and division-free until one
+    final integral division: each term |o*Nr - (c-o)*Ns| is exact
+    integer cross-multiplication; tokens ABSENT from the source
+    contribute c*Ns, folded in algebraically as Ns*(N - covered)
+    rather than by materializing the (source x vocabulary) cross
+    join. Widened past int64 (Spark decimal(38,0), DuckDB HUGEINT:
+    1e6 * 2*Ns*Nr crosses 2^63 near 1e9 corpus tokens), and DIV is
+    safe because every operand is non-negative. Plan: the
+    ``q_domain_chisq`` shape — two vocabulary-sized counts + one
+    per-source count broadcast back onto (source, token) rows, a
+    one-row corpus total riding a broadcast cross join, one
+    per-source aggregation; output is one row per source."""
+    tok = _tokens(spark, sf_dir).select("source", "token")
+    stc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("o"))
+    ctc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    src = tok.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n1"))
+    dec = "decimal(38,0)"
+    present = (
+        stc.join(F.broadcast(ctc), "token")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.min("ns").alias("ns"),
+            F.min("n1").alias("n1"),
+            F.sum(
+                F.abs(
+                    F.col("o").cast(dec) * (F.col("n1") - F.col("ns"))
+                    - (F.col("c") - F.col("o")).cast(dec) * F.col("ns")
+                )
+            ).alias("num_present"),
+            F.sum(F.col("c").cast(dec)).alias("covered"),
+        )
+    )
+    return present.select(
+        "source",
+        F.col("ns").cast("long").alias("n_tokens"),
+        (F.col("n1") - F.col("ns")).cast("long").alias("n_rest_tokens"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (num_present + CAST(ns AS DECIMAL(38,0)) * (n1 - covered)))"
+            " DIV (2 * CAST(ns AS DECIMAL(38,0)) * (n1 - ns)) AS BIGINT)"
+        ).alias("tvd_ppm"),
+    )

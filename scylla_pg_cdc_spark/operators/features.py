@@ -466,3 +466,70 @@ def q_gap_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p95_ms",
         "p99_ms",
     )
+
+
+@query(
+    "q_doc_surprisal",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ) WHERE length(token) > 0
+    ), ctc AS (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), tot AS (
+        SELECT COUNT(*) AS n1 FROM tok
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(bin(t.n1)) - length(bin(ctc.c)))
+                AS BIGINT) AS surprisal_bits,
+           CAST((1000 * SUM(length(bin(t.n1)) - length(bin(ctc.c))))
+                // COUNT(*) AS BIGINT) AS mean_bits_milli
+    FROM tok
+    JOIN ctc ON tok.token = ctc.token
+    CROSS JOIN tot t
+    GROUP BY tok.doc_id
+    """,
+)
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact unigram surprisal per document: every token
+    occurrence contributes floor(log2(N)) - floor(log2(c_t)) bits
+    (corpus size N, corpus frequency c_t), computed as a BINARY
+    DIGIT-LENGTH difference — ``length(bin(x))`` is floor(log2 x)+1
+    for x > 0 in both engines — so the per-doc sum is the banded
+    form of the cross-entropy a unigram LM assigns the document,
+    with ZERO floating point anywhere (the repo-wide ban on libm
+    transcendentals makes true ln-perplexity un-oracle-able; the
+    log2 band keeps the ranking signal and is bit-identical by
+    construction). High mean-bits documents are rare-vocabulary
+    (specialist or noisy), low ones are boilerplate — the cheap
+    quality/novelty axis next to ``q_token_rarity``'s IDF sum,
+    which weights DISTINCT tokens, where this weights occurrences.
+    DIV is safe: both operands are non-negative. Plan: the TF-IDF
+    shape — one vocabulary-sized count broadcast back onto the token
+    stream, the one-row corpus total on a broadcast cross join, one
+    per-doc aggregation; shuffle bounded by vocabulary + documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    ctc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n1"))
+    bits = (
+        F.length(F.bin(F.col("n1"))) - F.length(F.bin(F.col("c")))
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(ctc), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits).alias("surprisal_bits"),
+            F.expr(
+                "CAST((1000 * SUM(CAST(length(bin(n1)) - length(bin(c))"
+                " AS BIGINT))) DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_bits_milli"),
+        )
+    )

@@ -2297,3 +2297,137 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "q_knn_margin",
+    oracle=f"""
+    WITH bits AS (
+        SELECT e.vec_id, b.i,
+               CASE WHEN SUM(
+                   CAST(e.embedding[CAST(j AS INT) + 1] AS DOUBLE)
+                   * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
+                           % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
+               ) >= 0 THEN '1' ELSE '0' END AS bit
+        FROM embeddings e, range(0, 6) b(i), range(0, {DIM}) t(j)
+        GROUP BY e.vec_id, b.i
+    ),
+    bucketed AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY i) AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    base AS (
+        SELECT e.vec_id, e.embedding, b.bucket
+        FROM embeddings e JOIN bucketed b USING (vec_id)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+               SUM(CAST(a.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(c.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS dp,
+               SUM(CAST(a.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(a.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS na,
+               SUM(CAST(c.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                   * CAST(c.embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS nc
+        FROM base a
+        JOIN base c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id,
+             range(0, {DIM}) t(i)
+        WHERE a.vec_id % 50 = 0
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT anchor_id,
+               CAST(FLOOR(dp / (sqrt(na) * sqrt(nc)) * 1000000 + 0.5)
+                    AS BIGINT) AS cos_sim_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY CAST(FLOOR(dp / (sqrt(na) * sqrt(nc))
+                                       * 1000000 + 0.5) AS BIGINT) DESC,
+                            cand_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY anchor_id) AS n_cands
+        FROM pairs
+    )
+    SELECT anchor_id,
+           CAST(MAX(n_cands) AS BIGINT) AS n_candidates,
+           MAX(CASE WHEN rn = 1 THEN cos_sim_micro END) AS top1_micro,
+           MAX(CASE WHEN rn = 2 THEN cos_sim_micro END) AS top2_micro,
+           MAX(CASE WHEN rn = 1 THEN cos_sim_micro END)
+               - MAX(CASE WHEN rn = 2 THEN cos_sim_micro END)
+               AS margin_micro
+    FROM ranked
+    WHERE n_cands >= 2
+    GROUP BY anchor_id
+    """,
+)
+def q_knn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor CONFIDENCE margins: for each anchor of the
+    deterministic 2% panel, the gap between its best and second-best
+    cosine among same-sign-LSH-bucket candidates — the standard
+    auto-label / retrieval confidence signal (a wide top1-top2 margin
+    means the nearest neighbor is unambiguous; a narrow one flags the
+    anchor for human review or a wider search). Same 6-hyperplane LCG
+    bucketing as q_hard_negative_mining, reproduced
+    operation-for-operation in the oracle, so candidates stay
+    linear-per-bucket (never all-pairs); exact cosine in engine-stable
+    half-up micro-units with the (cos DESC, cand_id) tie discipline;
+    anchors with fewer than two bucket-mates are excluded (no margin
+    exists). Plan: the tiny anchor panel broadcasts into the bucket
+    join; one window shuffle on anchor_id; output is panel-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _pseudo_planes(6, DIM)
+    v = F.col("embedding").cast("array<double>")
+    bucketed = emb.select(
+        "vec_id", "embedding", sign_lsh_bucket(v, planes).alias("bucket")
+    )
+    anchors = bucketed.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        "bucket",
+    )
+    cand = bucketed.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    scored = (
+        cand.join(F.broadcast(anchors), "bucket")
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            F.floor(
+                cosine(
+                    F.col("a_emb").cast("array<double>"),
+                    F.col("c_emb").cast("array<double>"),
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_sim_micro"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim_micro"), "cand_id"
+    )
+    ranked = scored.select(
+        "anchor_id",
+        "cos_sim_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("anchor_id"))
+        .alias("n_cands"),
+    ).filter(F.col("n_cands") >= 2)
+    return ranked.groupBy("anchor_id").agg(
+        F.max("n_cands").cast("long").alias("n_candidates"),
+        F.max(F.when(F.col("rn") == 1, F.col("cos_sim_micro"))).alias(
+            "top1_micro"
+        ),
+        F.max(F.when(F.col("rn") == 2, F.col("cos_sim_micro"))).alias(
+            "top2_micro"
+        ),
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("cos_sim_micro")))
+            - F.max(F.when(F.col("rn") == 2, F.col("cos_sim_micro")))
+        ).alias("margin_micro"),
+    )

@@ -179,6 +179,10 @@ def test_plan_budget(spark, name):
             # q_dfcap_prefilter_effect: the 1-row drop-cost aggregate
             # attached to the 1-row pair census the same way
             "q_dfcap_prefilter_effect",
+            # q_domain_tvd / q_doc_surprisal: the 1-row corpus token
+            # total riding the same crossJoin(broadcast(...)) as
+            # q_domain_chisq / q_doc_domain_lift
+            "q_domain_tvd", "q_doc_surprisal",
         )
     ),
 )
