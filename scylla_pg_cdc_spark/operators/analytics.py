@@ -1335,23 +1335,42 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    grp = base.groupBy("total_cents").agg(F.max("n_orders").alias("max_n"))
+    return skyline_2d_max(base, "total_cents", "n_orders")
+
+
+def skyline_2d_max(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Rows of ``df`` not dominated on two MAX dimensions: no other
+    row has x' >= x AND y' >= y with at least one strict. Equal
+    (x, y) duplicates are mutually non-dominating and all survive.
+
+    Algorithm (linear after a group-by, never the O(n^2) dominance
+    anti-join): reduce to one row per x value carrying max(y), take a
+    running max of that over STRICTLY greater x (the ROWS ... 1
+    PRECEDING frame excludes the current value group exactly), keep
+    the value groups whose max beats it — the frontier-sized
+    survivor set — and broadcast that back onto the full frame. A
+    row survives iff it carries its surviving group's max (y = max_y
+    > prev_best is implied by group survival)."""
+    grp = df.groupBy(x).agg(F.max(y).alias("_max_y"))
     w = (
-        Window.orderBy(F.desc("total_cents"))
+        Window.orderBy(F.desc(x))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # filtering to SURVIVING value groups first shrinks the join side
-    # to frontier size (the running max is strictly increasing down
-    # the spend order), so the broadcast is genuinely tiny — and a
-    # base row then survives iff it carries its surviving group's max
-    # (n_orders = max_n > prev_best is implied by group survival)
     front = grp.select(
-        "total_cents",
-        "max_n",
-        F.max("max_n").over(w).alias("prev_best"),
-    ).filter(F.col("max_n") > F.coalesce(F.col("prev_best"), F.lit(-1)))
+        x,
+        "_max_y",
+        F.max("_max_y").over(w).alias("_prev_best"),
+    ).filter(
+        # NULL prev_best = the highest x group: always on the frontier.
+        # An explicit IS NULL (not a sentinel coalesce) keeps y's type
+        # un-coerced — a double sentinel would silently round a
+        # past-2^53 bigint dimension.
+        F.col("_prev_best").isNull()
+        | (F.col("_max_y") > F.col("_prev_best"))
+    )
     return (
-        base.join(F.broadcast(front), "total_cents")
-        .filter(F.col("n_orders") == F.col("max_n"))
-        .select("custkey", "total_cents", "n_orders")
+        df.join(F.broadcast(front), x)
+        .filter(F.col(y) == F.col("_max_y"))
+        .drop("_max_y", "_prev_best")
+        .select(*df.columns)
     )

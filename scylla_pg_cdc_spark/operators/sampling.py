@@ -569,3 +569,287 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("oversample_micro"),
     )
+
+
+def _langid_scores_sql() -> str:
+    from scylla_pg_cdc_spark.operators.text import STOPWORDS
+
+    return " , ".join(
+        "len(list_filter(string_split(text, ' '), "
+        f"t -> t IN ({', '.join(repr(w) for w in ws)}))) AS score_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+
+
+_PRED_LANG_SQL = """
+           CASE WHEN score_en >= score_es AND score_en >= score_de
+                     AND score_en >= score_fr AND score_en >= score_zh
+                     AND score_en > 0 THEN 'en'
+                WHEN score_es >= score_de AND score_es >= score_fr
+                     AND score_es >= score_zh AND score_es > 0 THEN 'es'
+                WHEN score_de >= score_fr AND score_de >= score_zh
+                     AND score_de > 0 THEN 'de'
+                WHEN score_fr >= score_zh AND score_fr > 0 THEN 'fr'
+                WHEN score_zh > 0 THEN 'zh'
+                ELSE 'unknown' END
+"""
+
+_FUNNEL_STAGE_SQL = """
+    SELECT CAST({idx} AS BIGINT) AS stage_idx, '{name}' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS n_tokens
+    FROM {src}
+"""
+
+
+def _funnel_oracle() -> str:
+    scores = _langid_scores_sql()
+    stages = " UNION ALL ".join(
+        _FUNNEL_STAGE_SQL.format(idx=i, name=n, src=s)
+        for i, (n, s) in enumerate([
+            ("ingest", "flags"), ("langid_ok", "s2"),
+            ("quality_keep", "s3"), ("exact_unique", "s4"),
+            ("train_split", "s5"), ("decontaminated", "s6"),
+        ])
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lang, text,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               {_BUCKET_SQL} AS bucket,
+               {scores}
+        FROM documents
+    ), flags AS (
+        SELECT doc_id, text, toks, n_words, bucket,
+               ({_PRED_LANG_SQL}) = lang AS f_lang,
+               (n_words >= 30 AND n_words <= 90
+                AND 2 * n_distinct >= n_words
+                AND score_en > 0) AS q_ok
+        FROM d
+    ),
+    s2 AS (SELECT * FROM flags WHERE f_lang),
+    s3 AS (SELECT * FROM s2 WHERE q_ok),
+    s4 AS (
+        SELECT * FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+            FROM s3
+        ) WHERE doc_id = keeper
+    ),
+    s5 AS (SELECT * FROM s4 WHERE bucket < 98),
+    eval_sh AS (
+        SELECT DISTINCT shingle FROM (
+            SELECT unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM d WHERE bucket >= 98
+        ) WHERE length(shingle) > 0
+    ),
+    tr_sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM s5
+        ) WHERE length(shingle) > 0
+    ),
+    dirty AS (
+        SELECT DISTINCT t.doc_id
+        FROM tr_sh t JOIN eval_sh e USING (shingle)
+    ),
+    s6 AS (
+        SELECT * FROM s5
+        WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    ),
+    stages AS ({stages})
+    SELECT stage_idx, stage, n_docs, n_tokens,
+           CAST(COALESCE(
+               (1000000 * n_docs)
+               // NULLIF(LAG(n_docs) OVER (ORDER BY stage_idx), 0),
+               1000000) AS BIGINT) AS docs_kept_ppm,
+           CAST(COALESCE(
+               (1000000 * n_tokens)
+               // NULLIF(LAG(n_tokens) OVER (ORDER BY stage_idx), 0),
+               1000000) AS BIGINT) AS tokens_kept_ppm
+    FROM stages
+    """
+
+
+@query("q_llm_pipeline_funnel", oracle=_funnel_oracle())
+def q_llm_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-data pipeline funnel: the six curation
+    stages run IN SEQUENCE over one corpus — ingest -> language-ID
+    agreement (predicted == labeled, the mislabel guard) -> C4/Gopher
+    quality gate (length band, lexical diversity, stopword presence)
+    -> exact dedup (keep-lowest doc_id per md5(text), computed among
+    the docs that REACHED this stage, not globally) -> train split
+    (hash buckets 0-97) -> benchmark decontamination (drop docs
+    sharing any 3-shingle with the held-out bucket-98/99 slice) —
+    with per-stage doc/token counts and stage-over-stage retention in
+    exact ppm. The single table a curation run is judged by: every
+    individual stage already exists as its own query
+    (q_text_langid / q_quality_filter / q_text_exact_dedup /
+    q_train_test_split / q_decontaminate); this composes them in
+    pipeline ORDER, where each stage's population is the previous
+    stage's survivors, which none of the per-stage reports can show.
+    Plan: ONE corpus pass — every doc is labeled with the highest
+    stage it survives to (language/quality flags are pure column
+    expressions; exact-dedup survivorship is a CONDITIONAL min window
+    on md5(text), so losers and winners are decided in the same pass;
+    contamination is the broadcast shingle semi-join from
+    ``decontaminate``, eval side ~2% of docs), then a 6-bucket
+    histogram whose SUFFIX sums are exactly the per-stage populations
+    (a doc that reached stage j is alive in stages 0..j). The chain
+    is never re-evaluated per stage, unlike the naive
+    one-frame-per-stage union, which re-runs the dedup window three
+    times. Retention ppm is integer floor-division with a NULLIF
+    guard so an empty stage reports 1e6 passthrough instead of
+    dividing by zero (both engines, identical rule; the oracle keeps
+    the readable chained-CTE form, which DuckDB materializes once per
+    multiply-referenced stage)."""
+    from scylla_pg_cdc_spark.operators.text import (
+        STOPWORDS,
+        _stopword_hits,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    scores = {lang: _stopword_hits(lang) for lang in STOPWORDS}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["zh"])
+            & (scores["en"] > 0),
+            "en",
+        )
+        .when(
+            (scores["es"] >= scores["de"])
+            & (scores["es"] >= scores["fr"])
+            & (scores["es"] >= scores["zh"])
+            & (scores["es"] > 0),
+            "es",
+        )
+        .when(
+            (scores["de"] >= scores["fr"])
+            & (scores["de"] >= scores["zh"])
+            & (scores["de"] > 0),
+            "de",
+        )
+        .when((scores["fr"] >= scores["zh"]) & (scores["fr"] > 0), "fr")
+        .when(scores["zh"] > 0, "zh")
+        .otherwise("unknown")
+    )
+    flags = docs.select(
+        "doc_id",
+        "text",
+        n_words.cast("long").alias("n_words"),
+        portable_bucket("doc_id"),
+        (pred == F.col("lang")).alias("f_lang"),
+        (
+            (n_words >= 30)
+            & (n_words <= 90)
+            & (2 * n_distinct >= n_words)
+            & (scores["en"] > 0)
+        ).alias("q_ok"),
+    )
+    # SINGLE corpus pass: label every doc with the HIGHEST stage it
+    # survives to, histogram by that label, and rebuild per-stage
+    # populations as suffix sums — the naive per-stage-frame union
+    # re-evaluated the whole chain once per stage (the dedup window
+    # three times over). The keeper window uses a CONDITIONAL min so
+    # dedup is decided among quality survivors without a pre-filter
+    # pass: for any doc with f_lang AND q_ok the min is non-null (the
+    # doc itself qualifies), and for others reach3 is already false.
+    keeper = F.min(
+        F.when(F.col("f_lang") & F.col("q_ok"), F.col("doc_id"))
+    ).over(Window.partitionBy(F.md5("text")))
+    staged = flags.withColumn(
+        "reach3",
+        F.col("f_lang") & F.col("q_ok") & (F.col("doc_id") == keeper),
+    )
+    eval_sh = (
+        shingles(
+            docs.select("doc_id", "text", portable_bucket("doc_id"))
+            .filter(F.col("bucket") >= 98)
+            .select("doc_id", "text"),
+            k=3,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    cand = staged.filter(F.col("reach3") & (F.col("bucket") < 98))
+    dirty = (
+        shingles(cand.select("doc_id", "text"), k=3)
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dirty", F.lit(True))
+    )
+    stage_reached = (
+        F.when(~F.col("f_lang"), 0)
+        .when(~F.col("q_ok"), 1)
+        .when(~F.col("reach3"), 2)
+        .when(F.col("bucket") >= 98, 3)
+        .when(F.col("is_dirty"), 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    hist = (
+        staged.join(dirty, "doc_id", "left")
+        .groupBy(stage_reached.alias("stage_reached"))
+        .agg(
+            F.count(F.lit(1)).alias("d"),
+            F.sum("n_words").alias("t"),
+        )
+    )
+    # a stage no doc stops at still needs its histogram row: union a
+    # zero row per stage, then suffix-cumulate over the 6-row frame
+    zeros = spark.createDataFrame(
+        [(i, 0, 0) for i in range(6)], "stage_reached long, d long, t long"
+    )
+    full = (
+        hist.unionByName(zeros)
+        .groupBy("stage_reached")
+        .agg(F.sum("d").alias("d"), F.sum("t").alias("t"))
+    )
+    wcum = Window.orderBy(F.desc("stage_reached")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    names = F.element_at(
+        F.array(
+            *[
+                F.lit(n)
+                for n in (
+                    "ingest", "langid_ok", "quality_keep",
+                    "exact_unique", "train_split", "decontaminated",
+                )
+            ]
+        ),
+        (F.col("stage_idx") + 1).cast("int"),
+    )
+    cum = full.select(
+        F.col("stage_reached").alias("stage_idx"),
+        F.sum("d").over(wcum).cast("long").alias("n_docs"),
+        F.sum("t").over(wcum).cast("long").alias("n_tokens"),
+    ).select("stage_idx", names.alias("stage"), "n_docs", "n_tokens")
+    ppm = lambda c: F.coalesce(  # noqa: E731
+        F.expr(
+            f"CAST((1000000 * {c})"
+            f" DIV NULLIF(LAG({c}) OVER"
+            f" (ORDER BY stage_idx), 0) AS BIGINT)"
+        ),
+        F.lit(1000000),
+    )
+    return cum.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        ppm("n_docs").alias("docs_kept_ppm"),
+        ppm("n_tokens").alias("tokens_kept_ppm"),
+    )

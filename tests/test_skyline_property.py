@@ -1,0 +1,70 @@
+"""Property test for the 2-D skyline operator: the value-grouped
+running-max algorithm (`skyline_2d_max`) must return EXACTLY the
+rows an O(n^2) dominance scan returns — on random point sets with
+heavy duplicate mass on both axes (ties are where rank-style skyline
+rewrites classically go wrong: equal points are mutually
+non-dominating and must all survive)."""
+
+from __future__ import annotations
+
+import random
+
+from scylla_pg_cdc_spark.operators.analytics import skyline_2d_max
+
+SEEDS = (11, 23, 47, 101, 202)
+
+
+def _brute_skyline(pts):
+    out = []
+    for i, (x, y) in enumerate(pts):
+        dominated = any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for j, (x2, y2) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append((i, x, y))
+    return sorted(out)
+
+
+def test_skyline_matches_brute_force(spark):
+    for seed in SEEDS:
+        rng = random.Random(seed)
+        n = rng.randint(30, 120)
+        # small value ranges force many exact ties on each axis and
+        # frequent full-duplicate points
+        pts = [
+            (rng.randint(0, 12), rng.randint(0, 12)) for _ in range(n)
+        ]
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)],
+            "id long, x long, y long",
+        )
+        got = sorted(
+            (r["id"], r["x"], r["y"])
+            for r in skyline_2d_max(df, "x", "y").collect()
+        )
+        assert got == _brute_skyline(pts), f"seed {seed}"
+
+
+def test_skyline_all_duplicates_survive(spark):
+    df = spark.createDataFrame(
+        [(i, 5, 5) for i in range(7)], "id long, x long, y long"
+    )
+    got = skyline_2d_max(df, "x", "y").collect()
+    assert len(got) == 7
+
+
+def test_skyline_single_chain(spark):
+    # strictly increasing x with strictly decreasing y: every point
+    # is on the frontier
+    df = spark.createDataFrame(
+        [(i, i, 100 - i) for i in range(20)], "id long, x long, y long"
+    )
+    assert skyline_2d_max(df, "x", "y").count() == 20
+    # strictly increasing on both: only the last survives
+    df2 = spark.createDataFrame(
+        [(i, i, i) for i in range(20)], "id long, x long, y long"
+    )
+    rows = skyline_2d_max(df2, "x", "y").collect()
+    assert [(r["x"], r["y"]) for r in rows] == [(19, 19)]
