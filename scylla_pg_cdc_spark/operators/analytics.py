@@ -1338,7 +1338,9 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d_max(base, "total_cents", "n_orders")
 
 
-def skyline_2d_max(df: DataFrame, x: str, y: str) -> DataFrame:
+def skyline_2d_max(
+    df: DataFrame, x: str, y: str, prereduce_buckets: int = 0
+) -> DataFrame:
     """Rows of ``df`` not dominated on two MAX dimensions: no other
     row has x' >= x AND y' >= y with at least one strict. Equal
     (x, y) duplicates are mutually non-dominating and all survive.
@@ -1350,13 +1352,45 @@ def skyline_2d_max(df: DataFrame, x: str, y: str) -> DataFrame:
     the value groups whose max beats it — the frontier-sized
     survivor set — and broadcast that back onto the full frame. A
     row survives iff it carries its surviving group's max (y = max_y
-    > prev_best is implied by group survival)."""
-    grp = df.groupBy(x).agg(F.max(y).alias("_max_y"))
-    w = (
-        Window.orderBy(F.desc(x))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    > prev_best is implied by group survival).
+
+    The plain path's one global window runs over the per-x-value
+    REDUCED frame; when even the distinct-x frame is too large for a
+    single task, pass ``prereduce_buckets=B`` to apply the
+    union-skyline identity skyline(S) = skyline(U skyline(S_b)) over
+    any partition of the rows: a deterministic hash of (x, y) assigns
+    buckets, the same value-grouped running max runs PER BUCKET as a
+    keyed window (never single-partition), and only the union of the
+    B local frontiers — bounded by B x frontier size — reaches the
+    global pass. Equal results by the identity (local non-survivors
+    are dominated within their own bucket, hence globally);
+    `tests/test_skyline_property.py` pins prereduce == plain == the
+    O(n^2) brute force on duplicate-heavy random sets."""
+    if prereduce_buckets:
+        bucket = F.pmod(
+            F.xxhash64(F.col(x), F.col(y)), F.lit(prereduce_buckets)
+        ).alias("_sky_bucket")
+        local = _skyline_pass(
+            df.select(*df.columns, bucket), x, y, part_col="_sky_bucket"
+        ).drop("_sky_bucket")
+        return _skyline_pass(local, x, y).select(*df.columns)
+    return _skyline_pass(df, x, y)
+
+
+def _skyline_pass(
+    df: DataFrame, x: str, y: str, part_col: str | None = None
+) -> DataFrame:
+    """One value-grouped running-max skyline pass, optionally scoped
+    per ``part_col`` (keyed window; the local phase of the
+    union-skyline pre-reduce)."""
+    keys = [part_col] if part_col else []
+    grp = df.groupBy(*keys, x).agg(F.max(y).alias("_max_y"))
+    base = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
     )
+    w = base.orderBy(F.desc(x)).rowsBetween(Window.unboundedPreceding, -1)
     front = grp.select(
+        *keys,
         x,
         "_max_y",
         F.max("_max_y").over(w).alias("_prev_best"),
@@ -1369,7 +1403,7 @@ def skyline_2d_max(df: DataFrame, x: str, y: str) -> DataFrame:
         | (F.col("_max_y") > F.col("_prev_best"))
     )
     return (
-        df.join(F.broadcast(front), x)
+        df.join(F.broadcast(front), keys + [x])
         .filter(F.col(y) == F.col("_max_y"))
         .drop("_max_y", "_prev_best")
         .select(*df.columns)

@@ -68,3 +68,28 @@ def test_skyline_single_chain(spark):
     )
     rows = skyline_2d_max(df2, "x", "y").collect()
     assert [(r["x"], r["y"]) for r in rows] == [(19, 19)]
+
+
+def test_skyline_prereduce_equivalence(spark):
+    """The union-skyline identity: the bucketed pre-reduce path must
+    return exactly the plain path's rows for any bucket count."""
+    for seed, buckets in ((7, 3), (13, 8), (29, 1)):
+        rng = random.Random(seed)
+        pts = [
+            (rng.randint(0, 15), rng.randint(0, 15)) for _ in range(150)
+        ]
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)],
+            "id long, x long, y long",
+        )
+        plain = sorted(
+            (r["id"], r["x"], r["y"])
+            for r in skyline_2d_max(df, "x", "y").collect()
+        )
+        pre = sorted(
+            (r["id"], r["x"], r["y"])
+            for r in skyline_2d_max(
+                df, "x", "y", prereduce_buckets=buckets
+            ).collect()
+        )
+        assert pre == plain == _brute_skyline(pts), (seed, buckets)
