@@ -1408,3 +1408,84 @@ def _skyline_pass(
         .drop("_max_y", "_prev_best")
         .select(*df.columns)
     )
+
+
+@query(
+    "q_transition_surprisal",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id
+               ) AS prev_type
+        FROM events
+    ), tr AS (
+        SELECT user_id, prev_type, event_type AS next_type
+        FROM seq WHERE prev_type IS NOT NULL
+    ), c AS (
+        SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tr GROUP BY prev_type, next_type
+    ), tot AS (
+        SELECT prev_type, SUM(n) AS row_total FROM c GROUP BY prev_type
+    )
+    SELECT tr.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(length(bin(t.row_total)) - length(bin(c.n)))
+                AS BIGINT) AS surprisal_bits,
+           CAST((1000 * SUM(length(bin(t.row_total)) - length(bin(c.n))))
+                // COUNT(*) AS BIGINT) AS mean_bits_milli
+    FROM tr
+    JOIN c ON tr.prev_type = c.prev_type AND tr.next_type = c.next_type
+    JOIN tot t ON tr.prev_type = t.prev_type
+    GROUP BY tr.user_id
+    """,
+)
+def q_transition_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stream predictability under the corpus's own
+    first-order Markov model: every observed transition contributes
+    floor(log2(row_total)) - floor(log2(n)) bits — the banded form of
+    -log2 p(next|prev) — summed per user, via the same zero-FP binary
+    digit-length trick as ``q_doc_surprisal`` (length(bin(x)) =
+    floor(log2 x)+1 in both engines; no libm anywhere). High
+    mean-bits users follow rare transition paths (bot probes, broken
+    flows, genuinely novel behavior); low ones ride the corpus's
+    dominant edges — the per-ENTITY consumption of the transition
+    matrix ``q_event_transitions`` only reports globally. DIV is safe
+    (non-negative operands). Plan: one lag window on the user
+    partition, the |types|^2-sized model joined back by broadcast,
+    one per-user aggregation — shuffles bounded by users + the tiny
+    model; nothing quadratic."""
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.unix_millis("ts"), F.col("event_id")
+            )
+        )
+        .alias("prev_type"),
+    )
+    tr = seq.filter(F.col("prev_type").isNotNull())
+    c = tr.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    bits = (
+        F.length(F.bin(F.col("row_total"))) - F.length(F.bin(F.col("n")))
+    ).cast("long")
+    return (
+        tr.join(F.broadcast(c), ["prev_type", "next_type"])
+        .join(F.broadcast(tot), "prev_type")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(bits).alias("surprisal_bits"),
+            F.expr(
+                "CAST((1000 * SUM(CAST(length(bin(row_total))"
+                " - length(bin(n)) AS BIGINT)))"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_bits_milli"),
+        )
+    )
