@@ -1489,3 +1489,124 @@ def q_transition_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_bits_milli"),
         )
     )
+
+
+def skyline_nd_max(
+    df: DataFrame, cols: list[str], prereduce_buckets: int = 32
+) -> DataFrame:
+    """N-dimensional skyline on MAX dimensions ``cols``: rows no
+    other row dominates (>= on every dimension, > on at least one;
+    equal tuples are mutually non-dominating and all survive).
+
+    Three and more dimensions have no value-grouped running-max
+    rewrite (the 2-D trick in ``skyline_2d_max`` relies on a total
+    order of the second dimension under the first), so this is the
+    repo's documented applyInPandas case: semantics the built-in
+    operators genuinely cannot express. The union-skyline identity
+    makes it distributed — a deterministic hash of the dimension
+    tuple buckets the rows, each bucket's skyline is computed by a
+    vectorized numpy dominance sweep (O(n_b^2) comparisons but
+    row-vectorized; a bucket is one Arrow batch), and only the union
+    of local frontiers (<= buckets x frontier) reaches the final
+    single-group pass. Local non-survivors are dominated within
+    their own bucket, hence globally — dropping them early is
+    lossless. At 100 TB: size ``prereduce_buckets`` so a bucket fits
+    an executor's Arrow batch; a second bucketing round bounds the
+    final pass if B x frontier itself grows large."""
+
+    def _sky(pdf):
+        import numpy as np
+
+        a = pdf[list(cols)].to_numpy()
+        n = len(a)
+        keep = np.ones(n, dtype=bool)
+        for i in range(n):
+            # j == i contributes all>= True but any> False: safe
+            if ((a >= a[i]).all(axis=1) & (a > a[i]).any(axis=1)).any():
+                keep[i] = False
+        return pdf[keep]
+
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols]), F.lit(prereduce_buckets)
+    ).alias("_sky_bucket")
+    bucketed = df.select(*df.columns, bucket)
+    local = (
+        bucketed.groupBy("_sky_bucket")
+        .applyInPandas(_sky, schema=bucketed.schema)
+        .drop("_sky_bucket")
+    )
+    glob = local.select(*df.columns, F.lit(0).alias("_sky_bucket"))
+    return (
+        glob.groupBy("_sky_bucket")
+        .applyInPandas(_sky, schema=glob.schema)
+        .drop("_sky_bucket")
+    )
+
+
+@query(
+    "q_skyline_3d",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(MAX(o_orderdate) AS DATE))
+                    AS BIGINT) AS last_day
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_custkey
+    )
+    SELECT custkey, total_cents, n_orders, last_day
+    FROM base b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM base o
+        WHERE o.total_cents >= b.total_cents
+          AND o.n_orders >= b.n_orders
+          AND o.last_day >= b.last_day
+          AND (o.total_cents > b.total_cents
+               OR o.n_orders > b.n_orders
+               OR o.last_day > b.last_day))
+    """,
+)
+def q_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D Pareto frontier over one market segment's customers on
+    (total spend, order count, recency) — "best customers" when no
+    single score is agreed on, in the dimension regime where the 2-D
+    running-max rewrite no longer exists. Runs the bucketed
+    ``skyline_nd_max`` (union-skyline identity + per-bucket numpy
+    dominance sweep — the repo's documented applyInPandas case);
+    the oracle is the INDEPENDENT O(n^2) NOT EXISTS dominance
+    anti-join, so the hash match proves the bucket decomposition and
+    the sweep against the definition itself. Segment scoping keeps
+    that quadratic oracle replayable at amplified scale (0.8 s at
+    10x, ~80 s at 100x) and adds the broadcast dimension join;
+    recency is exact integer epoch-days (datediff vs 1970-01-01,
+    identical in both engines). Plan: broadcast segment filter ->
+    one customer-keyed aggregation -> two Arrow passes bounded by
+    bucket size and buckets x frontier."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    base = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.datediff(
+                F.to_date(F.max("o_orderdate")), F.lit("1970-01-01")
+            )
+            .cast("long")
+            .alias("last_day"),
+        )
+    )
+    return skyline_nd_max(
+        base, ["total_cents", "n_orders", "last_day"]
+    )

@@ -93,3 +93,40 @@ def test_skyline_prereduce_equivalence(spark):
             ).collect()
         )
         assert pre == plain == _brute_skyline(pts), (seed, buckets)
+
+
+def test_skyline_nd_matches_brute_force(spark):
+    """3-D: the bucketed applyInPandas sweep must equal the O(n^2)
+    definition on duplicate-heavy random sets, for several bucket
+    counts (1 = single-pass degenerate case)."""
+    from scylla_pg_cdc_spark.operators.analytics import skyline_nd_max
+
+    def brute3(pts):
+        out = []
+        for i, p in enumerate(pts):
+            dominated = any(
+                all(q[k] >= p[k] for k in range(3))
+                and any(q[k] > p[k] for k in range(3))
+                for j, q in enumerate(pts)
+                if j != i
+            )
+            if not dominated:
+                out.append((i, *p))
+        return sorted(out)
+
+    for seed, buckets in ((5, 1), (17, 4), (31, 16)):
+        rng = random.Random(seed)
+        pts = [
+            tuple(rng.randint(0, 8) for _ in range(3)) for _ in range(120)
+        ]
+        df = spark.createDataFrame(
+            [(i, *p) for i, p in enumerate(pts)],
+            "id long, x long, y long, z long",
+        )
+        got = sorted(
+            (r["id"], r["x"], r["y"], r["z"])
+            for r in skyline_nd_max(
+                df, ["x", "y", "z"], prereduce_buckets=buckets
+            ).collect()
+        )
+        assert got == brute3(pts), (seed, buckets)
