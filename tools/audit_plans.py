@@ -44,6 +44,36 @@ def _scan_width(schema_tail: str) -> int:
     return fields + (1 if seen_any else 0)
 
 
+def _global_windows(plan: str) -> int:
+    """Count windowspecdefinition occurrences with an EMPTY partition
+    spec — the shape WindowExec warns about ("Moving all data to a
+    single partition"). Detection: the spec's argument list is
+    partition columns, then ordering expressions (carrying ASC/DESC),
+    then the frame; if the FIRST argument is an ordering or the frame
+    itself, no partition key exists."""
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        i, depth, arg = m.end(), 1, []
+        while i < len(plan) and depth:
+            ch = plan[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth == 1 and ch == ",":
+                break
+            arg.append(ch)
+            i += 1
+        first = "".join(arg).strip()
+        if (
+            first.startswith("specifiedwindowframe")
+            or " ASC" in first
+            or " DESC" in first
+        ):
+            n += 1
+    return n
+
+
 def plan_facts(df) -> dict:
     """The physical-plan facts that matter at 100 TB, as a dict —
     shared by the CLI audit and the plan-contract pytest."""
@@ -54,6 +84,7 @@ def plan_facts(df) -> dict:
     plan = plan.split("== Initial Plan ==")[0]
     scans = re.findall(r"ReadSchema: struct<(.*)", plan)
     return {
+        "global_windows": _global_windows(plan),
         "shuffles": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
