@@ -24,12 +24,16 @@ from scylla_pg_cdc_spark.sources.tables import load_table
 
 
 def floordiv_sql(num: str, den: str) -> str:
-    """Exact integer ``floor(num/den)`` for ``den > 0`` as Spark SQL.
+    """Exact integer ``floor(num/den)`` for ``den > 0`` as Spark SQL,
+    in pure int64 arithmetic (no float detour).
 
-    Spark's ``DIV`` truncates toward zero while DuckDB's ``//``
-    floors, so a bare DIV silently diverges from the oracle whenever
-    the numerator is negative; this rearrangement matches floor
-    semantics in pure int64 arithmetic (no float detour)."""
+    CAUTION (measured round 9, DuckDB 1.0.0): DuckDB's integer ``//``
+    TRUNCATES toward zero exactly like Spark's ``DIV`` — the two
+    engines already agree on a bare DIV for every sign. Pair this
+    helper only with an oracle that spells out the same floor
+    rearrangement; pairing it with a plain ``//`` oracle diverges by
+    one on negative non-exact numerators (found by the
+    q_ivf_epoch_maintenance sf0.001 gate)."""
     return (
         f"((({num}) DIV ({den}))"
         f" - (CASE WHEN ({num}) < 0 AND ({num}) % ({den}) != 0"
@@ -244,12 +248,12 @@ def q_event_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
+            # plain DIV: DuckDB's integer // truncates exactly like
+            # Spark DIV (see floordiv_sql CAUTION), so the oracle's
+            # // matches for negative-value events too
             F.expr(
-                "CAST("
-                + floordiv_sql(
-                    "SUM(vc * (next_ms - ts_ms))", "SUM(next_ms - ts_ms)"
-                )
-                + " AS BIGINT)"
+                "CAST(SUM(vc * (next_ms - ts_ms))"
+                " DIV SUM(next_ms - ts_ms) AS BIGINT)"
             ).alias("twap_cents"),
         )
     )

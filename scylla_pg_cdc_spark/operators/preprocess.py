@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.operators.sampling import portable_bucket
-from scylla_pg_cdc_spark.operators.analytics import floordiv_sql
+
 from scylla_pg_cdc_spark.registry import query
 from scylla_pg_cdc_spark.sources.tables import load_table
 
@@ -265,9 +265,10 @@ def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null imputation with the per-group mean — the ML feature-prep
     step that precedes training on tabular event data. The imputed
-    value is the exact integer floor of the group's cent mean
-    (floor-division over non-null cents via the shared floordiv_sql
-    helper, so Spark matches DuckDB's // even if values go negative),
+    value is the exact truncated integer of the group's cent mean
+    (plain DIV over non-null cents: DuckDB's integer // truncates
+    toward zero exactly like Spark DIV — see floordiv_sql's CAUTION —
+    so the engines match even if values go negative),
     which makes the fill value a pure function of the data rather
     than a float whose last ulp depends on aggregation order. An
     audit flag marks filled rows so downstream samplers can weight or
@@ -279,12 +280,8 @@ def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("value").isNotNull())
         .groupBy("event_type")
         .agg(F.expr(
-            "CAST("
-            + floordiv_sql(
-                "SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))",
-                "COUNT(value)",
-            )
-            + " AS BIGINT)"
+            "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))"
+            " DIV COUNT(value) AS BIGINT)"
         ).alias("mean_cents"))
     )
     return ev.join(F.broadcast(m), "event_type").select(

@@ -48,6 +48,46 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def quantize_micro_array(vec: Column) -> Column:
+    """array<long> of floor(x * 1e6 + 0.5) per component — the
+    quantize-BEFORE-any-cross-row-sum discipline every exact oracle
+    relies on (integer folds are associative; float folds are not)."""
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Order-independent integer dot product of two array<long>
+    columns, accumulated in DECIMAL(38,0) (|s| up to 1e6*n per
+    component stays exact to ~1e12 vectors per list)."""
+    dec = "decimal(38,0)"
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast(dec) * y),
+        F.lit(0).cast(dec),
+        lambda acc, x: acc + x,
+    )
+
+
+def int_cos_micro(a: Column, b: Column) -> Column:
+    """Half-up micro-quantized cosine of two integer vectors: exact
+    integer sums, then ONE double division + sqrt (both IEEE
+    correctly-rounded) — engine-stable by construction."""
+    return (
+        F.floor(
+            int_dot(a, b).cast("double")
+            / (
+                F.sqrt(int_dot(a, a).cast("double"))
+                * F.sqrt(int_dot(b, b).cast("double"))
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+    )
+
+
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     """Deterministic query vector: the embedding of vec_id = 0."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2511,4 +2551,226 @@ def q_knn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == 1, F.col("cos_sim_micro")))
             - F.max(F.when(F.col("rn") == 2, F.col("cos_sim_micro")))
         ).alias("margin_micro"),
+    )
+
+
+@query(
+    "q_ivf_epoch_maintenance",
+    oracle=f"""
+    WITH old_v AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % 20 != 0
+    ), new_v AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % 20 = 0
+    ), oldq AS (
+        SELECT label, i,
+               SUM(CAST(FLOOR(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                              * 1000000 + 0.5) AS BIGINT)) AS s
+        FROM old_v, range(0, {DIM}) t(i)
+        GROUP BY label, i
+    ), oldn AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_old
+        FROM old_v GROUP BY label
+    ), scored AS (
+        SELECT nv.vec_id, nv.label AS true_label, o.label AS cand,
+               SUM(CAST(FLOOR(CAST(nv.embedding[CAST(o.i AS INT) + 1]
+                                   AS DOUBLE) * 1000000 + 0.5) AS HUGEINT)
+                   * o.s) AS dp,
+               SUM(CAST(FLOOR(CAST(nv.embedding[CAST(o.i AS INT) + 1]
+                                   AS DOUBLE) * 1000000 + 0.5) AS HUGEINT)
+                   * CAST(FLOOR(CAST(nv.embedding[CAST(o.i AS INT) + 1]
+                                     AS DOUBLE) * 1000000 + 0.5)
+                          AS HUGEINT)) AS nv2,
+               SUM(CAST(o.s AS HUGEINT) * o.s) AS c2
+        FROM new_v nv, oldq o
+        GROUP BY 1, 2, 3
+    ), best AS (
+        SELECT vec_id, true_label, cand AS assigned
+        FROM (
+            SELECT vec_id, true_label, cand,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY CAST(FLOOR(CAST(dp AS DOUBLE)
+                                           / (sqrt(CAST(nv2 AS DOUBLE))
+                                              * sqrt(CAST(c2 AS DOUBLE)))
+                                           * 1000000 + 0.5) AS BIGINT)
+                                    DESC,
+                                cand
+                   ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), newq AS (
+        SELECT b.assigned AS label, t.i,
+               SUM(CAST(FLOOR(CAST(nv.embedding[CAST(t.i AS INT) + 1]
+                                   AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT)) AS ns
+        FROM best b JOIN new_v nv ON nv.vec_id = b.vec_id,
+             range(0, {DIM}) t(i)
+        GROUP BY 1, 2
+    ), newn AS (
+        SELECT assigned AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               CAST(SUM(CASE WHEN assigned != true_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_defected
+        FROM best GROUP BY 1
+    ), drift AS (
+        SELECT o.label,
+               CAST(SUM(ABS(
+                   (1000 * (o.s + COALESCE(n.ns, 0)))
+                       // (od.n_old + COALESCE(nn.n_assigned, 0))
+                   - (1000 * o.s) // od.n_old
+               )) AS BIGINT) AS centroid_drift
+        FROM oldq o
+        JOIN oldn od ON o.label = od.label
+        LEFT JOIN newq n ON o.label = n.label AND o.i = n.i
+        LEFT JOIN newn nn ON o.label = nn.label
+        GROUP BY o.label
+    )
+    SELECT CAST(od.label AS BIGINT) AS label,
+           od.n_old,
+           CAST(COALESCE(nn.n_assigned, 0) AS BIGINT) AS n_assigned,
+           CAST(COALESCE(nn.n_defected, 0) AS BIGINT) AS n_defected,
+           d.centroid_drift
+    FROM oldn od
+    LEFT JOIN newn nn ON od.label = nn.label
+    JOIN drift d ON od.label = d.label
+    """,
+)
+def q_ivf_epoch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the epoch step a streaming
+    vector store runs when a CDC batch of new embeddings arrives (the
+    vector analog of ``q_neardup_incremental``): the EXISTING corpus
+    (vec_id % 20 != 0) holds the trained coarse lists (per-label
+    centroids, labels as the codebook like ``q_vector_ivf_search``);
+    the incoming epoch (vec_id % 20 = 0) is ASSIGNED to its nearest
+    centroid by exact cosine, and each list reports its maintenance
+    facts: old membership, newly routed vectors, defections (vectors
+    whose true label differs from the list that captured them — the
+    re-train signal), and the exact centroid drift the incremental
+    mean-fold produces.
+
+    Numeric discipline (the exactness trick): centroids are INTEGER
+    micro-sums — each component is quantized floor(x*1e6+0.5) BEFORE
+    any cross-row sum, so the fold is associative and engine-exact;
+    cosine against the un-normalized sum vector equals cosine against
+    the mean (scale invariance), and the assignment dot products are
+    INTEGER (query side quantized too, DECIMAL(38,0)/HUGEINT
+    accumulators) so summation order is irrelevant — one double
+    division + sqrt at the very end, both IEEE-exact; drift is
+    per-dim trunc((1000*s')/n') - trunc((1000*s)/n) in pure int64
+    with TRUNCATING division on both engines (Spark DIV and DuckDB
+    integer // both truncate toward zero — components can be
+    negative, and a floor-vs-trunc mix is off by one there).
+    Envelope: |s| <= 1e6 * n_label, so
+    the 1000x product stays in int64 to ~9e12 vectors per list.
+
+    Scale: one posexplode aggregation per side (shuffles bounded by
+    K x DIM = 640 cells), the K-row centroid panel broadcast into the
+    assignment (BNLJ carve-out class: bounded codebook, same as
+    q_vector_ivf_trained), one vec_id window over K candidates per
+    new vector, and a K x DIM drift join — per-epoch cost is
+    O(batch x K), never O(corpus). The cross-epoch state fold lives
+    in streaming/ivf_state.py with the same integer-sum state."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    old_v = emb.filter(F.col("vec_id") % 20 != 0)
+    new_v = emb.filter(F.col("vec_id") % 20 == 0)
+    quant = F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long")
+    oldq = (
+        old_v.select("label", F.posexplode(v).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum(quant).alias("s"))
+    )
+    oldn = old_v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_old")
+    )
+    cent = oldq.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, s))), p -> p.s)"
+        ).alias("cvec")
+    )
+    # Integer-exact scoring: BOTH vectors quantized to micro units
+    # before the dot product, accumulated in DECIMAL(38,0) — the sum
+    # is order-independent, so the oracle's hash-grouped SUM cannot
+    # drift an ulp against the engine's sequential array fold (the
+    # float idiom elsewhere rides range-scan order; this CTE cannot).
+    qv = F.col("qv")
+    cv = F.col("cvec")
+    scored = new_v.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        quantize_micro_array(F.col("embedding")).alias("qv"),
+    ).crossJoin(
+        F.broadcast(cent.select(F.col("label").alias("cand"), "cvec"))
+    ).select(
+        "vec_id",
+        "true_label",
+        "cand",
+        int_cos_micro(qv, cv).alias("cos_micro"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_micro"), "cand")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("cand").alias("assigned"))
+    )
+    newq = (
+        best.join(new_v.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.col("assigned").alias("label"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "x"
+            ),
+        )
+        .groupBy("label", "i")
+        .agg(F.sum(quant).alias("ns"))
+    )
+    newn = best.groupBy(F.col("assigned").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.sum(
+            F.when(F.col("assigned") != F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_defected"),
+    )
+    # Truncating integer division on BOTH engines: Spark DIV and
+    # DuckDB's integer `//` both truncate toward zero (measured:
+    # -7 // 2 = -3 in DuckDB 1.x), so the sign-capable per-dim means
+    # agree exactly without the floordiv rearrangement — which would
+    # DISAGREE by one on negative sums (found by the sf0.001 gate).
+    drift = (
+        oldq.join(F.broadcast(oldn), "label")
+        .join(F.broadcast(newq), ["label", "i"], "left")
+        .join(
+            F.broadcast(newn.select("label", "n_assigned")), "label", "left"
+        )
+        .select(
+            "label",
+            F.abs(
+                F.expr(
+                    "(1000 * (s + COALESCE(ns, CAST(0 AS BIGINT))))"
+                    " DIV (n_old + COALESCE(n_assigned,"
+                    " CAST(0 AS BIGINT)))"
+                    " - (1000 * s) DIV n_old"
+                )
+            ).alias("d"),
+        )
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("centroid_drift"))
+    )
+    return (
+        oldn.join(F.broadcast(newn), "label", "left")
+        .join(F.broadcast(drift), "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_old",
+            F.coalesce(F.col("n_assigned"), F.lit(0))
+            .cast("long")
+            .alias("n_assigned"),
+            F.coalesce(F.col("n_defected"), F.lit(0))
+            .cast("long")
+            .alias("n_defected"),
+            "centroid_drift",
+        )
     )

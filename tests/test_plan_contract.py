@@ -183,6 +183,11 @@ def test_plan_budget(spark, name):
             # total riding the same crossJoin(broadcast(...)) as
             # q_domain_chisq / q_doc_domain_lift
             "q_domain_tvd", "q_doc_surprisal",
+            # q_ivf_epoch_maintenance: the K-row centroid codebook
+            # attached to the incoming epoch by crossJoin(broadcast)
+            # — bounded by the coarse-list count, same class as
+            # q_vector_ivf_trained's codebook
+            "q_ivf_epoch_maintenance",
         )
     ),
 )
@@ -192,3 +197,45 @@ def test_no_cartesian_anywhere(spark, name):
     facts = plan_facts(SPECS[name].fn(spark, SF_SMALL))
     assert facts["cartesian"] == 0, (name, facts)
     assert facts["bnlj"] == 0, (name, facts)
+
+
+# Empty-partitionBy Window carve-outs (VERDICT r8 #7): each runs its
+# global window over a frame whose size is BOUNDED or REDUCED, never
+# the raw corpus, and each names its 100 TB escape hatch in its
+# docstring. Everything else in the registry must plan ZERO
+# single-partition windows (q_skyline_2d's former shape — fixed r9).
+GLOBAL_WINDOW_CARVEOUTS = {
+    # <=9-row first-digit frame (Benford digit census)
+    "q_benford_audit",
+    # 20-row top-k shingle frame (same bound as its BNLJ carve-out)
+    "q_boilerplate_shingles",
+    # cumsum over the DAY relation — calendar-sized, not corpus-sized
+    "q_cumulative_uniques",
+    # NTILE over documents; docstring names the approx-quantile
+    # cutpoint + broadcast range-join swap at scale
+    "q_curriculum_bins",
+    # three NTILEs over the customer-REDUCED aggregate; docstring
+    # names the two-phase rank-offset decomposition (functions/sweep)
+    "q_customer_rfm",
+    # rank fusion over the two top-k retrieval candidate lists
+    "q_hybrid_rrf",
+    # recall curve over the k-grid x probe frame (panel-sized)
+    "q_ivf_recall_curve",
+    # KMV sketch rows — bounded by the sketch size k
+    "q_kmv_setops",
+    # 6-bucket funnel histogram suffix sums
+    "q_llm_pipeline_funnel",
+    # 20-row per-source budget frame (named by VERDICT r8 #7)
+    "q_token_budget_mix",
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in SPECS if n not in GLOBAL_WINDOW_CARVEOUTS)
+)
+def test_no_global_window_anywhere(spark, name):
+    """No registered query outside the documented carve-outs may plan
+    a Window with an empty partition spec (WindowExec's move-all-data
+    -to-one-partition shape — invisible at sf0.001, fatal at 100 TB)."""
+    facts = plan_facts(SPECS[name].fn(spark, SF_SMALL))
+    assert facts["global_windows"] == 0, (name, facts)
