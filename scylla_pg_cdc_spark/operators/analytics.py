@@ -1118,11 +1118,15 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so every ranking carries the custkey tiebreak and both
     engines cut identical quintile boundaries (the same
     tie-discipline as every rank window in this repo). Scale: the
-    base frame is one orders aggregation (customer-sized); the three
-    global NTILEs are single-partition windows over that REDUCED
-    frame — at 100 TB swap them for the two-phase rank-offset
-    decomposition (functions/sweep.py), the documented escape hatch
-    for global rankings."""
+    base frame is one orders aggregation (customer-sized) — which
+    GROWS with the corpus, so the three NTILEs run as the two-phase
+    banded rank decomposition (functions/sweep.py:two_phase_ntile,
+    bit-identical to engine NTILE, zero single-partition windows over
+    the customer frame; wired round 9 — it was the documented escape
+    hatch through r8). Dates rank as epoch days (monotonic), so the
+    (value, custkey) order matches the oracle's (date, custkey)."""
+    from scylla_pg_cdc_spark.functions.sweep import two_phase_ntile
+
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1131,21 +1135,24 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
         ).alias("monetary_cents"),
     )
-    scored = base.select(
-        F.ntile(5)
-        .over(Window.orderBy("last_order", "custkey"))
+    b = base.select(
+        "custkey",
+        F.datediff(F.to_date("last_order"), F.lit("1970-01-01"))
         .cast("long")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "custkey"))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "custkey"))
-        .cast("long")
-        .alias("m_score"),
+        .alias("r_days"),
+        "frequency",
+        "monetary_cents",
+    # localCheckpoint: each chained two_phase_ntile references its
+    # input twice (banded + counts), so three calls would unroll the
+    # orders aggregation 2^3 times; the checkpoint pins it to ONE
+    # customer-sized materialization (the graph.py idiom)
+    ).localCheckpoint()
+    b = two_phase_ntile(b, "r_days", "custkey", 5, 64, "r_score")
+    b = two_phase_ntile(b, "frequency", "custkey", 5, 4, "f_score")
+    b = two_phase_ntile(
+        b, "monetary_cents", "custkey", 5, 10_000_000, "m_score"
     )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
+    return b.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
 

@@ -226,17 +226,21 @@ def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedule consumes. The (score, doc_id) ordering is total, so bin
     assignment is deterministic and identical cross-engine (both
     implement standard NTILE: earlier buckets absorb the remainder).
-    The global sort is the honest cost: at 100 TB swap NTILE for
-    approx-quantile cutpoints computed once and a broadcast range
-    join — the output contract (bin, population, score range) stays
-    the same."""
-    from pyspark.sql import Window
+    Scale: documents GROW with the corpus, so the NTILE runs as the
+    two-phase banded rank decomposition
+    (functions/sweep.py:two_phase_ntile — bit-identical to engine
+    NTILE, no single-partition window over the document frame; wired
+    round 9, an EXACT replacement for the approx-quantile swap this
+    docstring used to promise)."""
+    from scylla_pg_cdc_spark.functions.sweep import two_phase_ntile
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
+    binned = two_phase_ntile(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id", 4, 256,
+        "bin",
+    )
     return (
-        docs.select("doc_id", "n_chars", F.ntile(4).over(w).alias("bin"))
-        .groupBy(F.col("bin").cast("long").alias("bin"))
+        binned.groupBy(F.col("bin").cast("long").alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("n_chars").alias("min_score"),

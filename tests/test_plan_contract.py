@@ -211,12 +211,9 @@ GLOBAL_WINDOW_CARVEOUTS = {
     "q_boilerplate_shingles",
     # cumsum over the DAY relation — calendar-sized, not corpus-sized
     "q_cumulative_uniques",
-    # NTILE over documents; docstring names the approx-quantile
-    # cutpoint + broadcast range-join swap at scale
-    "q_curriculum_bins",
-    # three NTILEs over the customer-REDUCED aggregate; docstring
-    # names the two-phase rank-offset decomposition (functions/sweep)
-    "q_customer_rfm",
+    # (q_customer_rfm and q_curriculum_bins left this list in round 9:
+    # their corpus-sized NTILEs now run as two_phase_ntile — the only
+    # two carve-outs whose windowed frame GREW with the data.)
     # rank fusion over the two top-k retrieval candidate lists
     "q_hybrid_rrf",
     # recall curve over the k-grid x probe frame (panel-sized)

@@ -102,7 +102,7 @@ def audit(sf_dir: str, only: list[str] | None = None) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     names = only or sorted(specs)
     print(f"{'query':32s} {'shuffles':>8s} {'bhj':>4s} {'smj':>4s} "
-          f"{'sort':>5s} {'pushed':>7s} {'scan_cols'}")
+          f"{'sort':>5s} {'gwin':>5s} {'pushed':>7s} {'scan_cols'}")
     for name in names:
         try:
             df = specs[name].fn(spark, sf_dir)
@@ -113,6 +113,7 @@ def audit(sf_dir: str, only: list[str] | None = None) -> None:
         widths = ",".join(str(w) for w in facts["scan_cols"])
         print(f"{name:32s} {facts['shuffles']:8d} {facts['bhj']:4d} "
               f"{facts['smj']:4d} {facts['sorts']:5d} "
+              f"{facts['global_windows']:5d} "
               f"{'yes' if facts['pushed'] else '-':>7s} [{widths}]")
 
 
