@@ -1390,6 +1390,12 @@ def skyline_2d_max(
         local = _skyline_pass(
             df.select(*df.columns, bucket), x, y, part_col="_sky_bucket"
         ).drop("_sky_bucket")
+        # localCheckpoint: each _skyline_pass references its input
+        # twice (frame + per-x frontier), so the nested passes would
+        # evaluate the caller's base aggregation 4x; pinning the
+        # frontier-union (<= B x frontier rows — tiny) halves the
+        # lineage to the local pass's own two references.
+        local = local.localCheckpoint()
         # Final merge = the SAME keyed pass with bucket count 1 over
         # the union of local frontiers (<= B x frontier rows). The
         # key must be non-foldable — a literal 0 is constant-folded
