@@ -71,7 +71,7 @@ def two_phase_row_number(
     df: DataFrame,
     value_col: str,
     id_col: str,
-    band_width: int,
+    band_width: int | None = None,
     out_col: str = "rn",
 ) -> DataFrame:
     """Append ``out_col`` = ROW_NUMBER() OVER (ORDER BY value, id)
@@ -95,9 +95,19 @@ def two_phase_row_number(
     3. offsets broadcast back onto the bands.
 
     ``band_width`` is the parallelism dial: pick it so a band holds
-    roughly corpus/1000 rows. Skewed values concentrate bands exactly
-    as they would concentrate any range partitioner — the honest
-    residual, dial-able per column."""
+    roughly corpus/1000 rows, or pass None (the default) to autotune
+    from a one-job min/max probe — width = ceil(range / 1024), i.e.
+    <=1024 bands regardless of the value domain, the same
+    derive-the-dial-from-the-data move as vector.scaled_planes.
+    Skewed values concentrate bands exactly as they would concentrate
+    any range partitioner — the honest residual, dial-able per
+    column."""
+    if band_width is None:
+        lo, hi = df.agg(
+            F.min(value_col), F.max(value_col)
+        ).first() or (None, None)
+        span = (hi - lo + 1) if lo is not None else 1
+        band_width = max(1, (span + 1023) // 1024)
     banded = df.withColumn(
         "__band", F.expr(f"{value_col} DIV {band_width}")
     )
@@ -136,7 +146,7 @@ def two_phase_ntile(
     value_col: str,
     id_col: str,
     k: int,
-    band_width: int,
+    band_width: int | None,
     out_col: str,
 ) -> DataFrame:
     """Append ``out_col`` = NTILE(k) OVER (ORDER BY value, id) via

@@ -1147,10 +1147,10 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders aggregation 2^3 times; the checkpoint pins it to ONE
     # customer-sized materialization (the graph.py idiom)
     ).localCheckpoint()
-    b = two_phase_ntile(b, "r_days", "custkey", 5, 64, "r_score")
-    b = two_phase_ntile(b, "frequency", "custkey", 5, 4, "f_score")
+    b = two_phase_ntile(b, "r_days", "custkey", 5, None, "r_score")
+    b = two_phase_ntile(b, "frequency", "custkey", 5, None, "f_score")
     b = two_phase_ntile(
-        b, "monetary_cents", "custkey", 5, 10_000_000, "m_score"
+        b, "monetary_cents", "custkey", 5, None, "m_score"
     )
     return b.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")

@@ -236,7 +236,7 @@ def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     binned = two_phase_ntile(
-        docs.select("doc_id", "n_chars"), "n_chars", "doc_id", 4, 256,
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id", 4, None,
         "bin",
     )
     return (

@@ -51,6 +51,8 @@ def test_row_number_matches_global_window(spark, seed, n, vmax, width):
     (7, 10, 100, 16, 4),   # n % k != 0: remainder buckets fill first
     (8, 3, 100, 16, 5),    # n < k: every row its own bucket
     (9, 256, 8, 1, 5),     # massive ties across bucket boundaries
+    (11, 300, 10**9, None, 5),  # autotuned width (min/max probe)
+    (12, 40, 2, None, 3),       # autotuned on a 2-value domain
 ])
 def test_ntile_matches_native(spark, seed, n, vmax, width, k):
     df = _frame(spark, seed, n, vmax)
