@@ -119,6 +119,20 @@ BUDGETS = {
     "q_cdc_key_churn": (2, 0, 0, False),
     # shard-scoped low-t prefix verify; source filter pushed to scan
     "q_text_ngram_jaccard_sharded": (12, 5, 0, True),
+    # round-9 rewires, pinned so the chosen 100 TB-safe shapes can't
+    # silently regress:
+    # skyline pre-reduce: the RETURNED plan is the 1-bucket merge
+    # over the checkpointed frontier union (keyed local pass runs
+    # eagerly behind the checkpoint) — 2 shuffles, 1 broadcast
+    "q_skyline_2d": (2, 1, 0, False),
+    # three two-phase rankings over the checkpointed customer frame:
+    # per-ntile = banded window + count agg + ledger window + bcast
+    "q_customer_rfm": (14, 7, 0, False),
+    # one two-phase ranking over documents
+    "q_curriculum_bins": (4, 1, 0, False),
+    # epoch assignment: codebook broadcast (BNLJ carve-out), zero
+    # sort-merge joins; shuffles all on K- or K x DIM-sized frames
+    "q_ivf_epoch_maintenance": (17, 5, 0, True),
 }
 
 
