@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from scylla_pg_cdc_spark.functions.money import cents, pct_units
+from scylla_pg_cdc_spark.functions.money import cents, dollars, pct_units
 from scylla_pg_cdc_spark.registry import query
 from scylla_pg_cdc_spark.sources.tables import load_table
 
@@ -330,9 +330,9 @@ def q_agg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_percentile",
     oracle="""
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 2) AS p50,
-           ROUND(quantile_cont(value, 0.95), 2) AS p95,
-           ROUND(quantile_cont(value, 0.99), 2) AS p99,
+           quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5) / 100.0 AS p50,
+           quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.95) / 100.0 AS p95,
+           quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.99) / 100.0 AS p99,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -341,12 +341,23 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95/p99 (A10, `scripts/measure-latency.sh:208-216`).
     Exact `percentile` (linear interpolation) matches DuckDB's
     quantile_cont; at 100 TB swap to percentile_approx — declared
-    q_agg_approx_distinct shows the sketch path."""
+    q_agg_approx_distinct shows the sketch path.
+
+    Interpolation runs over INTEGER CENTS, presentation divides by 100
+    at the end (the money.py discipline) — never ROUND a raw
+    interpolated double: a percentile landing on an exact .xx5
+    midpoint rounds differently per engine (Spark round() goes through
+    BigDecimal.valueOf's shortest-decimal repr -> HALF_UP -> 36.04;
+    DuckDB rounds the binary value 36.03499... -> 36.03).  Round-9
+    distribution fuzzing (nulls profile) hit exactly that midpoint;
+    cent-unit midpoints are *.5 — binary-exact, so one IEEE division
+    is identical in any engine."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 2).alias("p95"),
-        F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
+    ev = events.select("event_type", cents("value").alias("vc"))
+    return ev.groupBy("event_type").agg(
+        dollars(F.expr("percentile(vc, 0.5D)")).alias("p50"),
+        dollars(F.expr("percentile(vc, 0.95D)")).alias("p95"),
+        dollars(F.expr("percentile(vc, 0.99D)")).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -1404,14 +1404,19 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     l = F.split("text", " ")
     g1 = l
+    # slice lengths are clamped at 0: Spark's slice() rejects negative
+    # lengths outright, so a 1-token document (size-2 = -1) crashed the
+    # whole query (round-9 distribution fuzzing, ties profile).  The
+    # oracle's range() comprehensions are naturally empty there.
+    zero = F.lit(0)
     g2 = F.zip_with(
-        F.slice(l, 1, F.size(l) - 1),
-        F.slice(l, 2, F.size(l) - 1),
+        F.slice(l, 1, F.greatest(F.size(l) - 1, zero)),
+        F.slice(l, 2, F.greatest(F.size(l) - 1, zero)),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     g3 = F.zip_with(
-        F.slice(g2, 1, F.size(g2) - 1),
-        F.slice(l, 3, F.size(l) - 2),
+        F.slice(g2, 1, F.greatest(F.size(g2) - 1, zero)),
+        F.slice(l, 3, F.greatest(F.size(l) - 2, zero)),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     grams = None

@@ -706,17 +706,27 @@ def _pq_train(
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _pq_u_col().alias("u"))
 
-    # deterministic init: centroid j of every subspace = vec_id j+1's
-    # subvector (distance 0 to itself at iteration 1 => never empty
-    # unless two seed vectors collide, which the empty-cell carry-over
-    # below absorbs)
-    seed_rows = base.filter(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") <= k)
-    ).collect()
+    # deterministic init: centroid j of every subspace = the (j+1)-th
+    # SMALLEST vec_id's subvector.  Rank-based, not id-value-based:
+    # the old `vec_id BETWEEN 1 AND k` assumed dense ids starting at 1
+    # and crashed on any filtered/sparse corpus (round-9 distribution
+    # fuzzing found it on a 10-vector corpus whose ids were multiples
+    # of 53).  orderBy().limit(k) compiles to TakeOrderedAndProject —
+    # a K-row driver action, O(K) at any corpus size.  Corpora with
+    # fewer than K vectors get a correspondingly smaller codebook;
+    # duplicate seed vectors are absorbed by the empty-cell carry-over
+    # below.  The oracle (`_pq_sql` cent0) uses the identical
+    # ROW_NUMBER() OVER (ORDER BY vec_id) rank rule.
+    seed_rows = sorted(
+        base.orderBy("vec_id").limit(k).collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
+    if not seed_rows:
+        raise ValueError("embeddings table is empty: cannot train a codebook")
     cents: dict[tuple[int, int], list[int]] = {}
-    for r in seed_rows:
+    for j, r in enumerate(seed_rows):
         for s in range(m):
-            cents[(s, int(r["vec_id"]) - 1)] = [
+            cents[(s, j)] = [
                 1000 * int(x)
                 for x in r["u"][s * subdim : (s + 1) * subdim]
             ]
@@ -789,9 +799,15 @@ def _pq_sql(
         FROM {p}shifted, range(0, {m}) t(s)
     ),
     {p}cent0 AS (
-        SELECT sub_id, CAST(vec_id - 1 AS INT) AS cid,
+        -- rank-based seeding, identical to _pq_train: centroid j = the
+        -- (j+1)-th smallest vec_id (dense-id assumptions crash on
+        -- filtered corpora; see the Spark-side comment)
+        SELECT sub_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY sub_id ORDER BY vec_id) - 1
+                    AS INT) AS cid,
                list_transform(subvec, x -> x * 1000) AS cent
-        FROM {p}subs WHERE vec_id BETWEEN 1 AND {k}
+        FROM {p}subs
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY sub_id ORDER BY vec_id) <= {k}
     )"""
     prev = f"{p}cent0"
     for it in range(1, iters + 1):

@@ -222,17 +222,23 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WINDOW w AS (
         PARTITION BY c_nationkey
-        ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT), c_custkey
+        ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) NULLS FIRST, c_custkey
     )
     """,
 )
 def q_window_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / ntile — relative-position analytics
     (W5-adjacent); the ratios are exact small-integer divisions, so
-    cross-engine bit-identical under the unique total order."""
+    cross-engine bit-identical under the unique total order.
+
+    NULL ordering is pinned explicitly: Spark ASC defaults to NULLS
+    FIRST, DuckDB (like Postgres) to NULLS LAST — on a corpus with
+    NULL balances the two engines silently rank the same row 0.0 vs
+    1.0 (round-9 nulls-profile fuzzing).  Every ORDER BY over a
+    nullable expression must declare its NULL end on both sides."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
-        cents("c_acctbal"), F.col("c_custkey")
+        cents("c_acctbal").asc_nulls_first(), F.col("c_custkey")
     )
     return cust.select(
         "c_custkey",

@@ -1,0 +1,188 @@
+"""Distribution-fuzz regressions (tools/fuzz_oracle.py findings).
+
+Round-9 distribution fuzzing ran every registered query over
+adversarial derivations of the testdata (ties / sparse / unicode /
+nulls profiles).  The bugs it found are pinned here on in-test
+miniature corpora so they cannot regress without a full fuzz sweep.
+
+Finding 1 (fixed): PQ/IVF k-means seeding assumed DENSE vec_ids
+(`vec_id BETWEEN 1 AND K`) — any filtered or sparse-id corpus produced
+an EMPTY seed set and a driver-side `max() arg is an empty sequence`
+crash.  Seeding is now rank-based (the K smallest vec_ids), identical
+on both engines (`ROW_NUMBER() OVER (ORDER BY vec_id)` in the oracle).
+
+Finding 2 (fixed): q_ngram_lm_counts built trigram slices with length
+`size(l) - 2`, and Spark's slice() hard-rejects negative lengths — one
+single-token document crashed the whole corpus query (the oracle's
+range() comprehensions were naturally empty).  Lengths are now clamped
+with greatest(..., 0).
+
+Finding 3 (fixed): ROUND over an interpolated percentile diverges
+between engines whenever the true quantile lands on an exact .xx5
+midpoint — Spark round() goes through BigDecimal.valueOf's
+shortest-decimal repr (36.035 -> 36.04) while DuckDB rounds the stored
+binary (36.03499... -> 36.03).  q_agg_percentile now interpolates over
+integer CENTS (midpoints are *.5, binary-exact) and divides by 100
+once — no ROUND anywhere after interpolation.
+
+Finding 4 (fixed): Spark ASC ordering defaults to NULLS FIRST, DuckDB
+to NULLS LAST — a window ranking over a nullable sort key silently
+gives the same row percent_rank 0.0 on one engine and 1.0 on the
+other.  q_window_percentile_rank pins NULLS FIRST explicitly on both
+sides.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.operators.vector import (
+    PQ_K,
+    PQ_M,
+    PQ_SUBDIM,
+    _pq_train,
+    q_embed_pq_codes,
+)
+from scylla_pg_cdc_spark.registry import load_all
+from scylla_pg_cdc_spark.sources.tables import load_table
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def sparse_dir(spark, tmp_path_factory):
+    """A 10-vector embeddings corpus whose vec_ids are sparse multiples
+    of 53 (plus vec_id 0) — the exact shape that crashed the dense-id
+    seeding."""
+    d = tmp_path_factory.mktemp("fuzz_sparse_emb")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    emb.filter((F.col("vec_id") % 53 == 0) | (F.col("vec_id") == 0)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_pq_train_sparse_ids_smaller_than_k(spark, sparse_dir):
+    """Training on a sparse-id corpus (n >= K) must not crash and must
+    seed centroids by RANK: cid 0..K-1 present, each SUBDIM wide."""
+    cents = _pq_train(spark, sparse_dir)
+    assert set(cents) == {(s, j) for s in range(PQ_M) for j in range(PQ_K)}
+    for comp in cents.values():
+        assert len(comp) == PQ_SUBDIM
+
+
+def test_pq_train_corpus_smaller_than_k(spark, tmp_path):
+    """A corpus with FEWER than K vectors trains a correspondingly
+    smaller codebook instead of crashing."""
+    d = tmp_path / "tiny"
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    emb.filter(F.col("vec_id").isin([7, 211, 499])).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "embeddings.parquet"))
+    cents = _pq_train(spark, str(d))
+    cids = {j for _, j in cents}
+    assert cids == {0, 1, 2}
+
+
+def test_pq_train_empty_corpus_raises(spark, tmp_path):
+    d = tmp_path / "empty"
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    emb.filter(F.lit(False)).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+    with pytest.raises(ValueError, match="empty"):
+        _pq_train(spark, str(d))
+
+
+def test_ngram_lm_counts_short_docs(spark, tmp_path):
+    """Empty-string and 1-token documents must not crash the n-gram
+    count-of-counts query, and its trigram/bigram arrays must be empty
+    (not negative-length) for them."""
+    d = tmp_path / "shortdocs"
+    spark.createDataFrame(
+        [(1, "", "en", "src0", 0), (2, "one", "en", "src0", 3),
+         (3, "a b c d", "en", "src0", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    from scylla_pg_cdc_spark.operators.text import q_ngram_lm_counts
+
+    rows = {(r["n"], r["count_value"]): r["n_types"]
+            for r in q_ngram_lm_counts(spark, str(d)).collect()}
+    # doc 3 contributes 3 bigrams and 2 trigrams, each seen once;
+    # docs 1/2 contribute only unigrams ("", "one")
+    assert rows[(2, 1)] == 3
+    assert rows[(3, 1)] == 2
+
+
+def test_percentile_midpoint_is_engine_exact(spark, tmp_path):
+    """A p50 landing exactly between 36.03 and 36.04 must come out as
+    36.035 (cent-midpoints are binary-exact), never a per-engine
+    rounding of it."""
+    d = tmp_path / "mid"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, "purchase", 36.03, "{}"),
+         (2, "2024-01-01 00:00:01", 10, "purchase", 36.04, "{}")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "events.parquet"))
+    from scylla_pg_cdc_spark.operators.aggregates import q_agg_percentile
+
+    row = q_agg_percentile(spark, str(d)).collect()[0]
+    assert row["p50"] == 36.035
+
+    spec = load_all()["q_agg_percentile"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    drow = con.execute(spec.oracle).fetchone()
+    assert drow[1] == 36.035
+
+
+def test_window_rank_null_ordering_pinned(spark, tmp_path):
+    """A NULL sort key must land at the SAME end of the window on both
+    engines (pinned NULLS FIRST)."""
+    d = tmp_path / "nullrank"
+    spark.createDataFrame(
+        [(1, "a", 1, None, "SEG"), (2, "b", 1, 10.0, "SEG"),
+         (3, "c", 1, 20.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "customer.parquet")
+    )
+    from scylla_pg_cdc_spark.operators.windows import q_window_percentile_rank
+
+    srows = {r["c_custkey"]: r["pct_rank"]
+             for r in q_window_percentile_rank(spark, str(d)).collect()}
+    assert srows[1] == 0.0  # NULL balance ranks first
+
+    spec = load_all()["q_window_percentile_rank"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{d}/customer.parquet/*.parquet')"
+    )
+    drows = {r[0]: r[2] for r in con.execute(spec.oracle).fetchall()}
+    assert drows == srows
+
+
+def test_pq_codes_sparse_ids_match_oracle(spark, sparse_dir):
+    """The full engine-vs-oracle differential on the sparse-id corpus:
+    the rank-based seeding must agree between Spark and DuckDB."""
+    spec = load_all()["q_embed_pq_codes"]
+    sdf = q_embed_pq_codes(spark, sparse_dir)
+    spark_rows = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sparse_dir}/embeddings.parquet/*.parquet')"
+    )
+    duck_rows = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert spark_rows == duck_rows

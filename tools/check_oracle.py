@@ -155,6 +155,26 @@ def check(sf_dir: str, only: list[str] | None = None) -> int:
                 f.name.lower(): _spark_kind(f.dataType.simpleString())
                 for f in sdf.schema.fields
             }
+            # NULL-coercion parity: pandas has no NULL in int64/bool, so
+            # a nullable BIGINT column with any NULL arrives as float64
+            # (or object) from BOTH engines' pandas paths — the driver
+            # sees the identical coercion on the Spark side via toPandas,
+            # so declared-int vs floated-by-NULL is NOT drift.  Exempt
+            # null-bearing columns from the kind check (round-9 fuzz:
+            # empty-aggregate NULLs false-flagged 8 queries); genuine
+            # int-vs-float drift with values present is still caught by
+            # the exact value compare (_norm_cell tags ints and floats
+            # differently).
+            null_cols = {
+                c
+                for i, c in enumerate(spark_cols)
+                if any(row[i] is None for row in spark_rows)
+            } | {
+                c.lower() for c in duck_df.columns if duck_df[c].isna().any()
+            }
+            for c in null_cols:
+                spark_kinds.pop(c, None)
+                duck_kinds.pop(c, None)
             kind_diffs = {
                 c: (spark_kinds[c], duck_kinds[c])
                 for c in spark_kinds
