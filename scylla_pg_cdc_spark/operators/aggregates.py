@@ -604,7 +604,7 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, cents,
                NTILE(16) OVER (
                    PARTITION BY l_returnflag
-                   ORDER BY cents, l_orderkey, l_linenumber
+                   ORDER BY cents NULLS FIRST, l_orderkey, l_linenumber
                ) AS bucket
         FROM c
     )
@@ -635,8 +635,10 @@ def q_agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
+    # NULL cents pinned to the FIRST bucket on both engines (Spark ASC
+    # defaults NULLS FIRST, DuckDB NULLS LAST — round-9 nulls fuzzing)
     w = Window.partitionBy("l_returnflag").orderBy(
-        "cents", "l_orderkey", "l_linenumber"
+        F.col("cents").asc_nulls_first(), "l_orderkey", "l_linenumber"
     )
     return (
         c.withColumn("bucket", F.ntile(16).over(w))

@@ -583,12 +583,24 @@ def q_reconcile_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MERKLE_BUCKETS = 512
 
 # canonical row string: every field quantized/stringified identically
-# in both engines (cents for the float, ISO date, raw strings)
-_CANON_DUCK = (
-    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
-    " || '|' || o_orderstatus || '|' ||"
-    " CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR)"
-    " || '|' || CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority"
+# in both engines (cents for the float, ISO date, raw strings).
+# Each field is NULL-coalesced to an explicit sentinel BEFORE joining:
+# bare `||` propagates NULL through the whole canon (DuckDB) while
+# concat_ws silently SKIPS the field (Spark) — round-9 nulls fuzzing
+# caught the two digests diverging on a corpus with NULL totalprice.
+# The sentinel also removes the skip ambiguity itself (a NULL field
+# must not canonicalize to the same string as a missing one) — the
+# same discipline bucket_digests below already uses.
+_CANON_DUCK = " || '|' || ".join(
+    f"COALESCE({f}, '\\N')"
+    for f in (
+        "CAST(o_orderkey AS VARCHAR)",
+        "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus",
+        "CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR)",
+        "CAST(o_orderdate AS VARCHAR)",
+        "o_orderpriority",
+    )
 )
 
 
@@ -604,16 +616,18 @@ def _merkle_side_duck(rel: str) -> str:
 
 
 def _merkle_side_spark(df: DataFrame) -> DataFrame:
+    # per-field NULL sentinel before joining — see _CANON_DUCK comment
+    def cf(c: Column) -> Column:
+        return F.coalesce(c.cast("string"), F.lit("\\N"))
+
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
-        .cast("long")
-        .cast("string"),
-        F.col("o_orderdate").cast("string"),
-        F.col("o_orderpriority"),
+        cf(F.col("o_orderkey")),
+        cf(F.col("o_custkey")),
+        cf(F.col("o_orderstatus")),
+        cf(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")),
+        cf(F.col("o_orderdate")),
+        cf(F.col("o_orderpriority")),
     )
     hv = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
     return (

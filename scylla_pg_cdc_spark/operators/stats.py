@@ -333,6 +333,7 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority AS priority,
                CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS tc
         FROM orders
+        WHERE o_totalprice IS NOT NULL
     ),
     r AS (
         SELECT priority, tc,
@@ -373,11 +374,20 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics, no interpolation. Plan: ledger + target-bucket select
     (no full sort), 5-row bound table broadcast back, one clamped
     aggregation."""
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("priority"),
-        F.expr(
-            "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
-        ).alias("tc"),
+    # NULL totals are excluded like AVG excludes them (round-9 nulls
+    # fuzzing): a NULL has no rank — leaving it in puts it at opposite
+    # ends of the order on the two engines (NULLS FIRST vs LAST) and
+    # makes the clamp itself asymmetric (Spark greatest/least skip
+    # NULLs, SQL CASE comparisons propagate them).
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("tc"),
+        )
     )
     bounds = rank_select_percentiles(
         o,

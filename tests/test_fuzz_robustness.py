@@ -30,6 +30,15 @@ to NULLS LAST — a window ranking over a nullable sort key silently
 gives the same row percent_rank 0.0 on one engine and 1.0 on the
 other.  q_window_percentile_rank pins NULLS FIRST explicitly on both
 sides.
+
+Extended-nulls profile (holes in o_totalprice / l_quantity /
+l_extendedprice) found three more, same families, all fixed:
+q_agg_equidepth (NTILE null end pinned), q_winsorized_mean (NULL
+totals excluded like AVG on both sides), and q_merkle_diff — the
+canonical row string used NULL-propagating `||` in the oracle but
+NULL-SKIPPING concat_ws in Spark, so a NULL field silently diverged
+the content digests; both sides now coalesce every field to an
+explicit sentinel before joining (the bucket_digests discipline).
 """
 
 from __future__ import annotations
@@ -170,6 +179,32 @@ def test_window_rank_null_ordering_pinned(spark, tmp_path):
     )
     drows = {r[0]: r[2] for r in con.execute(spec.oracle).fetchall()}
     assert drows == srows
+
+
+def test_merkle_digest_null_sentinel(spark, tmp_path):
+    """A NULL field in the canonical row string must digest identically
+    on both engines (explicit per-field sentinel, not ||-propagation or
+    concat_ws-skipping), and distinctly from an empty string."""
+    d = tmp_path / "merkle_nulls"
+    spark.createDataFrame(
+        [(1, 10, "F", None, "2024-01-01 00:00:00", "1-URGENT"),
+         (2, 11, "O", 55.5, "2024-01-02 00:00:00", "2-HIGH"),
+         (3, 12, "F", 0.0, "2024-01-03 00:00:00", "3-MEDIUM")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+
+    spec = load_all()["q_merkle_diff"]
+    srows = sorted(tuple(r) for r in spec.fn(spark, str(d)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{d}/orders.parquet/*.parquet')"
+    )
+    drows = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert srows == drows
 
 
 def test_pq_codes_sparse_ids_match_oracle(spark, sparse_dir):

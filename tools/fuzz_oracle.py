@@ -216,9 +216,12 @@ def fuzz_nulls(src: Path, dst: Path) -> None:
         "customer": [("c_custkey", 13, 0, "c_acctbal")],
         "supplier": [("s_suppkey", 13, 1, "s_acctbal")],
         "part": [("p_partkey", 13, 2, "p_retailprice")],
+        "orders": [("o_orderkey", 13, 6, "o_totalprice")],
         "lineitem": [
             ("l_orderkey", 13, 3, "l_discount"),
             ("l_orderkey", 13, 4, "l_tax"),
+            ("l_orderkey", 13, 7, "l_quantity"),
+            ("l_orderkey", 13, 8, "l_extendedprice"),
         ],
         "events": [("event_id", 13, 5, "value")],
     }
@@ -229,11 +232,26 @@ def fuzz_nulls(src: Path, dst: Path) -> None:
         _write(dst, name, df, schema)
 
 
+def fuzz_hostile(src: Path, dst: Path) -> None:
+    """All three value profiles composed (nulls -> ties -> unicode):
+    real corpora serve holes, collisions, and multi-byte text at the
+    same time, and interactions (a NULL next to a tie inside one
+    window frame, a duplicated unicode document) reach branch
+    combinations the single-axis profiles cannot."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as t1, tempfile.TemporaryDirectory() as t2:
+        fuzz_nulls(src, Path(t1))
+        fuzz_ties(Path(t1), Path(t2))
+        fuzz_unicode(Path(t2), dst)
+
+
 PROFILES = {
     "ties": fuzz_ties,
     "sparse": fuzz_sparse,
     "unicode": fuzz_unicode,
     "nulls": fuzz_nulls,
+    "hostile": fuzz_hostile,
 }
 
 
