@@ -2951,7 +2951,7 @@ def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_words) AS BIGINT) AS words_total,
            CAST(SUM(n_chars) AS BIGINT) AS chars_total,
-           CAST((1000000 * SUM(n_chars)) // SUM(n_words) AS BIGINT)
+           CAST((1000000 * SUM(n_chars)) // NULLIF(SUM(n_words), 0) AS BIGINT)
                AS chars_per_word_ppm
     FROM t GROUP BY lang, source
     """,
@@ -2978,8 +2978,14 @@ def q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("words_total"),
         F.sum("n_chars").cast("long").alias("chars_total"),
+        # NULLIF guard: a (lang, source) group of all-empty documents
+        # has zero words — ANSI Spark aborts the whole query on the
+        # bare DIV while DuckDB // errors too; NULL ppm on both sides
+        # is the defined degenerate value (the q_domain_tvd / funnel
+        # discipline; round-9 hostile fuzzing at sf0.01 mass hit it)
         F.expr(
-            "CAST((1000000 * SUM(n_chars)) DIV SUM(n_words) AS BIGINT)"
+            "CAST((1000000 * SUM(n_chars)) DIV NULLIF(SUM(n_words), 0)"
+            " AS BIGINT)"
         ).alias("chars_per_word_ppm"),
     )
 

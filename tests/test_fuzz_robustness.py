@@ -31,6 +31,12 @@ gives the same row percent_rank 0.0 on one engine and 1.0 on the
 other.  q_window_percentile_rank pins NULLS FIRST explicitly on both
 sides.
 
+Finding 8 (fixed): a (lang, source) group made entirely of empty
+documents has zero words, and q_tokenizer_compression's bare integer
+DIV aborted the whole query under ANSI mode (found by the hostile
+profile at sf0.01 mass — sf0.001 had no all-empty group).  NULLIF
+guard on both sides, the q_domain_tvd / funnel discipline.
+
 Extended-nulls profile (holes in o_totalprice / l_quantity /
 l_extendedprice) found three more, same families, all fixed:
 q_agg_equidepth (NTILE null end pinned), q_winsorized_mean (NULL
@@ -179,6 +185,33 @@ def test_window_rank_null_ordering_pinned(spark, tmp_path):
     )
     drows = {r[0]: r[2] for r in con.execute(spec.oracle).fetchall()}
     assert drows == srows
+
+
+def test_tokenizer_compression_all_empty_group(spark, tmp_path):
+    """A source whose documents are all empty must yield NULL
+    chars_per_word_ppm on both engines, not an ANSI divide-by-zero
+    abort."""
+    d = tmp_path / "emptygrp"
+    spark.createDataFrame(
+        [(1, "", "en", "srcA", 0), (2, "  ", "en", "srcA", 2),
+         (3, "real words here", "en", "srcB", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    from scylla_pg_cdc_spark.operators.text import q_tokenizer_compression
+
+    rows = {r["source"]: r["chars_per_word_ppm"]
+            for r in q_tokenizer_compression(spark, str(d)).collect()}
+    assert rows["srcA"] is None
+    assert rows["srcB"] == 5_000_000  # 15 chars / 3 words
+
+    spec = load_all()["q_tokenizer_compression"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    drows = {r[1]: r[5] for r in con.execute(spec.oracle).fetchall()}
+    assert drows == rows
 
 
 def test_merkle_digest_null_sentinel(spark, tmp_path):
