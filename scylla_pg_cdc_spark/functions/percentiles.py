@@ -50,10 +50,18 @@ def rank_select_percentiles(
     Returns one row per key: (key, n, <spec names...>). ``checkpoint``
     materializes the input once (both phases consume it — recomputing
     an expensive upstream lineage would double the query; disable for
-    cheap inputs)."""
-    vb = df.select(key_col, val_col).withColumn(
-        "__bkt", F.expr(f"{val_col} DIV {bucket_width}")
-    )
+    cheap inputs).
+
+    A NULL key is a first-class group (matching GROUP BY semantics on
+    both engines): the key is carried inside a one-field STRUCT, whose
+    equality is null-safe in Spark joins — the bare-column form lost
+    the NULL group at the target-bucket joins while the naive-window
+    oracle kept it (round-9 dimension-null fuzzing, q_gap_percentile /
+    q_equidepth_bins rowcounts off by one group)."""
+    vb = df.select(
+        F.struct(F.col(key_col).alias("k")).alias("__key"), val_col
+    ).withColumn("__bkt", F.expr(f"{val_col} DIV {bucket_width}"))
+    key_col_orig, key_col = key_col, "__key"
     if checkpoint:
         vb = vb.localCheckpoint()
     counts = vb.groupBy(key_col, "__bkt").agg(
@@ -121,7 +129,7 @@ def rank_select_percentiles(
             key_col,
         )
         .select(
-            key_col,
+            F.col("__key.k").alias(key_col_orig),
             "n",
             *[F.col(nm).cast("long").alias(nm) for nm in names],
         )

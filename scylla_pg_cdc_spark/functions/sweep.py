@@ -35,10 +35,20 @@ def two_phase_running_sum(
     """Append ``out_col`` = SUM(val) OVER (PARTITION BY key ORDER BY t
     ROWS UNBOUNDED PRECEDING) to ``df``. Requires (key, t) unique
     (pre-aggregate ties first — a running sum over tied order keys is
-    not well-defined row-wise)."""
+    not well-defined row-wise).
+
+    A NULL key is a first-class partition (window PARTITION BY already
+    treats it as one; the offset join must too): the join key is
+    carried in a one-field STRUCT, whose equality is null-safe —
+    the bare-column join silently dropped the NULL partition's rows
+    while the naive-window oracle kept them (round-9 dimension-null
+    fuzzing, q_interval_overlap)."""
     sliced = df.withColumn(
+        "__skey", F.struct(F.col(key_col).alias("k"))
+    ).withColumn(
         "__slice", F.expr(f"{t_col} DIV {slice_width}")
     )
+    key_col = "__skey"
     w_in = (
         Window.partitionBy(key_col, "__slice")
         .orderBy(t_col)
@@ -63,7 +73,7 @@ def two_phase_running_sum(
     return (
         inslice.join(F.broadcast(offsets), [key_col, "__slice"])
         .withColumn(out_col, F.col("__off") + F.col("__run_in"))
-        .drop("__slice", "__run_in", "__off")
+        .drop("__skey", "__slice", "__run_in", "__off")
     )
 
 

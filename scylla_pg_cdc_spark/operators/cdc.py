@@ -79,7 +79,7 @@ def compact_latest(change: DataFrame, keep_deleted: bool = False) -> DataFrame:
                    ORDER BY epoch_ms(ts) DESC, event_id DESC
                ) AS rn
         FROM events
-    ) WHERE rn = 1 AND event_type <> 'error'
+    ) WHERE rn = 1 AND (event_type IS DISTINCT FROM 'error')
     """,
 )
 def q_cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +87,12 @@ def q_cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys whose latest change is a tombstone disappear from the target
     (the sink's `delete.enabled=true` behavior). Uses the aggregation
     compaction (max_by) — map-side combine, the scale-optimal plan;
-    proven identical to the window form."""
+    proven identical to the window form.
+
+    A NULL/unknown op type is an UPSERT — only an explicit tombstone
+    deletes (as_change_stream's when/otherwise already said so; the
+    oracle says it with IS DISTINCT FROM, since a bare <> filtered the
+    NULL row out — round-9 dimension-null fuzzing)."""
     events = load_table(spark, sf_dir, "events")
     state = compact_latest_agg(as_change_stream(events))
     return state.select(
@@ -103,7 +108,7 @@ def q_cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cdc_delete_rewrite",
     oracle="""
     SELECT user_id, event_id, ts_ms,
-           (event_type = 'error') AS __deleted
+           COALESCE(event_type = 'error', FALSE) AS __deleted
     FROM (
         SELECT user_id, event_id, event_type,
                epoch_ms(ts) AS ts_ms,

@@ -623,7 +623,7 @@ def _funnel_oracle() -> str:
         FROM documents
     ), flags AS (
         SELECT doc_id, text, toks, n_words, bucket,
-               ({_PRED_LANG_SQL}) = lang AS f_lang,
+               COALESCE(({_PRED_LANG_SQL}) = lang, FALSE) AS f_lang,
                (n_words >= 30 AND n_words <= 90
                 AND 2 * n_distinct >= n_words
                 AND score_en > 0) AS q_ok
@@ -749,7 +749,11 @@ def q_llm_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n_words.cast("long").alias("n_words"),
         portable_bucket("doc_id"),
-        (pred == F.col("lang")).alias("f_lang"),
+        # COALESCE both sides: a NULL label cannot agree with the
+        # prediction, so langid FAILS. Unguarded, Spark's negated
+        # when(~f_lang) let the NULL fall through to PASS while the
+        # oracle's WHERE f_lang dropped it (round-9 dim-null fuzzing).
+        F.coalesce(pred == F.col("lang"), F.lit(False)).alias("f_lang"),
         (
             (n_words >= 30)
             & (n_words <= 90)

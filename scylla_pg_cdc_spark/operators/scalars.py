@@ -36,12 +36,17 @@ from scylla_pg_cdc_spark.sources.tables import load_table
            SUBSTRING(p_name, 1, 4) AS prefix4,
            REPLACE(p_name, ' ', '_') AS name_snake,
            CAST(LENGTH(p_name) AS BIGINT) AS name_len,
-           CONCAT(p_brand, ':', p_type) AS brand_type
+           p_brand || ':' || p_type AS brand_type
     FROM part
     """,
 )
 def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function family (F1)."""
+    """String function family (F1).
+
+    brand_type uses NULL-propagating concatenation on BOTH engines
+    (Spark concat() propagates NULL; DuckDB's CONCAT() silently SKIPS
+    NULL arguments, so the oracle must use `||` — round-9 dim-null
+    fuzzing caught ':ECONOMY' vs NULL on a NULL brand)."""
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",

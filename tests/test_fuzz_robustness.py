@@ -37,6 +37,21 @@ DIV aborted the whole query under ANSI mode (found by the hostile
 profile at sf0.01 mass — sf0.001 had no all-empty group).  NULLIF
 guard on both sides, the q_domain_tvd / funnel discipline.
 
+Dimension-null profile (nullsdim: holes in lang/source/event_type/
+mktsegment/brand) found a third wave, all fixed:
+- the two-phase libraries (rank_select_percentiles,
+  two_phase_running_sum) joined on the bare group key, and Spark inner
+  joins drop NULL keys while GROUP BY (the oracle form) keeps the NULL
+  group — keys now travel in one-field STRUCTs, whose equality is
+  null-safe, so a NULL key is a first-class group end to end;
+- CDC op classification: a NULL/unknown op type is an UPSERT — only an
+  explicit tombstone deletes (IS DISTINCT FROM / COALESCE(...=,FALSE)
+  in the oracles);
+- the funnel's langid stage: NULL label = FAIL, COALESCE'd on both
+  sides (Spark's negated when() let NULL fall through to PASS);
+- DuckDB CONCAT() silently SKIPS NULL arguments — oracles must use
+  NULL-propagating || to match Spark concat().
+
 Extended-nulls profile (holes in o_totalprice / l_quantity /
 l_extendedprice) found three more, same families, all fixed:
 q_agg_equidepth (NTILE null end pinned), q_winsorized_mean (NULL
@@ -185,6 +200,41 @@ def test_window_rank_null_ordering_pinned(spark, tmp_path):
     )
     drows = {r[0]: r[2] for r in con.execute(spec.oracle).fetchall()}
     assert drows == srows
+
+
+def test_rank_select_keeps_null_group(spark):
+    """rank_select_percentiles must return a row for the NULL group,
+    identical to what a naive GROUP-BY-with-window computes."""
+    from scylla_pg_cdc_spark.functions.percentiles import (
+        rank_select_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), (None, 5), (None, 15)],
+        "k string, v long",
+    )
+    out = {r["k"]: (r["n"], r["p50"])
+           for r in rank_select_percentiles(
+               df, "k", "v", [("p50", "(n + 1) DIV 2")],
+               bucket_width=10, checkpoint=False).collect()}
+    assert out["a"] == (3, 20)
+    assert out[None] == (2, 5)
+
+
+def test_two_phase_running_sum_keeps_null_partition(spark):
+    """two_phase_running_sum must carry the NULL partition through the
+    offset join (window PARTITION BY already treats NULL as one
+    partition; the join must not drop it)."""
+    from scylla_pg_cdc_spark.functions.sweep import two_phase_running_sum
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 100, 2), (None, 2, 5), (None, 200, 7)],
+        "k string, t long, x long",
+    )
+    out = two_phase_running_sum(df, "k", "t", "x", 50, out_col="run")
+    got = {(r["k"], r["t"]): r["run"] for r in out.collect()}
+    assert got[("a", 1)] == 1 and got[("a", 100)] == 3
+    assert got[(None, 2)] == 5 and got[(None, 200)] == 12
 
 
 def test_tokenizer_compression_all_empty_group(spark, tmp_path):

@@ -232,6 +232,26 @@ def fuzz_nulls(src: Path, dst: Path) -> None:
         _write(dst, name, df, schema)
 
 
+def fuzz_nullsdim(src: Path, dst: Path) -> None:
+    """NULLs in DIMENSION columns (group/join keys of the analytics
+    families): documents.lang / documents.source, events.event_type,
+    customer.c_mktsegment, part.p_brand.  Probes GROUP BY on NULL keys
+    (both engines form one NULL group), join keys that never match,
+    and window partitions keyed on NULL.  Entity keys and timestamps
+    stay non-null (NOT NULL by generator contract)."""
+    holes = {
+        "documents": [("doc_id", 17, 3, "lang"), ("doc_id", 17, 9, "source")],
+        "events": [("event_id", 17, 5, "event_type")],
+        "customer": [("c_custkey", 17, 7, "c_mktsegment")],
+        "part": [("p_partkey", 17, 11, "p_brand")],
+    }
+    for name in TABLES:
+        df, schema = _read(src, name)
+        for key, mod, rem, col in holes.get(name, []):
+            df.loc[df[key] % mod == rem, col] = None
+        _write(dst, name, df, schema)
+
+
 def fuzz_hostile(src: Path, dst: Path) -> None:
     """All three value profiles composed (nulls -> ties -> unicode):
     real corpora serve holes, collisions, and multi-byte text at the
@@ -251,6 +271,7 @@ PROFILES = {
     "sparse": fuzz_sparse,
     "unicode": fuzz_unicode,
     "nulls": fuzz_nulls,
+    "nullsdim": fuzz_nullsdim,
     "hostile": fuzz_hostile,
 }
 
