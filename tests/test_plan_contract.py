@@ -66,8 +66,12 @@ BUDGETS = {
     # temporal midpoint rides a broadcast 1-row cross join
     "q_drift_ks": (3, 0, 0, True),
     # two-phase sweep: the per-day offset table joins back as a
-    # BROADCAST (a shuffled join here would serialize on event_type)
-    "q_interval_overlap": (6, 1, 0, True),
+    # BROADCAST (a shuffled join here would serialize on event_type).
+    # needs_pushdown is False since the round-9 null-safe struct key:
+    # the previously-pushed filter was exactly the isnotnull(key)
+    # runtime artifact of the old NULL-dropping join — with NULL
+    # groups first-class there is correctly nothing to push.
+    "q_interval_overlap": (6, 1, 0, False),
     # scaled ER candidates: ONE per-nation window shuffle feeding the
     # lead() neighbourhood + ONE agg shuffle — never a self-join
     "q_fuzzy_name_match_scaled": (2, 0, 0, False),

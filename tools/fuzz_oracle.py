@@ -10,10 +10,18 @@ Any divergence is a real semantics bug of exactly the class round 9
 found analytically (q_domain_tvd divide-by-zero: Spark NULL vs DuckDB
 error on a degenerate single-source corpus).
 
-    python tools/fuzz_oracle.py ties    /tmp/fuzz_ties    [src_sf_dir]
-    python tools/fuzz_oracle.py sparse  /tmp/fuzz_sparse  [src_sf_dir]
-    python tools/fuzz_oracle.py unicode /tmp/fuzz_unicode [src_sf_dir]
+    python tools/fuzz_oracle.py ties     /tmp/fuzz_ties     [src_sf_dir]
+    python tools/fuzz_oracle.py sparse   /tmp/fuzz_sparse   [src_sf_dir]
+    python tools/fuzz_oracle.py unicode  /tmp/fuzz_unicode  [src_sf_dir]
+    python tools/fuzz_oracle.py nulls    /tmp/fuzz_nulls    [src_sf_dir]
+    python tools/fuzz_oracle.py nullsdim /tmp/fuzz_nullsdim [src_sf_dir]
+    python tools/fuzz_oracle.py hostile  /tmp/fuzz_hostile  [src_sf_dir]
     python tools/check_oracle.py /tmp/fuzz_ties
+
+Run `hostile` from BOTH sf0.001 and sf0.01 — the sf0.01 mass forms
+degenerate groups (e.g. an all-empty-document source) that 500 docs
+never produce; it found the tokenizer divide-by-zero the small pass
+missed. Round-9 totals: 13 bugs across the seven sweeps.
 
 Profiles (all deterministic functions of the primary key — rerunning
 reproduces the byte-identical dataset):
