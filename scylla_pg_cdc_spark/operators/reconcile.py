@@ -24,7 +24,7 @@ batch loop, `reconcile.py:100-188`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.functions.comparisons import (

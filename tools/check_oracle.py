@@ -70,6 +70,27 @@ def _pandas_kind(dtype: str) -> str:
     return "other"
 
 
+def _duck_declared_kind(type_name: str) -> str:
+    """DuckDB DECLARED column type -> kind, for the all-NULL fallback.
+
+    HUGEINT and DECIMAL map to 'other' on purpose: oracles routinely
+    SUM into HUGEINT/DECIMAL while Spark declares decimal(38,x) —
+    both land in 'other' so the widened-accumulator idiom never
+    false-flags; genuine int-vs-float declared drift is still caught.
+    """
+    t = type_name.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith(("TIMESTAMP", "DATE")):
+        return "time"
+    return "other"
+
+
 def check(sf_dir: str, only: list[str] | None = None) -> int:
     specs = load_all()
     spark = get_session("oracle-check")
@@ -172,7 +193,34 @@ def check(sf_dir: str, only: list[str] | None = None) -> int:
             } | {
                 c.lower() for c in duck_df.columns if duck_df[c].isna().any()
             }
+            # ADVICE r9: an ENTIRELY-null column (degenerate fuzz
+            # corpora) would otherwise pass with declared type drift
+            # unchecked — the value compare sees only ('null',) cells.
+            # For those, compare DECLARED kinds (Spark schema vs the
+            # DuckDB cursor description), which pandas NULL-coercion
+            # cannot touch; partial-null columns keep the exemption
+            # because the value compare still tags their non-null
+            # int/float cells differently.
+            duck_declared = {
+                d[0].lower(): _duck_declared_kind(str(d[1]))
+                for d in res.description
+            }
+            duck_by_lc = {c.lower(): c for c in duck_df.columns}
+            all_null = {
+                c
+                for i, c in enumerate(spark_cols)
+                if spark_rows
+                and all(row[i] is None for row in spark_rows)
+                and c in duck_by_lc
+                and duck_df[duck_by_lc[c]].isna().all()
+            }
             for c in null_cols:
+                if c in all_null:
+                    dk = duck_declared.get(c, "other")
+                    sk = spark_kinds.get(c, "other")
+                    if "other" not in (sk, dk):
+                        duck_kinds[c] = dk  # keep: declared-vs-declared
+                        continue
                 spark_kinds.pop(c, None)
                 duck_kinds.pop(c, None)
             kind_diffs = {
