@@ -15,6 +15,7 @@ error on a degenerate single-source corpus).
     python tools/fuzz_oracle.py unicode  /tmp/fuzz_unicode  [src_sf_dir]
     python tools/fuzz_oracle.py nulls    /tmp/fuzz_nulls    [src_sf_dir]
     python tools/fuzz_oracle.py nullsdim /tmp/fuzz_nullsdim [src_sf_dir]
+    python tools/fuzz_oracle.py nullts   /tmp/fuzz_nullts   [src_sf_dir]
     python tools/fuzz_oracle.py hostile  /tmp/fuzz_hostile  [src_sf_dir]
     python tools/check_oracle.py /tmp/fuzz_ties
 
@@ -260,6 +261,56 @@ def fuzz_nullsdim(src: Path, dst: Path) -> None:
         _write(dst, name, df, schema)
 
 
+def fuzz_nullts(src: Path, dst: Path) -> None:
+    """NULL TIMESTAMPS and NULL JOIN KEYS — the axis the generator
+    contract forbids (r9 VERDICT names it the top unfuzzed axis).
+    Real CDC feeds and web crawls serve both: a tombstone with no
+    commit time, an orphaned fact row with a NULL foreign key.
+    Primary keys stay non-null (a NULL PK row is DLQ material, not a
+    query input); everything else that queries sort, join, window, or
+    sessionize on grows deterministic holes:
+
+    - events.ts        (ORDER BY / window frames / sessionization)
+    - events.user_id   (window partitions, session keys, funnels)
+    - orders.o_orderdate, orders.o_custkey
+    - lineitem.l_shipdate, l_suppkey, l_partkey
+    - customer.c_nationkey, supplier.s_nationkey (TPC-H join spine)
+    - embeddings.label (ANN group key)
+
+    Divergence classes this reaches that `nulls`/`nullsdim` cannot:
+    NULL sort keys inside window ORDER BY (Spark NULLS FIRST vs
+    DuckDB NULLS LAST), NULL session boundaries, NULL join keys
+    dropped by inner joins but kept by outer joins, date_trunc(NULL).
+    """
+    int_holes = {
+        "events": [("event_id", 23, 3, "user_id")],
+        "orders": [("o_orderkey", 23, 5, "o_custkey")],
+        "lineitem": [
+            ("l_orderkey", 23, 7, "l_suppkey"),
+            ("l_orderkey", 23, 11, "l_partkey"),
+        ],
+        "customer": [("c_custkey", 29, 8, "c_nationkey")],
+        "supplier": [("s_suppkey", 29, 9, "s_nationkey")],
+        "embeddings": [("vec_id", 17, 5, "label")],
+    }
+    ts_holes = {
+        "events": [("event_id", 19, 2, "ts")],
+        "orders": [("o_orderkey", 19, 4, "o_orderdate")],
+        "lineitem": [("l_orderkey", 19, 6, "l_shipdate")],
+    }
+    for name in TABLES:
+        df, schema = _read(src, name)
+        for key, mod, rem, col in int_holes.get(name, []):
+            # pandas int64 cannot hold NULL; go through the nullable
+            # Int64 extension dtype so from_pandas(schema=orig) maps
+            # pd.NA -> parquet null without float round-tripping
+            df[col] = df[col].astype("Int64")
+            df.loc[df[key] % mod == rem, col] = pd.NA
+        for key, mod, rem, col in ts_holes.get(name, []):
+            df.loc[df[key] % mod == rem, col] = pd.NaT
+        _write(dst, name, df, schema)
+
+
 def fuzz_hostile(src: Path, dst: Path) -> None:
     """All three value profiles composed (nulls -> ties -> unicode):
     real corpora serve holes, collisions, and multi-byte text at the
@@ -280,8 +331,17 @@ PROFILES = {
     "unicode": fuzz_unicode,
     "nulls": fuzz_nulls,
     "nullsdim": fuzz_nullsdim,
+    "nullts": fuzz_nullts,
     "hostile": fuzz_hostile,
 }
+
+# Compound SCALE x DISTRIBUTION gate (round 10): amplify a fuzzed dir
+# so hot NULL keys / ties / multi-byte text meet 10x mass —
+#     python tools/fuzz_oracle.py hostile /tmp/fuzz_h  sf0.01_dir
+#     python tools/amplify.py /tmp/fuzz_h /tmp/fuzz_amp10 10
+#     python tools/check_oracle.py /tmp/fuzz_amp10
+# (amplify's key offsets keep NULL keys NULL in every copy, so a
+# NULL-keyed window partition grows 10x instead of staying toy-sized.)
 
 
 def main() -> None:
