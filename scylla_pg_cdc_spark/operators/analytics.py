@@ -205,7 +205,7 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc,
                epoch_ms(ts) AS ts_ms,
                LEAD(epoch_ms(ts)) OVER (
-                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   PARTITION BY user_id ORDER BY epoch_ms(ts) NULLS FIRST, event_id
                ) AS next_ms
         FROM events WHERE value IS NOT NULL
     )
@@ -356,7 +356,7 @@ def q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS y,
                LEAD(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER (
-                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   PARTITION BY user_id ORDER BY epoch_ms(ts) NULLS FIRST, event_id
                ) AS ynext
         FROM events WHERE value IS NOT NULL
     ), s AS (
@@ -438,7 +438,7 @@ def q_event_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type,
                LAG(event_type) OVER (
                    PARTITION BY user_id
-                   ORDER BY epoch_ms(ts), event_id
+                   ORDER BY epoch_ms(ts) NULLS FIRST, event_id
                ) AS prev_type
         FROM events
     ), c AS (
@@ -505,7 +505,7 @@ _SEQ_PATTERNS = (
     WITH seq AS (
         SELECT user_id,
                string_agg(substr(event_type, 1, 1), ''
-                          ORDER BY epoch_ms(ts), event_id) AS s
+                          ORDER BY epoch_ms(ts) NULLS FIRST, event_id) AS s
         FROM events GROUP BY user_id
     ), tot AS (SELECT COUNT(*) AS n_total FROM seq)
     """
@@ -586,9 +586,13 @@ _OVERLAP_DAY_MS = 86_400_000
     "q_interval_overlap",
     oracle=f"""
     WITH d AS (
+        -- a NULL-ts event has no position on the sweep line (r10
+        -- nullts fuzz): excluded on BOTH engines by definition
         SELECT event_type, epoch_ms(ts) AS t, 1 AS dlt FROM events
+        WHERE ts IS NOT NULL
         UNION ALL
         SELECT event_type, epoch_ms(ts) + {_OVERLAP_TTL_MS}, -1 FROM events
+        WHERE ts IS NOT NULL
     ), net AS (
         SELECT event_type, t, CAST(SUM(dlt) AS BIGINT) AS net
         FROM d GROUP BY event_type, t
@@ -631,8 +635,11 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the naive single-window form, so the equality check
     proves the decomposition; at 100 TB the slice width just narrows
     (hour/minute) to keep partitions bounded.  All-integer output."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.unix_millis("ts").alias("s")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # NULL-ts events have no sweep-line position (matches oracle)
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", F.unix_millis("ts").alias("s"))
     )
     deltas = ev.select("event_type", F.col("s").alias("t"), F.lit(1).alias("dlt")).unionAll(
         ev.select(
@@ -937,8 +944,11 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.day,
            CAST(d.n_events AS BIGINT) AS n_events,
            CAST(COALESCE(nu.n_new_users, 0) AS BIGINT) AS n_new_users,
+           -- NULLS FIRST: the undated (NULL-ts) bucket sorts before
+           -- time began on BOTH engines (r10 nullts fuzz)
            CAST(SUM(COALESCE(nu.n_new_users, 0))
-                    OVER (ORDER BY d.day) AS BIGINT) AS cum_unique_users
+                    OVER (ORDER BY d.day NULLS FIRST) AS BIGINT)
+               AS cum_unique_users
     FROM d LEFT JOIN nu ON d.day = nu.day
     """,
 )
@@ -1456,7 +1466,7 @@ def _skyline_pass(
         SELECT user_id, event_id, event_type,
                LAG(event_type) OVER (
                    PARTITION BY user_id
-                   ORDER BY epoch_ms(ts), event_id
+                   ORDER BY epoch_ms(ts) NULLS FIRST, event_id
                ) AS prev_type
         FROM events
     ), tr AS (

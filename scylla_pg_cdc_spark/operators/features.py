@@ -45,7 +45,7 @@ def _ewma_sql() -> str:
                AS ewma_micro
     FROM (SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms
           FROM events WHERE value IS NOT NULL)
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms NULLS FIRST, event_id)
     """
 
 
@@ -144,7 +144,7 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(vc)   OVER w AS s,
                SUM(vc * vc) OVER w AS q
         FROM ev
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms NULLS FIRST, event_id
                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     )
     SELECT user_id, event_id, CAST(n AS BIGINT) AS n_window,
@@ -262,7 +262,8 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (
         SELECT user_id, epoch_ms(ts) AS ts_ms,
                LAG(epoch_ms(ts)) OVER (
-                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts) NULLS FIRST, event_id
                ) AS prev_ms
         FROM events
     ), gaps AS (
@@ -325,7 +326,7 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE value IS NOT NULL
     ), g AS (
         SELECT user_id,
-               list(vc ORDER BY ts_ms, event_id) AS l
+               list(vc ORDER BY ts_ms NULLS FIRST, event_id) AS l
         FROM ev GROUP BY user_id
     )
     SELECT user_id,
@@ -371,14 +372,21 @@ def q_event_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts_ms", "event_id"])
+        # na_position='first' matches the pinned NULLS FIRST ordering
+        # (Spark window default / oracle's ORDER BY ts_ms NULLS FIRST)
+        pdf = pdf.sort_values(["ts_ms", "event_id"], na_position="first")
         s = None
         for v in pdf["vc"]:
             v = int(v)
             s = v if s is None else (7 * s + v) // 8
+        # NULL group key: user_id arrives as NaN for the NULL-user
+        # group (r10 nullts fuzz — int(NaN) crashed the worker); emit
+        # None so the NULL group survives as a first-class output row,
+        # same as GROUP BY NULL on both engines
+        uid = pdf["user_id"].iloc[0]
         return pd.DataFrame(
             {
-                "user_id": [int(pdf["user_id"].iloc[0])],
+                "user_id": [None if pd.isna(uid) else int(uid)],
                 "n": [len(pdf)],
                 "ewma_cents": [s],
             }

@@ -50,10 +50,22 @@ def asof_join(
     several right rows share (key, ts) — the row with the MINIMUM
     tiebreak wins (without it, ``last(ignorenulls)`` picks whichever
     tied row the shuffle happened to order last, and a differential
-    oracle can flake)."""
+    oracle can flake).
+
+    NULL semantics (r10 nullts fuzz): SQL three-valued logic, same as
+    DuckDB's native ASOF — a right row with NULL ts or NULL key can
+    never satisfy ``right_ts <= left_ts AND key = key`` and is DROPPED
+    (without this, a NULL-ts right row sorts NULLS-FIRST into the
+    window and its non-null payload is carried as "latest"); a left
+    row with NULL ts or NULL key gets the left-join NULL extension
+    (it sorts NULLS FIRST, before every surviving right row, so the
+    running carry sees nothing — pinned explicitly below)."""
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
     lcols = left.columns
+    right = right.filter(
+        F.col(right_ts).isNotNull() & F.col(right_on).isNotNull()
+    )
     l2 = left.select(
         *lcols,
         *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in value_cols],
@@ -75,8 +87,11 @@ def asof_join(
         *([F.col(right_tiebreak).alias("__tb")] if right_tiebreak else []),
     )
     # among right rows tied on (__k, __ts), DESC tiebreak puts the
-    # MIN-tiebreak row last, which is the one last(ignorenulls) carries
-    order = ["__ts", "__src"] + (
+    # MIN-tiebreak row last, which is the one last(ignorenulls) carries.
+    # NULLS FIRST pinned: a NULL-ts LEFT row must sort before every
+    # right row so it gets the no-match NULL extension (right NULL ts
+    # rows were dropped above).
+    order = [F.asc_nulls_first("__ts"), "__src"] + (
         [F.desc_nulls_last("__tb")] if right_tiebreak else []
     )
     w = (
@@ -104,9 +119,14 @@ def asof_join(
         -- one row per (user, ms): MIN(event_id) — the same
         -- deterministic tie rule the Spark side applies via
         -- right_tiebreak, so equal-timestamp events can never make
-        -- the two engines pick different rows
+        -- the two engines pick different rows. NULL-ts / NULL-key
+        -- events are excluded EXPLICITLY: DuckDB's native ASOF does
+        -- not follow three-valued logic for NULLs (r10 nullts fuzz:
+        -- it paired a NULL probe with a NULL build row), so the NULL
+        -- contract must live in the SQL, not the operator.
         SELECT user_id, epoch_ms(ts) AS ev_ms, MIN(event_id) AS event_id
-        FROM events GROUP BY user_id, epoch_ms(ts)
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id, epoch_ms(ts)
     ), o AS (
         SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS order_ms
         FROM orders
@@ -114,8 +134,16 @@ def asof_join(
     SELECT o.o_orderkey, o.o_custkey, o.order_ms,
            CAST(COALESCE(e.event_id, -1) AS BIGINT) AS last_event_id,
            CAST(COALESCE(e.ev_ms, -1) AS BIGINT) AS last_event_ms
-    FROM o ASOF LEFT JOIN ev e
+    FROM (SELECT * FROM o
+          WHERE order_ms IS NOT NULL AND o_custkey IS NOT NULL) o
+    ASOF LEFT JOIN ev e
       ON o.o_custkey = e.user_id AND o.order_ms >= e.ev_ms
+    UNION ALL
+    -- a NULL-ts or NULL-key probe can match nothing (SQL 3VL):
+    -- NULL-extended by definition
+    SELECT o_orderkey, o_custkey, order_ms,
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM o WHERE order_ms IS NULL OR o_custkey IS NULL
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,10 +533,19 @@ def asof_join_forward(
 
     ``right_tiebreak``: deterministic pick among right rows tied on
     (key, ts) — the MINIMUM tiebreak wins (same rule as
-    ``asof_join``)."""
+    ``asof_join``).
+
+    NULL semantics (r10 nullts fuzz): same three-valued rule as
+    ``asof_join`` — NULL-ts/NULL-key right rows dropped; a NULL-ts
+    left row sorts NULLS LAST here (the frame looks FORWARD, so
+    "after everything" is the position where the carry sees nothing
+    and the row NULL-extends)."""
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
     lcols = left.columns
+    right = right.filter(
+        F.col(right_ts).isNotNull() & F.col(right_on).isNotNull()
+    )
     l2 = left.select(
         *lcols,
         *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in value_cols],
@@ -530,8 +567,11 @@ def asof_join_forward(
         *([F.col(right_tiebreak).alias("__tb")] if right_tiebreak else []),
     )
     # ASC tiebreak: the first right row first(ignorenulls) reaches in
-    # the FOLLOWING frame is the min-tiebreak row of the earliest ts
-    order = ["__ts", "__src"] + (
+    # the FOLLOWING frame is the min-tiebreak row of the earliest ts.
+    # NULLS LAST pinned: a NULL-ts LEFT row must sort after every
+    # right row so the forward-looking carry sees nothing (mirror of
+    # the backward join's NULLS FIRST).
+    order = [F.asc_nulls_last("__ts"), "__src"] + (
         [F.asc_nulls_last("__tb")] if right_tiebreak else []
     )
     w = (
@@ -557,9 +597,11 @@ def asof_join_forward(
     oracle="""
     WITH ev AS (
         -- MIN(event_id) per (user, ms): the Spark side's tie rule,
-        -- see q_asof_join
+        -- see q_asof_join (including the explicit NULL exclusions —
+        -- DuckDB's native ASOF has its own NULL pairing quirk)
         SELECT user_id, epoch_ms(ts) AS ev_ms, MIN(event_id) AS event_id
-        FROM events GROUP BY user_id, epoch_ms(ts)
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id, epoch_ms(ts)
     ), o AS (
         SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS order_ms
         FROM orders
@@ -567,8 +609,14 @@ def asof_join_forward(
     SELECT o.o_orderkey, o.o_custkey, o.order_ms,
            CAST(COALESCE(e.event_id, -1) AS BIGINT) AS next_event_id,
            CAST(COALESCE(e.ev_ms, -1) AS BIGINT) AS next_event_ms
-    FROM o ASOF LEFT JOIN ev e
+    FROM (SELECT * FROM o
+          WHERE order_ms IS NOT NULL AND o_custkey IS NOT NULL) o
+    ASOF LEFT JOIN ev e
       ON o.o_custkey = e.user_id AND o.order_ms <= e.ev_ms
+    UNION ALL
+    SELECT o_orderkey, o_custkey, order_ms,
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM o WHERE order_ms IS NULL OR o_custkey IS NULL
     """,
 )
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
