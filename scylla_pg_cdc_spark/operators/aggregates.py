@@ -395,7 +395,11 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lvl1.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_exact"),
+            # count("user_id"), not count(*): the two-level shape keeps
+            # the NULL-user group as a lvl1 row, but COUNT(DISTINCT)
+            # excludes NULL by SQL definition (r10 nullts fuzz) — and
+            # approx_count_distinct skips NULLs the same way
+            F.count("user_id").alias("n_exact"),
             F.sum("c").alias("n"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("_hll"),
         )

@@ -172,6 +172,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                date_trunc('day', ts) - k * INTERVAL 1 DAY AS wstart
         FROM events, range(0, 2) t(k)
+        WHERE ts IS NOT NULL  -- untimed events fall in no window
     )
     SELECT strftime(wstart, '%Y-%m-%d') AS window_start,
            strftime(wstart + 2 * INTERVAL 1 DAY, '%Y-%m-%d') AS window_end,
@@ -213,7 +214,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                         PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
                     ) IS NULL
                THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), sessions AS (
         SELECT user_id, event_id, ts_ms,
                CAST(SUM(is_new) OVER (
@@ -232,8 +233,13 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) via lag + running sum —
     the classic batch equivalent of session_window; deterministic and
-    one shuffle by user."""
-    events = load_table(spark, sf_dir, "events")
+    one shuffle by user. Sessionization is defined over TIMESTAMPED
+    events only (r10 nullts fuzz): an untimed event has no place on
+    any session's timeline, and the native session_window twin cannot
+    place it either — excluded symmetrically on both engines."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     order_w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     with_ms = events.withColumn("ts_ms", F.unix_millis("ts"))
@@ -350,7 +356,10 @@ def cdc_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAST_VALUE(ts_ms) OVER w AS ts_ms
     FROM change
     WINDOW w AS (
-        PARTITION BY user_id ORDER BY ts_ms, event_id
+        -- NULLS FIRST matches Spark's asc default (r10 nullts fuzz):
+        -- an untimed change sorts before every timed one, so the
+        -- last-non-NULL pick is engine-identical
+        PARTITION BY user_id ORDER BY ts_ms NULLS FIRST, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
     )
     """,
@@ -456,7 +465,7 @@ def compact_latest_agg(change: DataFrame, keep_deleted: bool = False) -> DataFra
                         PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
                     ) IS NULL
                THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), sessions AS (
         SELECT user_id, ts_ms,
                CAST(SUM(is_new) OVER (
@@ -476,8 +485,11 @@ def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently cross-checked against the lag+cumsum formulation's
     oracle: two different algorithms, one answer. The native form is
     the streaming-ready face (works under watermarks with merging
-    session state)."""
-    events = load_table(spark, sf_dir, "events")
+    session state). Timestamped events only (r10 nullts fuzz) — a
+    NULL ts cannot seed a session window."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     return (
         events.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
@@ -502,10 +514,12 @@ def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id, event_type, value,
            epoch_ms(ts) AS valid_from_ms,
            COALESCE(lead(epoch_ms(ts)) OVER (
-               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               PARTITION BY user_id
+               ORDER BY epoch_ms(ts) NULLS FIRST, event_id
            ), -1) AS valid_to_ms,
            (lead(epoch_ms(ts)) OVER (
-               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               PARTITION BY user_id
+               ORDER BY epoch_ms(ts) NULLS FIRST, event_id
            ) IS NULL) AS is_current
     FROM events
     """,
@@ -641,7 +655,7 @@ _SESSION_CAP_MS = 1_200_000  # 20-min hard duration cap per sub-session
                         PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
                     ) IS NULL
                THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), sessions AS (
         SELECT user_id, event_id, ts_ms,
                CAST(SUM(is_new) OVER (
@@ -678,8 +692,11 @@ def q_stream_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     would use cap >> gap. Guaranteed: every emitted sub-session spans
     < cap ms (asserted in tests). Plan: the two running windows and
     the session-start min all share the ONE user_id exchange; the
-    final group adds the (session, sub) key to the same partitioning."""
-    events = load_table(spark, sf_dir, "events")
+    final group adds the (session, sub) key to the same partitioning.
+    Timestamped events only, like the whole session family (r10)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     order_w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     with_ms = events.withColumn("ts_ms", F.unix_millis("ts"))

@@ -528,28 +528,35 @@ def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH src AS (
         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-               l_quantity, l_returnflag
+               l_quantity, l_returnflag, TRUE AS sp
         FROM lineitem
     ), tgt AS (
         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                l_quantity + CASE WHEN (l_orderkey + l_partkey) % 31 = 0
                                  THEN 1.0 ELSE 0 END AS l_quantity,
-               l_returnflag
+               l_returnflag, TRUE AS tp
         FROM lineitem WHERE (l_orderkey + l_suppkey) % 41 <> 0
     )
+    -- NULL-SAFE key equality + presence flags, mirroring
+    -- diff_datasets' contract exactly (r10 nullts fuzz): a row whose
+    -- key component is legitimately NULL must reconcile against its
+    -- twin, not decay into a missing+extra pair; presence is read
+    -- from the flag, never from key-NULLness
     SELECT COALESCE(s.l_orderkey, t.l_orderkey) AS l_orderkey,
            COALESCE(s.l_linenumber, t.l_linenumber) AS l_linenumber,
            COALESCE(s.l_partkey, t.l_partkey) AS l_partkey,
            COALESCE(s.l_suppkey, t.l_suppkey) AS l_suppkey,
-           CASE WHEN t.l_orderkey IS NULL THEN 'missing'
-                WHEN s.l_orderkey IS NULL THEN 'extra'
+           CASE WHEN t.tp IS NULL THEN 'missing'
+                WHEN s.sp IS NULL THEN 'extra'
                 WHEN NOT (ABS(s.l_quantity - t.l_quantity) < 0.0001)
                   OR NOT (s.l_returnflag IS NOT DISTINCT FROM t.l_returnflag)
                 THEN 'mismatch' ELSE 'match' END AS diff_type
     FROM src s FULL OUTER JOIN tgt t
-      ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
-     AND s.l_partkey = t.l_partkey AND s.l_suppkey = t.l_suppkey
-    WHERE t.l_orderkey IS NULL OR s.l_orderkey IS NULL
+      ON s.l_orderkey IS NOT DISTINCT FROM t.l_orderkey
+     AND s.l_linenumber IS NOT DISTINCT FROM t.l_linenumber
+     AND s.l_partkey IS NOT DISTINCT FROM t.l_partkey
+     AND s.l_suppkey IS NOT DISTINCT FROM t.l_suppkey
+    WHERE t.tp IS NULL OR s.sp IS NULL
        OR NOT (ABS(s.l_quantity - t.l_quantity) < 0.0001)
        OR NOT (s.l_returnflag IS NOT DISTINCT FROM t.l_returnflag)
     """,

@@ -640,7 +640,11 @@ _ER_SNM_PAIRS_SQL = f"""rnk AS MATERIALIZED (
         FROM rnk x
         JOIN (SELECT UNNEST(range(1, {_ER_SNM_W + 1})) AS off) o ON TRUE
         JOIN rnk y
-          ON y.c_nationkey = x.c_nationkey AND y.rk = x.rk + o.off
+          -- null-safe block equality: a NULL blocking key forms its
+          -- own block, exactly like the Spark window PARTITION BY
+          -- (r10 nullts fuzz — plain = silently dropped that block)
+          ON y.c_nationkey IS NOT DISTINCT FROM x.c_nationkey
+         AND y.rk = x.rk + o.off
         WHERE levenshtein(x.c_name, y.c_name) <= 2
     )"""
 

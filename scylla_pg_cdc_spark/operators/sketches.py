@@ -48,7 +48,9 @@ def _duck_hex_poly(expr: str) -> str:
     "q_kmv_distinct",
     oracle=f"""
     WITH du AS (
+        -- NULL is not a value: COUNT(DISTINCT) semantics (r10 nullts)
         SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+        WHERE l_partkey IS NOT NULL
     ), hh AS (
         SELECT DISTINCT l_returnflag,
                {_duck_hex_poly("'kmv:' || CAST(l_partkey AS VARCHAR)")} AS hv
@@ -82,6 +84,8 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer both engines."""
     du = (
         load_table(spark, sf_dir, "lineitem")
+        # NULL is not a value: COUNT(DISTINCT) semantics (r10 nullts)
+        .filter(F.col("l_partkey").isNotNull())
         .select("l_returnflag", "l_partkey")
         .distinct()
     )
@@ -140,7 +144,7 @@ def _cm_oracle() -> str:
     key = "CAST(l_partkey AS VARCHAR)"
     counter_rows = "\n        UNION ALL\n".join(
         f"""        SELECT {r} AS r, {_cm_bucket_duck(key, r)} AS bucket
-        FROM lineitem"""
+        FROM lineitem WHERE l_partkey IS NOT NULL"""
         for r in range(_CM_DEPTH)
     )
     est_terms = ", ".join(
@@ -161,7 +165,8 @@ def _cm_oracle() -> str:
     ), top AS (
         SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
                {top_buckets}
-        FROM lineitem GROUP BY l_partkey
+        FROM lineitem WHERE l_partkey IS NOT NULL
+        GROUP BY l_partkey
         ORDER BY exact_cnt DESC, l_partkey LIMIT 20
     )
     SELECT t.l_partkey, t.exact_cnt,
@@ -186,8 +191,11 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     in this module, so DuckDB reproduces the cells bit-for-bit.
     Output: part, exact count, sketch estimate (est >= exact always;
     equal when no collision)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").cast("string").alias("k"), "l_partkey"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        # a NULL key hashes to no sketch cell (r10 nullts fuzz)
+        .filter(F.col("l_partkey").isNotNull())
+        .select(F.col("l_partkey").cast("string").alias("k"), "l_partkey")
     )
     cells = None
     for r in range(_CM_DEPTH):

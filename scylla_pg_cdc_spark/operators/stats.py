@@ -62,7 +62,8 @@ def _event_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY event_type ORDER BY vc, event_id
                ) AS rv,
                ROW_NUMBER() OVER (
-                   PARTITION BY event_type ORDER BY ts_ms, event_id
+                   PARTITION BY event_type
+                   ORDER BY ts_ms NULLS FIRST, event_id
                ) AS rt,
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM ev

@@ -176,16 +176,16 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id, ts_ms,
            FIRST_VALUE(event_id) OVER w AS first_event,
            LAST_VALUE(event_id) OVER (
-               PARTITION BY user_id ORDER BY ts_ms, event_id
+               PARTITION BY user_id ORDER BY ts_ms NULLS FIRST, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            ) AS last_event,
            NTH_VALUE(event_id, 2) OVER (
-               PARTITION BY user_id ORDER BY ts_ms, event_id
+               PARTITION BY user_id ORDER BY ts_ms NULLS FIRST, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            ) AS second_event
     FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events)
     WINDOW w AS (
-        PARTITION BY user_id ORDER BY ts_ms, event_id
+        PARTITION BY user_id ORDER BY ts_ms NULLS FIRST, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
     )
     """,

@@ -1,0 +1,368 @@
+"""Multi-epoch streaming-state fuzzing: HOSTILE BATCH CONTENT.
+
+`tests/test_state_interleaving.py` fuzzes the CRASH/REPLAY axis —
+every commit point of the state protocols under randomized compactor
+interleavings, with well-formed batches.  This file fuzzes the other
+declared-unfuzzed axis (r9 VERDICT next-round #1): the CONTENT of the
+epochs themselves.  A 100 TB CDC feed will serve every state machine
+empty batches, all-duplicate batches, all-tombstone batches, NULL
+keys, NULL values, unicode text, and re-sent ids — across MANY epochs,
+so a poisoned epoch's damage can compound through the fold.
+
+Machines covered, with their invariants:
+
+- dedup_state.admit_epoch: determinism across fresh replays of the
+  same hostile sequence; decisions invariant under compaction cadence;
+  exact copies of previously-ADMITTED (>= 3-token) docs are rejected;
+  token-disjoint docs are admitted; short/empty/whitespace docs are
+  always admitted; empty epochs are no-ops; final state holds the
+  admitted corpus exactly once.
+- drift_state.monitor_epoch: empty and all-NULL-value epochs fold as
+  no-ops without crashing; an identical-distribution epoch KS-scores
+  exactly 0 ppm; a brand-new event_type is not tested on its first
+  epoch but is on its second; NULL event_type is a first-class group;
+  replays return the persisted report.
+- ivf_state.maintain_epoch: per-label counts evolve exactly as the
+  maintenance reports claim (state n == n_old + n_assigned, every
+  epoch); empty epochs leave the integer-sum state bit-identical;
+  duplicate vec_ids in one batch are absorbed twice (sums are
+  per-ROW, pinned); replay with the committed marker returns the
+  persisted report without re-folding.
+- lsm_state.maintain: merge-on-read latest-per-key equals
+  compact_latest_agg over the full concatenated history at EVERY
+  epoch, under forced per-epoch compaction, with all-tombstone
+  epochs, replayed event_ids, NULL values/props, and a NULL key
+  (the NULL-key group is first-class, same as GROUP BY NULL).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_pg_cdc_spark.streaming.dedup_state import (
+    _state_parts,
+    admit_epoch,
+    maybe_compact_dedup_state,
+)
+from scylla_pg_cdc_spark.streaming.drift_state import monitor_epoch
+from scylla_pg_cdc_spark.streaming.ivf_state import maintain_epoch
+from scylla_pg_cdc_spark.streaming.lsm_state import maintain, read_latest
+
+# ------------------------------------------------------------- dedup
+
+_DOC_SCHEMA = "doc_id long, text string"
+
+# (doc_id, text) per epoch — deterministic hostile sequence
+_DEDUP_EPOCHS = [
+    # e0: normal seed corpus, two token families
+    [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "red orange yellow green blue indigo"),
+    ],
+    # e1: EMPTY epoch
+    [],
+    # e2: exact copies of admitted docs under NEW ids -> all rejected
+    [
+        (10, "alpha beta gamma delta epsilon"),
+        (11, "red orange yellow green blue indigo"),
+    ],
+    # e3: degenerate text — short, empty, whitespace-ish, NULL
+    [
+        (20, "solo"),
+        (21, "two tokens"),
+        (22, ""),
+        (23, "   "),
+        (24, None),
+    ],
+    # e4: unicode + token-disjoint fresh vocab -> admitted
+    [
+        (30, "数据 处理 引擎 数据 流水线 批处理"),
+        (31, "café naïve résumé déjà vu encore"),
+    ],
+    # e5: exact copy of the admitted unicode doc -> rejected;
+    #     fresh disjoint doc -> admitted
+    [
+        (40, "数据 处理 引擎 数据 流水线 批处理"),
+        (41, "one1 two2 three3 four4 five5"),
+    ],
+]
+
+
+def _run_dedup(spark, root, compact_every=None):
+    decisions = {}
+    for i, rows in enumerate(_DEDUP_EPOCHS):
+        batch = spark.createDataFrame(rows, _DOC_SCHEMA)
+        marker = f"epoch-{i}"
+        for r in admit_epoch(spark, str(root), batch, marker=marker).collect():
+            decisions[r["doc_id"]] = (r["is_new"], r["n_matches"])
+        with open(f"{root}/_EPOCH", "w") as f:
+            f.write(marker)
+        if compact_every:
+            maybe_compact_dedup_state(spark, str(root), compact_every)
+    return decisions
+
+
+def test_dedup_hostile_epochs_semantics(spark, tmp_path):
+    got = _run_dedup(spark, tmp_path / "a")
+    # empty epoch contributed nothing
+    assert all(d in {r[0] for e in _DEDUP_EPOCHS for r in e} for d in got)
+    # exact copies of admitted >=3-token docs rejected
+    for d in (10, 11, 40):
+        assert got[d] == (False, got[d][1]) and got[d][1] >= 1, got[d]
+    # token-disjoint / degenerate docs admitted
+    for d in (1, 2, 3, 20, 21, 22, 23, 24, 30, 31, 41):
+        assert got[d][0], f"doc {d} should be admitted: {got[d]}"
+
+
+def test_dedup_hostile_epochs_deterministic_and_compaction_invariant(
+    spark, tmp_path
+):
+    base = _run_dedup(spark, tmp_path / "b1")
+    replay = _run_dedup(spark, tmp_path / "b2")
+    compacted = _run_dedup(spark, tmp_path / "b3", compact_every=2)
+    assert base == replay
+    assert base == compacted
+    # final state = admitted docs exactly once
+    parts = _state_parts(str(tmp_path / "b3"), "tokens", None)
+    rows = [
+        r["doc_id"]
+        for p in parts
+        for r in spark.read.parquet(p).select("doc_id").collect()
+    ]
+    admitted = {d for d, (new, _n) in base.items() if new}
+    # token-less docs (empty / whitespace / NULL text: 22, 23, 24) are
+    # admitted but store NO token row — they have nothing to match
+    # against and nothing future epochs could match them BY; the state
+    # corpus is the admitted docs that carry at least one token
+    assert len(rows) == len(set(rows))
+    assert set(rows) == admitted - {22, 23, 24}
+
+
+# ------------------------------------------------------------- drift
+
+_EV_SCHEMA = "event_type string, value double"
+
+
+def _drift_batch(spark, rows):
+    return spark.createDataFrame(rows, _EV_SCHEMA)
+
+
+def test_drift_hostile_epochs(spark, tmp_path):
+    root = str(tmp_path / "drift")
+    seed = [("click", float(v)) for v in range(10)] + [
+        ("view", float(v) * 2) for v in range(10)
+    ]
+    # e0 bootstrap: empty report
+    out0 = monitor_epoch(spark, root, _drift_batch(spark, seed), "epoch-0")
+    assert out0.count() == 0
+    # e1 EMPTY epoch: no crash, empty report, state unchanged
+    out1 = monitor_epoch(spark, root, _drift_batch(spark, []), "epoch-1")
+    assert out1.count() == 0
+    # e2 all-NULL values: same as empty
+    out2 = monitor_epoch(
+        spark, root, _drift_batch(spark, [("click", None)] * 5), "epoch-2"
+    )
+    assert out2.count() == 0
+    # e3 identical distribution -> KS exactly 0 for both types
+    out3 = {
+        r["event_type"]: r["ks_ppm"]
+        for r in monitor_epoch(
+            spark, root, _drift_batch(spark, seed), "epoch-3"
+        ).collect()
+    }
+    assert out3 == {"click": 0, "view": 0}
+    # e4 brand-new type: absent from the report (no history side)
+    out4 = monitor_epoch(
+        spark,
+        root,
+        _drift_batch(spark, [("purchase", 1.0), ("purchase", 2.0)]),
+        "epoch-4",
+    )
+    assert "purchase" not in {r["event_type"] for r in out4.collect()}
+    # e5 same new type again: NOW tested (history exists), KS 0
+    out5 = {
+        r["event_type"]: r["ks_ppm"]
+        for r in monitor_epoch(
+            spark,
+            root,
+            _drift_batch(spark, [("purchase", 1.0), ("purchase", 2.0)]),
+            "epoch-5",
+        ).collect()
+    }
+    assert out5["purchase"] == 0
+    # e6 NULL event_type: first-class group, no crash; first epoch of
+    # the NULL type is its bootstrap (not tested), second is
+    out6 = monitor_epoch(
+        spark, root, _drift_batch(spark, [(None, 5.0)]), "epoch-6"
+    )
+    assert None not in {r["event_type"] for r in out6.collect()}
+    out7 = monitor_epoch(
+        spark, root, _drift_batch(spark, [(None, 5.0)]), "epoch-7"
+    )
+    by_type = {r["event_type"]: r["ks_ppm"] for r in out7.collect()}
+    assert by_type.get(None) == 0
+    # replay of the committed epoch returns the persisted report
+    replay = {
+        r["event_type"]: r["ks_ppm"]
+        for r in monitor_epoch(
+            spark, root, _drift_batch(spark, [(None, 5.0)]), "epoch-7"
+        ).collect()
+    }
+    assert replay == by_type
+
+
+# --------------------------------------------------------------- ivf
+
+_EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def _emb_batch(spark, rows):
+    return spark.createDataFrame(rows, _EMB_SCHEMA)
+
+
+def _state_counts(spark, root):
+    return {
+        r["label"]: r["n"]
+        for r in spark.read.parquet(f"{root}/lists")
+        .groupBy("label")
+        .agg(F.min("n").alias("n"))
+        .collect()
+    }
+
+
+def _state_pdf(spark, root) -> pd.DataFrame:
+    return (
+        spark.read.parquet(f"{root}/lists")
+        .orderBy("label", "i")
+        .toPandas()
+    )
+
+
+def test_ivf_hostile_epochs(spark, tmp_path):
+    root = str(tmp_path / "ivf")
+    # e0 bootstrap: two well-separated lists
+    seed = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.1, 0.9, 0.0], 1),
+    ]
+    out0 = maintain_epoch(spark, root, _emb_batch(spark, seed), "epoch-0")
+    assert out0.count() == 0
+    assert _state_counts(spark, root) == {0: 2, 1: 2}
+    # e1 EMPTY epoch: state bit-identical, report covers both lists
+    before = _state_pdf(spark, root)
+    out1 = maintain_epoch(spark, root, _emb_batch(spark, []), "epoch-1")
+    rep1 = {r["label"]: r for r in out1.collect()}
+    assert set(rep1) == {0, 1}
+    assert all(
+        r["n_assigned"] == 0 and r["n_defected"] == 0
+        and r["centroid_drift"] == 0
+        for r in rep1.values()
+    )
+    after = _state_pdf(spark, root)
+    pd.testing.assert_frame_equal(before, after)
+    # e2 all-defecting epoch: labeled 1, but nearest to list 0
+    out2 = maintain_epoch(
+        spark,
+        root,
+        _emb_batch(spark, [(10, [1.0, 0.05, 0.0, 0.0], 1)]),
+        "epoch-2",
+    )
+    rep2 = {r["label"]: r for r in out2.collect()}
+    assert rep2[0]["n_assigned"] == 1 and rep2[0]["n_defected"] == 1
+    counts2 = _state_counts(spark, root)
+    assert counts2 == {0: 3, 1: 2}
+    # e3 duplicate vec_ids in ONE batch: absorbed per-ROW (pinned)
+    out3 = maintain_epoch(
+        spark,
+        root,
+        _emb_batch(
+            spark,
+            [(20, [0.0, 0.0, 1.0, 0.1], 1), (20, [0.0, 0.0, 1.0, 0.1], 1)],
+        ),
+        "epoch-3",
+    )
+    rep3 = {r["label"]: r for r in out3.collect()}
+    assert rep3[1]["n_assigned"] == 2
+    assert _state_counts(spark, root) == {0: 3, 1: 4}
+    # every epoch: state n == report n_old + n_assigned (fold honesty)
+    assert _state_counts(spark, root)[1] == (
+        rep3[1]["n_old"] + rep3[1]["n_assigned"]
+    )
+    # replay the committed marker: persisted report, state unchanged
+    before = _state_pdf(spark, root)
+    replay = maintain_epoch(
+        spark,
+        root,
+        _emb_batch(spark, []),  # content ignored on replay
+        "epoch-3",
+    )
+    rep3r = {r["label"]: r for r in replay.collect()}
+    assert rep3r[1]["n_assigned"] == 2
+    pd.testing.assert_frame_equal(before, _state_pdf(spark, root))
+
+
+# --------------------------------------------------------------- lsm
+
+_CDC_SCHEMA = (
+    "event_id long, key long, op string, event_type string,"
+    " value double, props string, commit_ms long"
+)
+
+_LSM_EPOCHS = [
+    # e0: normal upserts
+    [
+        (1, 100, "UPSERT", "click", 1.0, "{}", 1000),
+        (2, 101, "UPSERT", "view", 2.0, "{}", 1001),
+        (3, 102, "UPSERT", "click", 3.0, "{}", 1002),
+    ],
+    # e1: EMPTY epoch
+    [],
+    # e2: all tombstones (one for a key never seen)
+    [
+        (4, 100, "DELETE", "click", None, None, 2000),
+        (5, 999, "DELETE", "click", None, None, 2001),
+    ],
+    # e3: replayed event_ids (exact duplicates of e0 rows) + NULLs
+    [
+        (1, 100, "UPSERT", "click", 1.0, "{}", 1000),
+        (6, 101, "UPSERT", None, None, None, 3000),
+    ],
+    # e4: NULL key — a first-class group, not a crash
+    [
+        (7, None, "UPSERT", "click", 7.0, "{}", 4000),
+        (8, None, "UPSERT", "view", 8.0, "{}", 4001),
+    ],
+]
+
+
+def test_lsm_hostile_epochs_match_full_history_compaction(spark, tmp_path):
+    from scylla_pg_cdc_spark.operators.cdc import compact_latest_agg
+
+    root = str(tmp_path / "lsm")
+    history = []
+    for i, rows in enumerate(_LSM_EPOCHS):
+        batch = spark.createDataFrame(rows, _CDC_SCHEMA)
+        history.extend(rows)
+        maintain(batch, root, n_buckets=4, file_threshold=1)
+        got = {
+            (r["key"], r["event_id"], r["op"], r["value"])
+            for r in read_latest(spark, root).collect()
+        }
+        want_df = compact_latest_agg(
+            spark.createDataFrame(history, _CDC_SCHEMA), keep_deleted=True
+        ).drop("__deleted")
+        want = {
+            (r["key"], r["event_id"], r["op"], r["value"])
+            for r in want_df.collect()
+        }
+        assert got == want, f"epoch {i}: merge-on-read diverged"
+    # NULL-key group: latest NULL-key row won
+    final = {
+        r["key"]: r["event_id"] for r in read_latest(spark, root).collect()
+    }
+    assert final[None] == 8
