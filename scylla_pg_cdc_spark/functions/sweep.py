@@ -77,6 +77,12 @@ def two_phase_running_sum(
     )
 
 
+# sub-bands per single-value band under heavy ties (r10): 64 restores
+# two-orders-of-magnitude parallelism on a fully-tied column while
+# keeping the ledger <= 1024 values x 64 = 65k rows — still tiny
+_TIE_SUBBANDS = 64
+
+
 def two_phase_row_number(
     df: DataFrame,
     value_col: str,
@@ -109,18 +115,57 @@ def two_phase_row_number(
     from a one-job min/max probe — width = ceil(range / 1024), i.e.
     <=1024 bands regardless of the value domain, the same
     derive-the-dial-from-the-data move as vector.scaled_planes.
-    Skewed values concentrate bands exactly as they would concentrate
-    any range partitioner — the honest residual, dial-able per
-    column."""
+    The ONE driver action per call is that probe: an O(1)-result
+    min/max aggregation (never a column collect — SCALE.md envelope).
+
+    Heavy-tie degeneracy (r10, measured on the ties fuzz profile): a
+    quantized/low-cardinality value column can leave the whole corpus
+    in a handful of bands (3 distinct lineitem quantities -> 3 bands,
+    the largest holding 34% of all rows — and ONE distinct value
+    would re-create the single-task global window this library exists
+    to remove). When the autotune probe sees a span so small that
+    every band is a SINGLE value (band_width == 1), the global order
+    inside a band is (id) alone, so banding by ``(value, id DIV idw)``
+    is order-aligned and restores up to ``_TIE_SUBBANDS``-way
+    parallelism per tied value. Multi-value bands (band_width > 1)
+    cannot sub-band — splitting by id there would interleave values —
+    and keep the honest range-partitioner residual: value ranges
+    concentrate bands exactly as they would concentrate any range
+    partitioner, dial-able per column."""
+    sub_width = None
+    id_integral = dict(df.dtypes).get(id_col) in (
+        "tinyint", "smallint", "int", "bigint",
+    )
     if band_width is None:
-        lo, hi = df.agg(
-            F.min(value_col), F.max(value_col)
-        ).first() or (None, None)
+        lo, hi, ilo, ihi = df.agg(
+            F.min(value_col),
+            F.max(value_col),
+            F.min(id_col) if id_integral else F.lit(None),
+            F.max(id_col) if id_integral else F.lit(None),
+        ).first() or (None, None, None, None)
         span = (hi - lo + 1) if lo is not None else 1
         band_width = max(1, (span + 1023) // 1024)
-    banded = df.withColumn(
-        "__band", F.expr(f"{value_col} DIV {band_width}")
-    )
+        if band_width == 1 and ilo is not None:
+            ispan = ihi - ilo + 1
+            sub_width = max(1, (ispan + _TIE_SUBBANDS - 1) // _TIE_SUBBANDS)
+    if sub_width is not None:
+        # single-value bands: order within a band is id alone, so an
+        # id-range split preserves the global (value, id) order
+        banded = df.withColumn(
+            "__band",
+            F.struct(
+                F.col(value_col).alias("v"),
+                F.expr(f"{id_col} DIV {sub_width}").alias("s"),
+            ),
+        )
+    else:
+        banded = df.withColumn(
+            "__band",
+            F.struct(
+                F.expr(f"{value_col} DIV {band_width}").alias("v"),
+                F.lit(0).alias("s"),
+            ),
+        )
     w_in = Window.partitionBy("__band").orderBy(value_col, id_col)
     counts = banded.groupBy("__band").agg(
         F.count(F.lit(1)).alias("__cnt")
@@ -132,7 +177,7 @@ def two_phase_row_number(
     )
     w_all = Window.partitionBy("__k")
     offsets = counts.withColumn(
-        "__k", F.pmod(F.xxhash64("__band"), F.lit(1))
+        "__k", F.pmod(F.xxhash64(F.col("__band.v"), F.col("__band.s")), F.lit(1))
     ).select(
         "__band",
         F.coalesce(F.sum("__cnt").over(w_led), F.lit(0)).alias("__off"),

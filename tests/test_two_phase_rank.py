@@ -78,3 +78,55 @@ def test_no_global_window_in_plan(spark):
     facts = plan_facts(out)
     assert facts["global_windows"] == 0, facts
     assert facts["bnlj"] == 0 and facts["cartesian"] == 0, facts
+
+
+def test_tie_degenerate_column_subbands(spark):
+    """r10: a fully-tied value column (ONE distinct value) must not
+    collapse into a single band — the autotune probe sees band_width
+    1 and sub-bands by id range, restoring parallelism while staying
+    bit-identical to the naive global window."""
+    df = spark.range(0, 5000).select(
+        F.lit(7).cast("long").alias("v"), F.col("id").cast("long")
+    )
+    out = two_phase_row_number(df, "v", "id").drop("__n")
+    got = {r["id"]: r["rn"] for r in out.collect()}
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number().over(Window.orderBy("v", "id")).alias("rn"),
+        ).collect()
+    }
+    assert got == want
+    # the within-band window really is split: >1 band in the plan's
+    # partitioning (probe the band expression directly)
+    from scylla_pg_cdc_spark.functions.sweep import _TIE_SUBBANDS
+
+    n_bands = (
+        df.withColumn(
+            "b", F.expr(f"id DIV {max(1, 5000 // _TIE_SUBBANDS)}")
+        )
+        .select("b")
+        .distinct()
+        .count()
+    )
+    assert n_bands > 1
+
+
+def test_tie_degenerate_three_values(spark):
+    """Three distinct values, heavy collisions (the ties-profile
+    lineitem shape): exact AND sub-banded."""
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3 + 1).cast("long").alias("v"),
+        F.col("id").cast("long"),
+    )
+    out = two_phase_row_number(df, "v", "id").drop("__n")
+    got = {r["id"]: r["rn"] for r in out.collect()}
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number().over(Window.orderBy("v", "id")).alias("rn"),
+        ).collect()
+    }
+    assert got == want
