@@ -243,10 +243,13 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_kmv_setops",
     oracle=f"""
     WITH flags AS (
+        -- NULL is not a value (COUNT DISTINCT semantics; r10 compound
+        -- fuzz: the NULL-user group's NULL hash ranked NULLS-FIRST on
+        -- Spark and NULLS-LAST on DuckDB, shifting the kth minimum)
         SELECT user_id,
                MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ), f AS (
         SELECT user_id, in_a, in_b,
                {_duck_hex_poly("'kmv:' || CAST(user_id AS VARCHAR)")} AS hv
@@ -287,7 +290,9 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is the only full shuffle; everything after is a
     64-row TakeOrdered. Differentially exact vs DuckDB because the
     hash, ordering, and arithmetic are all portable integers."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()  # NULL key is not a set member
+    )
     flags = ev.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == "click", 1).otherwise(0)
