@@ -114,7 +114,14 @@ def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, l_partkey,
            CAST(SUM(l_quantity) OVER (
                PARTITION BY l_orderkey
-               ORDER BY l_linenumber, l_partkey, l_suppkey
+               -- r10 compound fuzz: NULLS FIRST on nullable
+               -- tiebreaks, and the MEASURE as the final tiebreak —
+               -- a NULL l_partkey collapses two distinct rows into a
+               -- full-key tie, and a running sum over an
+               -- order-undefined tie diverges; value-identical ties
+               -- give identical outputs in any order
+               ORDER BY l_linenumber, l_partkey NULLS FIRST,
+                        l_suppkey NULLS FIRST, l_quantity NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS running_qty
     FROM lineitem
@@ -128,7 +135,8 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        # measure-as-final-tiebreak: see the oracle comment (r10)
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
@@ -145,7 +153,13 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, l_partkey,
            AVG(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) OVER (
                PARTITION BY l_orderkey
-               ORDER BY l_linenumber, l_partkey, l_suppkey
+               -- r10 compound fuzz: see q_window_running_sum —
+               -- measure-as-final-tiebreak makes the frame
+               -- order-insensitive under full-key ties
+               ORDER BY l_linenumber, l_partkey NULLS FIRST,
+                        l_suppkey NULLS FIRST,
+                        CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            NULLS FIRST
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
            ) / 100.0 AS mov_avg_price
     FROM lineitem
@@ -157,7 +171,10 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .orderBy(
+            "l_linenumber", "l_partkey", "l_suppkey",
+            cents("l_extendedprice"),
+        )
         .rowsBetween(-2, Window.currentRow)
     )
     return li.select(

@@ -434,3 +434,51 @@ def test_ewma_exact_null_user_group_survives(spark, nullts_dir):
     spec = load_all()["q_event_ewma_exact"]
     rows = spec.fn(spark, nullts_dir).collect()
     assert any(r["user_id"] is None for r in rows)
+
+
+def test_window_full_key_tie_order_insensitive(spark, tmp_path):
+    """r10 COMPOUND find (nullts amplified to sf0.01 mass): nulling
+    l_partkey collapses two distinct rows into a full-sort-key TIE
+    with different measures — a running sum over an order-undefined
+    tie diverges between engines. The fix appends the measure itself
+    as the final tiebreak; this pins the mini shape that needs it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "l_orderkey": [1, 1, 1],
+        "l_partkey": pa.array([None, None, 5], type=pa.int64()),
+        "l_suppkey": [30, 30, 7],
+        "l_linenumber": pa.array([2, 2, 3], type=pa.int32()),
+        "l_quantity": [12.0, 41.0, 3.0],
+        "l_extendedprice": [100.0, 900.0, 50.0],
+        "l_discount": [0.0, 0.0, 0.0],
+        "l_tax": [0.0, 0.0, 0.0],
+        "l_returnflag": ["N", "N", "N"],
+        "l_linestatus": ["O", "O", "O"],
+        "l_shipdate": pa.array([None, None, None], type=pa.timestamp("us")),
+    }
+    d = tmp_path / "li"
+    d.mkdir()
+    pq.write_table(pa.table(rows), d / "lineitem.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{d}/lineitem.parquet')"
+    )
+    for name in ("q_window_running_sum", "q_window_moving_avg"):
+        spec = load_all()[name]
+        srows = _norm_sorted(spec.fn(spark, str(d)).collect())
+        drows = _norm_sorted(con.execute(spec.oracle).fetchall())
+        assert srows == drows, f"{name} diverged on the full-key tie"
+
+
+def test_kmv_setops_null_key_excluded(spark, nullts_dir, nullts_duck):
+    """r10 COMPOUND find: a NULL user_id is not a set member (its NULL
+    hash ranked NULLS-FIRST on Spark, NULLS-LAST on DuckDB, shifting
+    the kth minimum once a NULL-keyed clicker exists)."""
+    spec = load_all()["q_kmv_setops"]
+    srows = _norm_sorted(spec.fn(spark, nullts_dir).collect())
+    drows = _norm_sorted(nullts_duck.execute(spec.oracle).fetchall())
+    assert srows == drows
