@@ -24,6 +24,14 @@ degenerate groups (e.g. an all-empty-document source) that 500 docs
 never produce; it found the tokenizer divide-by-zero the small pass
 missed. Round-9 totals: 13 bugs across the seven sweeps.
 
+Round-10 totals: `nullts` (NULL timestamps + NULL join keys, the axis
+the generator contract forbids) found 27 bugs on its first sweep —
+the project's largest single-profile haul — and the COMPOUND gate
+(amplify a fuzzed dir, below) found 3 more that only exist at mass
+(a NULL-keyed clicker entering a KMV top-64; full-sort-key ties with
+different measures under a nulled tiebreak column). Run nullts from
+sf0.01 too, then amplify it.
+
 Profiles (all deterministic functions of the primary key — rerunning
 reproduces the byte-identical dataset):
 
