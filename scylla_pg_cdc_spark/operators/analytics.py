@@ -1107,9 +1107,17 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_custkey
     ), scored AS (
         SELECT custkey,
-               NTILE(5) OVER (ORDER BY last_order, custkey) AS r_score,
-               NTILE(5) OVER (ORDER BY frequency, custkey) AS f_score,
-               NTILE(5) OVER (ORDER BY monetary_cents, custkey) AS m_score
+               -- NULLS FIRST on every rank key (r10 nullts@sf0.1):
+               -- the NULL-custkey group and all-NULL-date customers
+               -- band to the NULL (lowest) band in the two-phase
+               -- decomposition, i.e. NULLS FIRST — pin the oracle to
+               -- the same end
+               NTILE(5) OVER (ORDER BY last_order NULLS FIRST,
+                              custkey NULLS FIRST) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency NULLS FIRST,
+                              custkey NULLS FIRST) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_cents NULLS FIRST,
+                              custkey NULLS FIRST) AS m_score
         FROM base
     )
     SELECT CAST(r_score AS BIGINT) AS r_score,

@@ -482,3 +482,39 @@ def test_kmv_setops_null_key_excluded(spark, nullts_dir, nullts_duck):
     srows = _norm_sorted(spec.fn(spark, nullts_dir).collect())
     drows = _norm_sorted(nullts_duck.execute(spec.oracle).fetchall())
     assert srows == drows
+
+
+def test_rfm_null_custkey_and_null_dates(spark, tmp_path):
+    """r10 nullts@sf0.1 find: the NULL-custkey group and an
+    all-NULL-date customer rank into the NULL (lowest) band of the
+    two-phase NTILE — the oracle must pin NULLS FIRST on every rank
+    key or the quintile cells shift by one at mass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 40
+    custkeys = [None if i == 0 else (100 + i % 13) for i in range(n)]
+    dates = [
+        None if i % 5 == 2 else (1_500_000_000_000_000 + i * 86_400_000_000)
+        for i in range(n)
+    ]
+    rows = {
+        "o_orderkey": list(range(1, n + 1)),
+        "o_custkey": pa.array(custkeys, type=pa.int64()),
+        "o_orderstatus": ["O"] * n,
+        "o_totalprice": [100.0 + i for i in range(n)],
+        "o_orderdate": pa.array(dates, type=pa.timestamp("us")),
+        "o_orderpriority": ["1-URGENT"] * n,
+    }
+    d = tmp_path / "rfm"
+    d.mkdir()
+    pq.write_table(pa.table(rows), d / "orders.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{d}/orders.parquet')"
+    )
+    spec = load_all()["q_customer_rfm"]
+    srows = _norm_sorted(spec.fn(spark, str(d)).collect())
+    drows = _norm_sorted(con.execute(spec.oracle).fetchall())
+    assert srows == drows
