@@ -342,21 +342,28 @@ def q_event_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     user — the genuinely sequential recurrence s_i = (7*s_{i-1} +
     v_i) DIV 8 that no window frame can express (the 8-tap
     ``q_event_ewma`` is its SQL-checkable truncation; this is the
-    full fold). Implemented as the engine's canonical CUSTOM-OPERATOR
-    shape: ``groupBy(user).applyInPandas`` — Arrow-batched, one
-    Python fold per user partition, linear in events and fully
-    parallel across users; this is the batch twin of the
-    applyInPandasWithState streaming form. The recurrence floors to
-    integer cents at every step, so the fold is a pure function of
-    the ordered integer sequence — DuckDB replays it exactly with
-    ``list_reduce``, giving the rare thing for a Pandas-UDF operator:
-    a bit-exact cross-engine oracle. At 100 TB: one shuffle on
-    user_id; applyInPandas materializes each GROUP in executor memory
-    (bounded by one user's events — fine for per-entity groups; a
-    pathological single-key group is the signal to switch to the
-    applyInPandasWithState streaming form, which holds O(1) running
-    state)."""
-    import pandas as pd
+    full fold). The recurrence floors to integer cents at every step,
+    so the fold is a pure function of the ordered integer sequence —
+    DuckDB replays it exactly with ``list_reduce``, giving a bit-exact
+    cross-engine oracle.
+
+    r11 (guide §4.1): the fold now runs INSIDE the JVM as an
+    ``aggregate`` higher-order function over the per-user
+    ``array_sort``-ordered (ts_ms, event_id, vc) struct array — the
+    former ``groupBy().applyInPandas`` shipped every event row across
+    the Arrow boundary and replayed the recurrence in an interpreted
+    Python row loop (2.9 s at sf0.1; FlatMapGroupsInPandas in the
+    plan). Same single user_id shuffle, same per-group memory bound
+    (one user's events in one aggregation buffer vs one pandas frame),
+    zero Python. Bit-identity pinned: ``array_sort`` on structs orders
+    NULL ts_ms first (Spark struct ordering = NULLS FIRST ascending,
+    matching the oracle's ORDER BY ts_ms NULLS FIRST and the old
+    ``na_position='first'``), and the recurrence divides with the
+    exact FLOOR rearrangement (``floordiv_sql``) because Python ``//``
+    and DuckDB ``list_reduce`` floor negative quotients while Spark
+    DIV truncates toward zero. The NULL user_id group survives as a
+    first-class groupBy key, as before."""
+    from scylla_pg_cdc_spark.operators.analytics import floordiv_sql
 
     ev = (
         load_table(spark, sf_dir, "events")
@@ -371,29 +378,22 @@ def q_event_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        # na_position='first' matches the pinned NULLS FIRST ordering
-        # (Spark window default / oracle's ORDER BY ts_ms NULLS FIRST)
-        pdf = pdf.sort_values(["ts_ms", "event_id"], na_position="first")
-        s = None
-        for v in pdf["vc"]:
-            v = int(v)
-            s = v if s is None else (7 * s + v) // 8
-        # NULL group key: user_id arrives as NaN for the NULL-user
-        # group (r10 nullts fuzz — int(NaN) crashed the worker); emit
-        # None so the NULL group survives as a first-class output row,
-        # same as GROUP BY NULL on both engines
-        uid = pdf["user_id"].iloc[0]
-        return pd.DataFrame(
-            {
-                "user_id": [None if pd.isna(uid) else int(uid)],
-                "n": [len(pdf)],
-                "ewma_cents": [s],
-            }
+    step = floordiv_sql("7 * acc + x", "8")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_ms", "event_id", "vc"))
+            ).alias("seq")
         )
-
-    return ev.groupBy("user_id").applyInPandas(
-        fold, schema="user_id long, n long, ewma_cents long"
+        .select(
+            "user_id",
+            F.size("seq").cast("long").alias("n"),
+            F.expr(
+                "aggregate(slice(transform(seq, e -> e.vc), 2, size(seq) - 1), "
+                f"seq[0].vc, (acc, x) -> {step})"
+            ).cast("long").alias("ewma_cents"),
+        )
     )
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.registry import query
-from scylla_pg_cdc_spark.sources.tables import load_table
+from scylla_pg_cdc_spark.sources.tables import load_table, spread_scan
 
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to"),
@@ -266,8 +266,16 @@ BAND_SIZE = 2  # 4 bands of 2 signatures each
 
 
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per doc (explode bounded by distinct)."""
-    toks = docs.select(
+    """Distinct k-token shingles per doc (explode bounded by distinct).
+
+    ``spread_scan`` (r11, guide §2/§6): the shingle transform + md5
+    work downstream is the family's dominant per-row CPU and the
+    higher-order-function lambdas evaluate interpreted, so a 1-task
+    scan (single-file parquet) serializes it on one core;
+    ``spread_scan`` round-robins to all task slots only when the scan
+    has fewer partitions than the cluster has slots — a no-op at any
+    real scale."""
+    toks = spread_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     ).filter(F.size("toks") >= k)  # sequence(0, n<0) would count down
     return (
@@ -933,11 +941,13 @@ def resolve_dedup_clusters(
     broadcast back (one collect of the PAIRS, never the corpus); above
     it, distributed min-label propagation runs with only the
     converged-yet? flag reaching the driver each round."""
-    # the candidate-pair plan is often expensive (jaccard/LSH upstream)
-    # and is consumed 2+ times below — materialize it once
-    pairs = pairs.persist()
-    n_pairs = pairs.limit(driver_threshold + 1).count()
-    if n_pairs <= driver_threshold:
+    # One action decides AND fetches: collect up to threshold+1 pairs
+    # directly (r11 — was persist + limit.count + collect: two jobs
+    # plus a cache materialization of the expensive upstream; the
+    # limit short-circuits identically, and when the result fits under
+    # the threshold the rows are already in hand)
+    head = pairs.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -946,7 +956,7 @@ def resolve_dedup_clusters(
                 x = parent[x]
             return x
 
-        for r in pairs.collect():
+        for r in head:
             ra, rb = find(r["doc_a"]), find(r["doc_b"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
@@ -964,10 +974,12 @@ def resolve_dedup_clusters(
             labels = docs.select(
                 "doc_id", F.col("doc_id").alias("cluster_id")
             )
-        pairs.unpersist()
         return labels.withColumn(
             "is_canonical", F.col("doc_id") == F.col("cluster_id")
         )
+    # distributed path: the pair plan is consumed twice by the edge
+    # union and once per propagation round — materialize it once
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(

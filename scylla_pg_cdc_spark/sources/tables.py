@@ -62,6 +62,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan parallelism for CPU-heavy per-row work
+    (shingling, hashing, decode): when the upstream scan yields fewer
+    partitions than the cluster has task slots, round-robin
+    ``repartition(defaultParallelism)`` so the map CPU uses every
+    core; when the scan is already at least that parallel (any real
+    multi-file table — at 100 TB a scan is thousands of splits), this
+    is a NO-OP and no exchange is added.
+
+    The guard reads the frame's actual partitioning, not a constant,
+    so the same code is right at sf0.001 and at 100 TB. Deterministic
+    under retry: Spark's sort-before-repartition (on by default,
+    SPARK-23207) pins the row-to-partition assignment. Call it AFTER
+    selecting only the columns the heavy work needs, so the exchange
+    carries the narrow projection."""
+    sc = df.sparkSession.sparkContext
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - planning-only probe; never fatal
+        return df
+    target = sc.defaultParallelism
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
