@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scylla_pg_cdc_spark.registry import query
-from scylla_pg_cdc_spark.sources.tables import load_table
+from scylla_pg_cdc_spark.sources.tables import load_table, spread_scan
 
 DIM = 64
 
@@ -354,33 +354,80 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle (the LCG hyperplanes are reproduced in SQL)."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _pseudo_planes(scaled_planes(emb.count(), 4), DIM)
-    v = F.col("embedding").cast("array<double>")
-    # norms are computed ONCE per vector before the self-join — the
-    # per-pair work inside a bucket is then a single dot product
-    # instead of dot + two norm re-computations (3x fewer lambda
-    # evals on the quadratic-ish candidate set). sqrt over the same
-    # per-vector sum => bit-identical to the fused cosine expression.
-    bucketed = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("vec"),
-        l2_norm(v).alias("norm"),
-        sign_lsh_bucket(v, planes).alias("bucket"),
+
+    # r11 (guide §4.2): per-vector norm + sign-LSH bucket in one NumPy
+    # pass, per-pair dot in a second — the expression form ran
+    # (planes + 1) x 64 interpreted lambda steps per vector plus 64
+    # per candidate pair (5.7 s at sf0.1, zero shuffle). Float folds
+    # replay Spark's left-to-right order exactly (_seq_accum_products),
+    # so every micro-unit value is bit-identical. The self-join keeps the
+    # planner's strategy choice (auto-broadcast of the bucketed frame
+    # at small scale, SMJ/SHJ once it outgrows the threshold).
+    def prep(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes_arr = np.array(planes, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "vec": list(v),
+                    "norm": np.sqrt(_seq_accum_products(v, v)),
+                    "bucket": _sign_bucket_rows(v, planes_arr),
+                }
+            )
+
+    bucketed = (
+        spread_scan(emb.select("vec_id", "embedding"))
+        .mapInPandas(
+            prep,
+            schema="vec_id long, vec array<double>, norm double, "
+            "bucket string",
+        )
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    sim = dot(F.col("a.vec"), F.col("b.vec")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
-    pairs = a.join(
+    cand = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.floor(sim * 1_000_000 + F.lit(0.5))
-        .cast("long")
-        .alias("cos_sim_micro"),
+        F.col("a.vec").alias("va"),
+        F.col("b.vec").alias("vb"),
+        F.col("a.norm").alias("na"),
+        F.col("b.norm").alias("nb"),
+    )
+
+    def pair_cos(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.array(pdf["va"].tolist(), dtype=np.float64)
+            vb = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            sim = _seq_accum_products(va, vb) / (
+                pdf["na"].to_numpy() * pdf["nb"].to_numpy()
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"],
+                    "vec_b": pdf["vec_b"],
+                    "cos_sim_micro": np.floor(
+                        sim * 1_000_000 + 0.5
+                    ).astype(np.int64),
+                }
+            )
+
+    pairs = cand.mapInPandas(
+        pair_cos, schema="vec_a long, vec_b long, cos_sim_micro long"
     )
     return pairs.orderBy(
         F.col("cos_sim_micro").desc(), "vec_a", "vec_b"
@@ -574,18 +621,150 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus sum/min/max checksums. Codes are emitted as a comma-joined
     string (not a raw array) so the driver's pandas-sort canonicalizer
     can hash the column."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = quantize_int8(F.col("embedding"))
-    return emb.select(
-        "vec_id",
-        "label",
-        F.array_join(q.cast("array<string>"), ",").alias("q_codes"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias(
-            "q_sum"
-        ),
-        F.array_min(q).alias("q_min"),
-        F.array_max(q).alias("q_max"),
+    src = spread_scan(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
     )
+
+    # r11 (guide §4.2): quantize + checksums in one NumPy pass (exact
+    # per-element IEEE ops); was 4 interpreted higher-order passes over
+    # each row's array
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _u_mat(pdf) - 127
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "q_codes": [
+                        ",".join(str(int(c)) for c in row) for row in q
+                    ],
+                    "q_sum": q.sum(axis=1),
+                    "q_min": q.min(axis=1),
+                    "q_max": q.max(axis=1),
+                }
+            )
+
+    return src.mapInPandas(
+        scan,
+        schema="vec_id long, label long, q_codes string, q_sum long, "
+        "q_min long, q_max long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched NumPy kernels (r11, guide §4.2)
+# ---------------------------------------------------------------------------
+#
+# Dense-vector math through Catalyst higher-order functions
+# (aggregate/zip_with/transform lambdas) evaluates INTERPRETED — per
+# element, per row — and profiling showed it dominating the vector
+# family (q_embed_pq_codes spent 7.4 s at sf0.1 in a ~zero-shuffle
+# plan: 4 subspaces x 8 centroids x 16 dims of interpreted lambda per
+# row). The guide's prescription for exactly this shape is
+# mapInPandas/mapInArrow handing whole batches to vectorized native
+# code. Exactness is preserved by construction:
+# - integer kernels (quantization codes, PQ/IVF squared distances, ADC
+#   lookups, int8 dots) are exact in int64 regardless of order;
+# - the int8 quantization replays quantize_int8's per-element IEEE
+#   double arithmetic ((x * 127.0) / max(|x|, 1e-12), floor) —
+#   bit-identical in NumPy;
+# - float reductions (norms, cosine dots) accumulate SEQUENTIALLY
+#   ACROSS DIMENSIONS (vectorized across rows), replicating Spark's
+#   left-to-right aggregate() fold bit-for-bit — never np.dot/np.sum,
+#   whose pairwise/BLAS summation could flip a micro-unit boundary.
+# The kernels assume fixed-width non-null embedding arrays — the
+# generator contract (vec_id is a PK, embedding NOT NULL, DIM-wide)
+# that every gate corpus honors.
+
+
+def _seq_accum_products(a, b):
+    """``sum_i a[:, i] * b[:, i]`` accumulated SEQUENTIALLY across
+    dimensions (vectorized across rows): bit-identical to Spark's
+    ``aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, x) ->
+    acc + x)`` left-to-right IEEE fold — never np.dot/np.sum, whose
+    pairwise/BLAS summation order could flip a micro-unit boundary."""
+    import numpy as np
+
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i] * b[:, i]
+    return acc
+
+
+def _sign_bucket_rows(v, planes_arr):
+    """Sign-LSH bucket strings for an (n x DIM) float64 matrix — the
+    NumPy replay of ``sign_lsh_bucket`` with the identical
+    left-to-right fold order per plane (acc + v[:, i] * p[i])."""
+    import numpy as np
+
+    n = v.shape[0]
+    bit_cols = []
+    for p in planes_arr:
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(v.shape[1]):
+            acc = acc + v[:, i] * p[i]
+        bit_cols.append(acc >= 0)
+    return [
+        "".join("1" if col[r] else "0" for col in bit_cols)
+        for r in range(n)
+    ]
+
+
+def _u_row(xs) -> list[int]:
+    """Driver-side exact replay of ``_pq_u_col()`` for ONE row (the
+    probe vector): same IEEE-double ops as quantize_int8, shifted
+    +127 — Python floats are C doubles, so the codes are identical."""
+    import math
+
+    m = max(max(abs(float(x)) for x in xs), 1e-12)
+    return [int(math.floor(float(x) * 127.0 / m)) + 127 for x in xs]
+
+
+def _u_mat(pdf):
+    """(n x DIM) int64 matrix of shifted int8 codes u = q + 127 from a
+    pandas batch's ``embedding`` column — the exact NumPy replay of
+    ``_pq_u_col()`` (quantize_int8 + shift)."""
+    import numpy as np
+
+    v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mx = np.maximum(np.max(np.abs(v), axis=1), 1e-12)
+    return np.floor((v * 127.0) / mx[:, None]).astype(np.int64) + 127
+
+
+def _cents_mat(cents: dict, m: int):
+    """Per-subspace (k x subdim) int64 centroid matrices, cid-ordered
+    (rows ascend by cid, so argmin's first-min = lowest-cid tiebreak,
+    identical to the (d, cid) struct array_min)."""
+    import numpy as np
+
+    k = max(j for _, j in cents) + 1
+    return [
+        np.array([cents[(s, j)] for j in range(k)], dtype=np.int64)
+        for s in range(m)
+    ]
+
+
+def _assign(u, cent_mats, subdim: int):
+    """Per-subspace nearest-centroid assignment over shifted codes:
+    returns (cids int array n x m, dists int64 array n x m) with
+    d = sum((1000*u_sub - cent)^2) exact in int64."""
+    import numpy as np
+
+    cids, ds = [], []
+    for s, cm in enumerate(cent_mats):
+        sub = u[:, s * subdim : (s + 1) * subdim] * 1000
+        diff = sub[:, None, :] - cm[None, :, :]
+        d = (diff * diff).sum(axis=2)
+        cid = d.argmin(axis=1)
+        cids.append(cid)
+        ds.append(d[np.arange(len(cid)), cid])
+    return np.stack(cids, axis=1), np.stack(ds, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -882,27 +1061,38 @@ def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook AND the assignment, so the oracle verifies training
     itself, not just the final projection."""
     cents = _pq_train(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", "label", _pq_u_col().alias("u")).crossJoin(
-        F.broadcast(_pq_codebook_df(spark, cents))
+    emb = spread_scan(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
     )
-    # name the argmin structs so codegen evaluates each subspace once
-    # (they feed both pq_code and recon_err)
-    tmp = base.select(
-        "vec_id",
-        "label",
-        *[a.alias(f"m{s}") for s, a in enumerate(_pq_code_structs())],
-    )
-    return tmp.select(
-        "vec_id",
-        "label",
-        F.concat_ws(
-            "|",
-            *[F.col(f"m{s}.cid").cast("string") for s in range(PQ_M)],
-        ).alias("pq_code"),
-        sum(
-            (F.col(f"m{s}.d") for s in range(PQ_M)), F.lit(0).cast("long")
-        ).alias("recon_err"),
+    cent_mats = _cents_mat(cents, PQ_M)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            u = _u_mat(pdf)
+            cids, ds = _assign(u, cent_mats, PQ_SUBDIM)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "pq_code": [
+                        "|".join(str(int(c)) for c in row) for row in cids
+                    ],
+                    "recon_err": ds.sum(axis=1),
+                }
+            )
+
+    # r11 (guide §4.2): encode in one Arrow-batched NumPy pass — the
+    # expression form (broadcast-codebook cross join + per-row argmin
+    # structs) ran 4x8x16 interpreted lambda steps per row (7.4 s at
+    # sf0.1 with ~zero shuffle); identical integer math, same output.
+    return emb.mapInPandas(
+        encode, schema="vec_id long, label long, pq_code string, recon_err long"
     )
 
 
@@ -950,8 +1140,7 @@ def q_vector_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable and the oracle exact."""
     cents = _pq_train(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    base0 = emb.select("vec_id", "label", _pq_u_col().alias("u"))
-    qu = [int(x) for x in base0.filter(F.col("vec_id") == 0).head()["u"]]
+    qu = _u_row(emb.filter(F.col("vec_id") == 0).head()["embedding"])
     adc_tab: dict[int, list[int]] = {}
     for s in range(PQ_M):
         qsub = qu[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
@@ -962,30 +1151,36 @@ def q_vector_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for j in range(PQ_K)
         ]
-    base = base0.filter(F.col("vec_id") != 0).crossJoin(
-        F.broadcast(_pq_codebook_df(spark, cents))
+    cent_mats = _cents_mat(cents, PQ_M)
+    src = spread_scan(
+        emb.filter(F.col("vec_id") != 0).select(
+            "vec_id", "label", "embedding"
+        )
     )
-    tmp = base.select(
-        "vec_id",
-        "label",
-        *[
-            a["cid"].cast("int").alias(f"c{s}")
-            for s, a in enumerate(_pq_code_structs())
-        ],
-    )
-    # the 4x8 ADC table is query-specific and tiny — fold as literals
-    adc = sum(
-        (
-            F.element_at(
-                F.array(*[F.lit(v).cast("long") for v in adc_tab[s]]),
-                F.col(f"c{s}") + 1,
+
+    # r11 (guide §4.2): encode + ADC lookup in one NumPy pass (exact
+    # integers); was a broadcast-codebook cross join + interpreted
+    # per-row argmin structs + literal-array lookups
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        adc = [np.array(adc_tab[s], dtype=np.int64) for s in range(PQ_M)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids, _ = _assign(_u_mat(pdf), cent_mats, PQ_SUBDIM)
+            dist = sum(adc[s][cids[:, s]] for s in range(PQ_M))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "adc_dist": dist,
+                }
             )
-            for s in range(PQ_M)
-        ),
-        F.lit(0).cast("long"),
-    )
+
     return (
-        tmp.select("vec_id", "label", adc.alias("adc_dist"))
+        src.mapInPandas(scan, schema="vec_id long, label long, adc_dist long")
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
@@ -1015,26 +1210,35 @@ def q_vector_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's codes are computed driver-side from one row (same
     IEEE-double ops, identical codes) and folded in as literals —
     no join needed for a 64-int probe."""
-    import math
-
     emb = load_table(spark, sf_dir, "embeddings")
-    row = emb.filter(F.col("vec_id") == 0).head()
-    xs = [float(x) for x in row["embedding"]]
-    m = max(max(abs(x) for x in xs), 1e-12)
-    qq = [int(math.floor(x * 127.0 / m)) for x in xs]
-    qlit = F.array(*[F.lit(v).cast("long") for v in qq])
-    q = quantize_int8(F.col("embedding"))
-    return (
-        emb.filter(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            "label",
-            F.aggregate(
-                F.zip_with(q, qlit, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dot_q"),
+    qq = [u - 127 for u in _u_row(emb.filter(F.col("vec_id") == 0).head()["embedding"])]
+    src = spread_scan(
+        emb.filter(F.col("vec_id") != 0).select(
+            "vec_id", "label", "embedding"
         )
+    )
+
+    # r11 (guide §4.2): quantize + integer dot in one NumPy pass
+    # (exact); was a 64-step interpreted zip_with fold per row
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        qq_arr = np.array(qq, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _u_mat(pdf) - 127
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "dot_q": (q * qq_arr).sum(axis=1),
+                }
+            )
+
+    return (
+        src.mapInPandas(scan, schema="vec_id long, label long, dot_q long")
         .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
         .limit(10)
     )
@@ -1122,8 +1326,7 @@ def q_vector_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset+geometry)."""
     cents = _pq_train(spark, sf_dir, m=1, subdim=DIM, k=IVF_K)
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", "label", _pq_u_col().alias("u"))
-    qu = [int(x) for x in base.filter(F.col("vec_id") == 0).head()["u"]]
+    qu = _u_row(emb.filter(F.col("vec_id") == 0).head()["embedding"])
 
     # probe pick: distances from the query to the 8 cells, driver-side
     cell_d = sorted(
@@ -1136,21 +1339,46 @@ def q_vector_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(IVF_K)
     )
-    probes = [j for _, j in cell_d[:IVF_PROBES]]
-
-    asg = _pq_code_structs(m=1, subdim=DIM)[0]
-    qlit = F.array(*[F.lit(v).cast("long") for v in qu])
-    qd = F.aggregate(
-        F.zip_with("u", qlit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    probes = [int(j) for _, j in cell_d[:IVF_PROBES]]
+    cent_mats = _cents_mat(cents, 1)
+    src = spread_scan(
+        emb.filter(F.col("vec_id") != 0).select(
+            "vec_id", "label", "embedding"
+        )
     )
+
+    # r11 (guide §4.2): cell assignment, probe filter and exact
+    # query-distance all in one NumPy pass (exact integers); was a
+    # broadcast-codebook cross join + interpreted argmin + a 64-step
+    # interpreted zip_with fold per row
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        qu_arr = np.array(qu, dtype=np.int64)
+        probe_arr = np.array(probes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            u = _u_mat(pdf)
+            cell = _assign(u, cent_mats, DIM)[0][:, 0]
+            mask = np.isin(cell, probe_arr)
+            if not mask.any():
+                continue
+            du = u[mask] - qu_arr
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[mask],
+                    "label": pdf["label"].to_numpy()[mask],
+                    "cell": cell[mask],
+                    "qd": (du * du).sum(axis=1),
+                }
+            )
+
     return (
-        base.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(_pq_codebook_df(spark, cents)))
-        .select("vec_id", "label", "u", asg["cid"].alias("cell"))
-        .filter(F.col("cell").isin([int(p) for p in probes]))
-        .select("vec_id", "label", "cell", qd.alias("qd"))
+        src.mapInPandas(
+            scan, schema="vec_id long, label long, cell long, qd long"
+        )
         .orderBy("qd", "vec_id")
         .limit(10)
     )
@@ -1313,8 +1541,7 @@ def q_vector_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_ivf = _pq_train(spark, sf_dir, m=1, subdim=DIM, k=IVF_K)
     cents_pq = _pq_train(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    base0 = emb.select("vec_id", "label", _pq_u_col().alias("u"))
-    qu = [int(x) for x in base0.filter(F.col("vec_id") == 0).head()["u"]]
+    qu = _u_row(emb.filter(F.col("vec_id") == 0).head()["embedding"])
 
     cell_d = sorted(
         (
@@ -1326,7 +1553,7 @@ def q_vector_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(IVF_K)
     )
-    probes = [j for _, j in cell_d[:IVF_PROBES]]
+    probes = [int(j) for _, j in cell_d[:IVF_PROBES]]
 
     adc_tab: dict[int, list[int]] = {}
     for s in range(PQ_M):
@@ -1338,42 +1565,45 @@ def q_vector_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for j in range(PQ_K)
         ]
+    ivf_mats = _cents_mat(cents_ivf, 1)
+    pq_mats = _cents_mat(cents_pq, PQ_M)
+    src = spread_scan(
+        emb.filter(F.col("vec_id") != 0).select(
+            "vec_id", "label", "embedding"
+        )
+    )
 
-    ivf_asg = _pq_code_structs(m=1, subdim=DIM)[0]
-    routed = (
-        base0.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(_pq_codebook_df(spark, cents_ivf)))
-        .select("vec_id", "label", "u", ivf_asg["cid"].alias("cell"))
-        .filter(F.col("cell").isin([int(p) for p in probes]))
-        .drop("cb")
-    )
-    coded = routed.crossJoin(
-        F.broadcast(_pq_codebook_df(spark, cents_pq))
-    ).select(
-        "vec_id",
-        "label",
-        "cell",
-        *[
-            a["cid"].cast("int").alias(f"c{s}")
-            for s, a in enumerate(_pq_code_structs())
-        ],
-    )
-    adc = sum(
-        (
-            F.element_at(
-                F.array(*[F.lit(v).cast("long") for v in adc_tab[s]]),
-                F.col(f"c{s}") + 1,
+    # r11 (guide §4.2): coarse routing, probe filter, PQ encode and
+    # ADC lookup in one NumPy pass (exact integers); was two
+    # broadcast-codebook cross joins + interpreted argmin structs
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        probe_arr = np.array(probes, dtype=np.int64)
+        adc = [np.array(adc_tab[s], dtype=np.int64) for s in range(PQ_M)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            u = _u_mat(pdf)
+            cell = _assign(u, ivf_mats, DIM)[0][:, 0]
+            mask = np.isin(cell, probe_arr)
+            if not mask.any():
+                continue
+            cids, _ = _assign(u[mask], pq_mats, PQ_SUBDIM)
+            dist = sum(adc[s][cids[:, s]] for s in range(PQ_M))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[mask],
+                    "label": pdf["label"].to_numpy()[mask],
+                    "cell": cell[mask],
+                    "adc_dist": dist,
+                }
             )
-            for s in range(PQ_M)
-        ),
-        F.lit(0).cast("long"),
-    )
+
     return (
-        coded.select(
-            "vec_id",
-            "label",
-            F.col("cell").cast("long").alias("cell"),
-            adc.alias("adc_dist"),
+        src.mapInPandas(
+            scan, schema="vec_id long, label long, cell long, adc_dist long"
         )
         .orderBy("adc_dist", "vec_id")
         .limit(10)
@@ -2177,34 +2407,84 @@ def q_embed_neardup_collapsed(
     # oracle's np CTE), not the collapsed rep count — both engines
     # must derive the identical geometry from the same number.
     planes = _pseudo_planes(scaled_planes(emb.count(), 4), DIM)
-    v = F.col("embedding").cast("array<double>")
-    bucketed = reps.select(
-        "vec_id",
-        "multiplicity",
-        F.col("embedding").cast("array<double>").alias("vec"),
-        l2_norm(v).alias("norm"),
-        sign_lsh_bucket(v, planes).alias("bucket"),
+
+    # r11 (guide §4.2): same NumPy rewire as q_embed_neardup (exact
+    # fold-order replay), with the multiplicity riding along.
+    def prep(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes_arr = np.array(planes, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "multiplicity": pdf["multiplicity"],
+                    "vec": list(v),
+                    "norm": np.sqrt(_seq_accum_products(v, v)),
+                    "bucket": _sign_bucket_rows(v, planes_arr),
+                }
+            )
+
+    bucketed = (
+        reps.select("vec_id", "multiplicity", "embedding")
+        .mapInPandas(
+            prep,
+            schema="vec_id long, multiplicity long, vec array<double>, "
+            "norm double, bucket string",
+        )
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    sim = dot(F.col("a.vec"), F.col("b.vec")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
-    pairs = a.join(
+    cand = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.floor(sim * 1_000_000 + F.lit(0.5))
-        .cast("long")
-        .alias("cos_sim_micro"),
+        F.col("a.vec").alias("va"),
+        F.col("b.vec").alias("vb"),
+        F.col("a.norm").alias("na"),
+        F.col("b.norm").alias("nb"),
         F.col("a.multiplicity").alias("mult_a"),
         F.col("b.multiplicity").alias("mult_b"),
-        (F.col("a.multiplicity") * F.col("b.multiplicity"))
-        .cast("long")
-        .alias("n_raw_pairs"),
+    )
+
+    def pair_cos(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.array(pdf["va"].tolist(), dtype=np.float64)
+            vb = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            sim = _seq_accum_products(va, vb) / (
+                pdf["na"].to_numpy() * pdf["nb"].to_numpy()
+            )
+            mult_a = pdf["mult_a"].to_numpy()
+            mult_b = pdf["mult_b"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"],
+                    "vec_b": pdf["vec_b"],
+                    "cos_sim_micro": np.floor(
+                        sim * 1_000_000 + 0.5
+                    ).astype(np.int64),
+                    "mult_a": mult_a,
+                    "mult_b": mult_b,
+                    "n_raw_pairs": mult_a * mult_b,
+                }
+            )
+
+    pairs = cand.mapInPandas(
+        pair_cos,
+        schema="vec_a long, vec_b long, cos_sim_micro long, mult_a long, "
+        "mult_b long, n_raw_pairs long",
     )
     return pairs.orderBy(
         F.col("cos_sim_micro").desc(), "vec_a", "vec_b"
