@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from scylla_pg_cdc_spark.operators.text import with_n_common
 from scylla_pg_cdc_spark.registry import query
 from scylla_pg_cdc_spark.sources.tables import load_table
 
@@ -178,10 +179,7 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cand.join(aa, "doc_a")
         .join(ab, "doc_b")
-        .withColumn(
-            "n_common",
-            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
-        )
+        .transform(with_n_common)
         .filter(
             F.lit(_T_DEN) * F.col("n_common")
             >= F.lit(_T_NUM) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -305,10 +303,7 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(aa, "doc_a")
         .join(ab, "doc_b")
-        .withColumn(
-            "n_common",
-            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
-        )
+        .transform(with_n_common)
         .filter(
             F.lit(_T_DEN) * F.col("n_common")
             >= F.lit(_T_NUM)
@@ -493,10 +488,7 @@ def q_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(aa, "doc_a")
         .join(ab, "doc_b")
-        .withColumn(
-            "n_common",
-            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
-        )
+        .transform(with_n_common)
         .filter(
             F.lit(_T_DEN) * F.col("n_common")
             >= F.lit(_T_NUM)

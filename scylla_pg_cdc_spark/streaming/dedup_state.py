@@ -55,6 +55,7 @@ from scylla_pg_cdc_spark.operators.text import (
     banded_buckets,
     minhash_signatures,
     shingles,
+    with_n_common,
 )
 
 _T_NUM, _T_DEN = 9, 10  # admit iff jaccard < 9/10 vs every state doc
@@ -219,10 +220,7 @@ def admit_epoch(
                 ),
                 "doc_c",
             )
-            .withColumn(
-                "n_common",
-                F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
-            )
+            .transform(with_n_common)
             .filter(
                 F.lit(_T_DEN) * F.col("n_common")
                 >= F.lit(_T_NUM)
