@@ -610,6 +610,16 @@ def _exact_pair_counts(
         F.col("toks").alias("toks_b"),
         F.col("n").alias("n_b"),
     )
+    # pin the LIGHT pair frame to one task per core before the array
+    # attach + overlap count: AQE coalesces the candidate exchange by
+    # BYTES (pairs are two longs), which measured as the whole verify
+    # — joins, array attach, intersection — collapsing into a single
+    # task (4 s of a 5.5 s query at sf0.1). An explicit repartition is
+    # exempt from AQE coalescing and scales with defaultParallelism;
+    # it moves only (doc_a, doc_b), never the shingle arrays.
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism
+    )
     joined = cand.join(aa, "doc_a").join(ab, "doc_b").select(
         "doc_a", "doc_b", "toks_a", "toks_b", "n_a", "n_b"
     )
@@ -971,13 +981,18 @@ def resolve_dedup_clusters(
     broadcast back (one collect of the PAIRS, never the corpus); above
     it, distributed min-label propagation runs with only the
     converged-yet? flag reaching the driver each round."""
-    # One action decides AND fetches: collect up to threshold+1 pairs
-    # directly (r11 — was persist + limit.count + collect: two jobs
-    # plus a cache materialization of the expensive upstream; the
-    # limit short-circuits identically, and when the result fits under
-    # the threshold the rows are already in hand)
-    head = pairs.limit(driver_threshold + 1).collect()
-    if len(head) <= driver_threshold:
+    # Decide the hybrid branch with ONE fully-parallel pass: persist,
+    # count (all partitions in one wave), then collect from the cache.
+    # A limit(threshold+1).collect() looks cheaper but plans as an
+    # incremental take — partition waves starting at ONE task, each
+    # wave re-running the expensive verify partitions serially
+    # (measured: a 1.7 s single-task first wave on
+    # q_text_neardup_dedup at sf0.1).
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        head = pairs.collect()
+        pairs.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -1007,9 +1022,8 @@ def resolve_dedup_clusters(
         return labels.withColumn(
             "is_canonical", F.col("doc_id") == F.col("cluster_id")
         )
-    # distributed path: the pair plan is consumed twice by the edge
-    # union and once per propagation round — materialize it once
-    pairs = pairs.persist()
+    # distributed path: the (already persisted) pair frame is consumed
+    # twice by the edge union and once per propagation round
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(
