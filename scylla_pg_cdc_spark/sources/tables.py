@@ -62,28 +62,69 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# file-size metadata cache for spread_scan's guard (sizes of immutable
+# input parquet files — never query results)
+_FILE_SIZE_CACHE: dict[str, int] = {}
+
+
 def spread_scan(df: DataFrame) -> DataFrame:
     """Scale-adaptive scan parallelism for CPU-heavy per-row work
-    (shingling, hashing, decode): when the upstream scan yields fewer
-    partitions than the cluster has task slots, round-robin
+    (shingling, hashing, decode): when the upstream scan would yield
+    fewer split tasks than the cluster has task slots, round-robin
     ``repartition(defaultParallelism)`` so the map CPU uses every
     core; when the scan is already at least that parallel (any real
     multi-file table — at 100 TB a scan is thousands of splits), this
     is a NO-OP and no exchange is added.
 
-    The guard reads the frame's actual partitioning, not a constant,
-    so the same code is right at sf0.001 and at 100 TB. Deterministic
-    under retry: Spark's sort-before-repartition (on by default,
-    SPARK-23207) pins the row-to-partition assignment. Call it AFTER
-    selecting only the columns the heavy work needs, so the exchange
-    carries the narrow projection."""
-    sc = df.sparkSession.sparkContext
+    Guard: estimated splits = sum over the frame's input files of
+    ceil(bytes / maxPartitionBytes), from ``df.inputFiles()`` + local
+    file sizes (~ms per fresh plan; the earlier ``df.rdd`` probe cost
+    ~0.2 s of RDD-conversion planning per call). Frames with no file
+    source (streaming micro-batches, in-memory intermediates) or
+    non-local files pass through unchanged — on a real cluster a scan
+    big enough to matter is already parallel. Derived from the actual
+    data + session conf, not a constant, so the same code is right at
+    sf0.001 and at 100 TB. Deterministic under retry: Spark's
+    sort-before-repartition (on by default, SPARK-23207) pins the
+    row-to-partition assignment. Call it AFTER selecting only the
+    columns the heavy work needs, so the exchange carries the narrow
+    projection."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
-        n = df.rdd.getNumPartitions()
+        files = df.inputFiles()
     except Exception:  # noqa: BLE001 - planning-only probe; never fatal
         return df
-    target = sc.defaultParallelism
-    if n >= target:
+    if not files or len(files) >= target:
+        return df
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in files:
+        sz = _FILE_SIZE_CACHE.get(f)
+        if sz is None:
+            parsed = urlparse(f)
+            if parsed.scheme not in ("file", ""):
+                return df
+            try:
+                sz = os.path.getsize(unquote(parsed.path))
+            except OSError:
+                return df
+            _FILE_SIZE_CACHE[f] = sz
+        total += sz
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "b": 1}
+    raw = raw.strip().lower()
+    mult = 1
+    if raw and raw[-1] in units:
+        mult = units[raw[-1]]
+        raw = raw[:-1]
+    try:
+        max_pb = max(1, int(raw) * mult)
+    except ValueError:
+        max_pb = 134217728
+    est_splits = -(-total // max_pb)
+    if est_splits >= target:
         return df
     return df.repartition(target)
 
