@@ -1165,10 +1165,27 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders aggregation 2^3 times; the checkpoint pins it to ONE
     # customer-sized materialization (the graph.py idiom)
     ).localCheckpoint()
-    b = two_phase_ntile(b, "r_days", "custkey", 5, None, "r_score")
-    b = two_phase_ntile(b, "frequency", "custkey", 5, None, "f_score")
+    # ONE combined min/max probe feeds all three ntile autotunes
+    # (r11 — was one probe job per ranking; identical values reach
+    # the identical band-width decisions)
+    pr = b.agg(
+        F.min("r_days"), F.max("r_days"),
+        F.min("frequency"), F.max("frequency"),
+        F.min("monetary_cents"), F.max("monetary_cents"),
+        F.min("custkey"), F.max("custkey"),
+    ).first()
+    ck = (pr[6], pr[7])
     b = two_phase_ntile(
-        b, "monetary_cents", "custkey", 5, None, "m_score"
+        b, "r_days", "custkey", 5, None, "r_score",
+        probe=(pr[0], pr[1]) + ck,
+    )
+    b = two_phase_ntile(
+        b, "frequency", "custkey", 5, None, "f_score",
+        probe=(pr[2], pr[3]) + ck,
+    )
+    b = two_phase_ntile(
+        b, "monetary_cents", "custkey", 5, None, "m_score",
+        probe=(pr[4], pr[5]) + ck,
     )
     return b.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
