@@ -652,7 +652,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return src.mapInPandas(
         scan,
-        schema="vec_id long, label long, q_codes string, q_sum long, "
+        schema="vec_id long, label int, q_codes string, q_sum long, "
         "q_min long, q_max long",
     )
 
@@ -1092,7 +1092,7 @@ def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # structs) ran 4x8x16 interpreted lambda steps per row (7.4 s at
     # sf0.1 with ~zero shuffle); identical integer math, same output.
     return emb.mapInPandas(
-        encode, schema="vec_id long, label long, pq_code string, recon_err long"
+        encode, schema="vec_id long, label int, pq_code string, recon_err long"
     )
 
 
@@ -1180,7 +1180,7 @@ def q_vector_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return (
-        src.mapInPandas(scan, schema="vec_id long, label long, adc_dist long")
+        src.mapInPandas(scan, schema="vec_id long, label int, adc_dist long")
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
@@ -1238,7 +1238,7 @@ def q_vector_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return (
-        src.mapInPandas(scan, schema="vec_id long, label long, dot_q long")
+        src.mapInPandas(scan, schema="vec_id long, label int, dot_q long")
         .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
         .limit(10)
     )
@@ -1377,7 +1377,7 @@ def q_vector_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         src.mapInPandas(
-            scan, schema="vec_id long, label long, cell long, qd long"
+            scan, schema="vec_id long, label int, cell long, qd long"
         )
         .orderBy("qd", "vec_id")
         .limit(10)
@@ -1603,7 +1603,7 @@ def q_vector_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         src.mapInPandas(
-            scan, schema="vec_id long, label long, cell long, adc_dist long"
+            scan, schema="vec_id long, label int, cell long, adc_dist long"
         )
         .orderBy("adc_dist", "vec_id")
         .limit(10)
