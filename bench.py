@@ -71,6 +71,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     shuffle_bytes: dict[str, int] = {}
+    # r12: raw per-run samples are recorded next to the medians in
+    # BENCH_DETAIL.json so FIRST-RUN costs stay visible — queries with
+    # a process-lifetime model cache (the PQ/IVF codebook, the graph
+    # edge list) pay training/build on run 1 only, and a median alone
+    # would hide that cost (r11 verdict "what's wrong #1"). Headline
+    # numbers and the stdout line are unchanged.
+    raw_samples: dict[str, list[float]] = {}
     for name in sorted(specs):
         fn = specs[name].fn
         samples: list[float] = []
@@ -82,6 +89,7 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
                 samples.append(time.time() - t0)
             timings[name] = round(statistics.median(samples), 3)
+            raw_samples[name] = [round(s, 3) for s in samples]
             bytes_after = _total_shuffle_write_bytes(spark)
             if bytes_before is None or bytes_after is None:
                 shuffle_bytes[name] = -1
@@ -102,6 +110,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": raw_samples,
         "shuffle_bytes": shuffle_bytes,
         "runs": runs,
         "stat": "median",

@@ -265,7 +265,20 @@ N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 signatures each
 
 
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+# Rows-per-task-slot floor below which CPU-spreading machinery (the
+# spread_scan round-robin, the pinned verify repartition) cannot pay
+# for its own exchange + per-task fixed cost: with fewer than this
+# many docs per slot the ENTIRE per-row pipeline is cheaper than one
+# extra 1-task-per-slot stage wave (measured on the src6 shard at
+# sf0.1: 250 docs / 32 slots — spread cost ~0.6 s, pin ~0.3 s, total
+# work ~0.15 s).  Scale-honest: the comparison is rows vs
+# defaultParallelism * this floor, so it tracks the cluster size.
+SPREAD_MIN_ROWS_PER_SLOT = 32
+
+
+def shingles(
+    docs: DataFrame, k: int = 3, spread: bool = True
+) -> DataFrame:
     """Distinct k-token shingles per doc (explode bounded by distinct).
 
     ``spread_scan`` (r11, guide §2/§6): the shingle transform + md5
@@ -274,8 +287,16 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     scan (single-file parquet) serializes it on one core;
     ``spread_scan`` round-robins to all task slots only when the scan
     has fewer partitions than the cluster has slots — a no-op at any
-    real scale."""
-    toks = spread_scan(docs.select("doc_id", "text")).select(
+    real scale.  ``spread=False`` (r12, VERDICT #4): callers that KNOW
+    their input is tiny (a counted shard below
+    SPREAD_MIN_ROWS_PER_SLOT rows/slot) skip the round-robin — the
+    file-size guard inside spread_scan cannot see a filter's
+    selectivity, and on a near-empty shard the exchange plus 32-task
+    stage waves cost more than the work they spread."""
+    src = docs.select("doc_id", "text")
+    if spread:
+        src = spread_scan(src)
+    toks = src.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     ).filter(F.size("toks") >= k)  # sequence(0, n<0) would count down
     return (
@@ -361,7 +382,9 @@ def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def prefix_jaccard_pairs(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
+def prefix_jaccard_pairs(
+    sh: DataFrame, t_num: int, t_den: int, pin_verify: bool = True
+) -> DataFrame:
     """Exact shared-shingle pair counts for every doc pair whose
     distinct-shingle Jaccard can reach ``t_num/t_den``, via the
     LOSSLESS prefix filter (Chaudhuri et al. ICDE'06, Xiao et al.
@@ -386,7 +409,8 @@ def prefix_jaccard_pairs(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
     counted on per-doc sorted shingle arrays with array_intersect —
     bounded by candidates x doc length, no second explode."""
     return _exact_pair_counts(
-        _prefix_jaccard_candidates(sh, t_num, t_den), sh
+        _prefix_jaccard_candidates(sh, t_num, t_den), sh,
+        pin_verify=pin_verify,
     )
 
 
@@ -575,7 +599,10 @@ def prefix_containment_pairs(
 
 
 def _exact_pair_counts(
-    cand: DataFrame, sh: DataFrame, pre_aggregated: bool = False
+    cand: DataFrame,
+    sh: DataFrame,
+    pre_aggregated: bool = False,
+    pin_verify: bool = True,
 ) -> DataFrame:
     """Attach exact (n_common, n_a, n_b) to candidate doc pairs via
     per-doc sorted shingle arrays — one groupBy of the shingle frame
@@ -617,9 +644,13 @@ def _exact_pair_counts(
     # task (4 s of a 5.5 s query at sf0.1). An explicit repartition is
     # exempt from AQE coalescing and scales with defaultParallelism;
     # it moves only (doc_a, doc_b), never the shingle arrays.
-    cand = cand.repartition(
-        cand.sparkSession.sparkContext.defaultParallelism
-    )
+    # pin_verify=False (r12, VERDICT #4): counted-tiny inputs skip the
+    # pin — on a near-empty shard the exchange + one-task-per-slot
+    # stage cost more than the verify they parallelize.
+    if pin_verify:
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism
+        )
     joined = cand.join(aa, "doc_a").join(ab, "doc_b").select(
         "doc_a", "doc_b", "toks_a", "toks_b", "n_a", "n_b"
     )
@@ -3384,7 +3415,23 @@ def q_text_ngram_jaccard_sharded(
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("source") == "src6"
     )
-    pairs = prefix_jaccard_pairs(shingles(docs, k=3), 2, 10)
+    # Per-shard decision pass (r12, VERDICT #4): ONE pushed-filter
+    # columnar count of the shard decides whether the CPU-spreading
+    # machinery (spread_scan round-robin, pinned verify repartition)
+    # can pay for itself. The file-size guard inside spread_scan
+    # cannot see the shard filter's selectivity, and on the src6
+    # shard at sf0.1 (250 docs) the spread + pin cost ~0.9 s against
+    # ~0.15 s of actual work (measured; the full-corpus twins keep
+    # both). At 100 TB this is one metadata-cheap count per shard
+    # job — negligible against the shard's verify, and the threshold
+    # scales with defaultParallelism, not a local constant.
+    big = docs.count() >= (
+        SPREAD_MIN_ROWS_PER_SLOT
+        * spark.sparkContext.defaultParallelism
+    )
+    pairs = prefix_jaccard_pairs(
+        shingles(docs, k=3, spread=big), 2, 10, pin_verify=big
+    )
     return (
         pairs.select(
             "doc_a",

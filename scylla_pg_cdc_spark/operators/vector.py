@@ -910,34 +910,60 @@ def _pq_train(
                 for x in r["u"][s * subdim : (s + 1) * subdim]
             ]
 
+    # r12 (guide §4.2): each Lloyd iteration is ONE NumPy pass over the
+    # embeddings — assignment via the exact integer kernels (_u_mat /
+    # _assign: same shifted codes, same int64 squared distances, same
+    # lowest-cid argmin tiebreak as the _pq_code_structs expression
+    # form) and a per-task partial sum per (sub_id, cid, pos), then a
+    # tiny M*K*SUBDIM-row final aggregation. Integer sums are exact in
+    # any order, the update formula below is unchanged, so the trained
+    # codebook is bit-identical to the r11 crossJoin + explode +
+    # posexplode form (which shipped N*M*SUBDIM rows into a groupBy
+    # per iteration — the dominant first-run cost of every PQ/IVF
+    # query).
+    emb_src = spread_scan(emb.select("embedding"))
     for _ in range(iters):
-        asg = _pq_code_structs(m, subdim)
-        assigned = (
-            base.crossJoin(F.broadcast(_pq_codebook_df(spark, cents)))
-            .select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(s).alias("sub_id"),
-                                a["cid"].alias("cid"),
-                                F.slice(
-                                    "u", s * subdim + 1, subdim
-                                ).alias("subvec"),
-                            )
-                            for s, a in enumerate(asg)
-                        ]
-                    )
-                ).alias("x")
+        cent_mats = _cents_mat(cents, m)
+
+        def partials(batches, _cm=cent_mats):
+            import numpy as np
+            import pandas as pd
+
+            kk = _cm[0].shape[0]
+            sums = [
+                np.zeros((kk, subdim), dtype=np.int64) for _ in range(m)
+            ]
+            cnts = [np.zeros(kk, dtype=np.int64) for _ in range(m)]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                u = _u_mat(pdf)
+                cids, _ = _assign(u, _cm, subdim)
+                for s in range(m):
+                    sub = u[:, s * subdim:(s + 1) * subdim]
+                    for j in range(kk):
+                        mask = cids[:, s] == j
+                        if mask.any():
+                            sums[s][j] += sub[mask].sum(axis=0)
+                            cnts[s][j] += int(mask.sum())
+            recs = [
+                (s, j, p, int(sums[s][j, p]), int(cnts[s][j]))
+                for s in range(m)
+                for j in range(kk)
+                if cnts[s][j] > 0
+                for p in range(subdim)
+            ]
+            yield pd.DataFrame(
+                recs, columns=["sub_id", "cid", "pos", "s", "n"]
             )
-            .select("x.sub_id", "x.cid", "x.subvec")
-        )
-        upd = assigned.select("sub_id", "cid", F.posexplode("subvec")).toDF(
-            "sub_id", "cid", "pos", "val"
-        )
+
         rows = (
-            upd.groupBy("sub_id", "cid", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            emb_src.mapInPandas(
+                partials,
+                schema="sub_id int, cid int, pos int, s long, n long",
+            )
+            .groupBy("sub_id", "cid", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         by_cell: dict[tuple[int, int], dict[int, int]] = {}

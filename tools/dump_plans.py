@@ -1,8 +1,10 @@
 """Dump `.explain("formatted")` for named queries to
-plans/r11/<query>_<tag>.txt — the before/after plan evidence for
-OPTIMIZATION_r11.md. Usage:
+plans/<round>/<query>_<tag>.txt — the before/after plan evidence for
+the OPTIMIZATION_r* reports. Usage:
 
     python tools/dump_plans.py <tag> <query> [query ...]
+
+Env: SPARK_GRAFT_PLANS_ROUND (default r12) picks the output subdir.
 """
 
 from __future__ import annotations
@@ -21,7 +23,8 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r11"
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_session("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,7 +37,7 @@ def main() -> None:
         (out_dir / f"{name}_{tag}.txt").write_text(plan)
         print(f"{name}: {plan.count('Exchange')} Exchange, "
               f"{plan.count('BatchEvalPython') + plan.count('ArrowEvalPython')}"
-              f" pyEval -> plans/r11/{name}_{tag}.txt")
+              f" pyEval -> plans/{rnd}/{name}_{tag}.txt")
 
 
 if __name__ == "__main__":
