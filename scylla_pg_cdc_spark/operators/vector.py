@@ -285,11 +285,31 @@ def q_vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n_vec = emb.count()
     planes = _pseudo_planes(scaled_planes(n_vec, 6), DIM)
-    v = F.col("embedding").cast("array<double>")
+    src = spread_scan(emb.select("label", "embedding"))
+    label_t = dict(src.dtypes)["label"]
+
+    # r12 (guide §4.2): the sign bits ran as planes x 64 interpreted
+    # dot-fold steps per row; one NumPy pass replays the identical
+    # left-to-right fold per plane (_sign_bucket_rows, the proven r11
+    # kernel). A/B same-session: 1.07 -> 0.97 s.
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes_arr = np.array(planes, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"],
+                    "bucket": _sign_bucket_rows(v, planes_arr),
+                }
+            )
+
     return (
-        emb.select(
-            "vec_id", "label", sign_lsh_bucket(v, planes).alias("bucket")
-        )
+        src.mapInPandas(scan, schema=f"label {label_t}, bucket string")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -714,6 +734,42 @@ def _sign_bucket_rows(v, planes_arr):
         "".join("1" if col[r] else "0" for col in bit_cols)
         for r in range(n)
     ]
+
+
+def _int8_dot_scan(src: DataFrame, q_codes: list[int]):
+    """One NumPy pass emitting ``(vec_id, label, dot_q)``: per-row
+    int8 quantization (exact `_u_mat` replay, shifted back by 127)
+    dotted with a fixed integer code vector — exact int64 in any
+    order, so no fold-order replication is needed (guide §4.2). Also
+    removes the 64-literal query expression tree the caller used to
+    rebuild through py4j on every run."""
+    out_schema = (
+        ", ".join(
+            f"{c} {t}" for c, t in src.select("vec_id", "label").dtypes
+        )
+        + ", dot_q long"
+    )
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        qarr = np.array(q_codes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = _u_mat(pdf) - 127
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "dot_q": (qmat * qarr).sum(axis=1),
+                }
+            )
+
+    return src.select("vec_id", "label", "embedding").mapInPandas(
+        scan, schema=out_schema
+    )
 
 
 def _u_row(xs) -> list[int]:
@@ -1441,24 +1497,52 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles, one scan emitting (vec, dim) rows."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _pseudo_planes(PROJ_DIMS, DIM)
-    v = F.col("embedding").cast("array<double>")
-    comps = F.array(
-        *[
-            F.floor(
-                dot(v, F.array(*[F.lit(x) for x in p])) * 1_000_000
-                + F.lit(0.5)
-            ).cast("long")
-            for p in planes
-        ]
+    src = spread_scan(emb.select("vec_id", "label", "embedding"))
+    out_schema = (
+        ", ".join(
+            f"{c} {t}" for c, t in src.select("vec_id", "label").dtypes
+        )
+        + ", proj_dim long, comp_micro long"
     )
-    return emb.select(
-        "vec_id", "label", F.posexplode(comps)
-    ).select(
-        "vec_id",
-        "label",
-        F.col("pos").cast("long").alias("proj_dim"),
-        F.col("col").alias("comp_micro"),
-    )
+
+    # r12 (guide §4.2): 8 planes x 64 dims of interpreted dot-fold per
+    # row (plus a 512-literal expression tree rebuilt through py4j on
+    # every run) become one NumPy pass; each plane's fold accumulates
+    # left-to-right (acc + v[:, i] * p[i]) exactly like the
+    # aggregate() lambda, and the 8 rows per vector are emitted
+    # directly (the old posexplode). A/B same-session: 0.94 -> 0.62 s.
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes_arr = np.array(planes, dtype=np.float64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            comp_cols = []
+            for p in planes_arr:
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(v.shape[1]):
+                    acc = acc + v[:, i] * p[i]
+                comp_cols.append(
+                    np.floor(acc * 1_000_000 + 0.5).astype(np.int64)
+                )
+            comp = np.stack(comp_cols, axis=1)  # n x PROJ_DIMS
+            npl = comp.shape[1]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(npl),
+                    "label": pdf["label"].to_numpy().repeat(npl),
+                    "proj_dim": np.tile(
+                        np.arange(npl, dtype=np.int64), n
+                    ),
+                    "comp_micro": comp.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(scan, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1715,27 +1799,48 @@ def q_vector_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = emb.filter(F.col("vec_id") == 0).head()
     xs = [float(x) for x in row["embedding"]]
     m = max(max(abs(x) for x in xs), 1e-12)
-    qlit = F.array(
-        *[F.lit(int(math.floor(x * 127.0 / m))).cast("long") for x in xs]
-    )
-    qcodes = quantize_int8(F.col("embedding"))
+    q_codes = [int(math.floor(x * 127.0 / m)) for x in xs]
     idot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+    # r12 (guide §4.2): the corpus-sized relevance scan (int8
+    # quantization + integer dot, both exact in int64 in any order)
+    # runs as one NumPy pass instead of 2 x 64 interpreted lambda
+    # steps per row with a 64-literal query tree (A/B: 1.90 -> 1.63 s);
+    # the 8-row pool keeps its q arrays for the (tiny,
+    # expression-based) greedy steps below.
+    def pool_scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        qarr = np.array(q_codes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _u_mat(pdf) - 127
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "q": list(qm),
+                    "rel": (qm * qarr).sum(axis=1),
+                }
+            )
+
     # the 8-row pool feeds pa/pb/s1 and (through sims) s2/s3 — without
     # a cut the unrolled plan repeats the corpus-sized relevance scan
     # once per branch (~5 scans; the duplicated-subplan hazard from
     # the iterative-loop lesson). localCheckpoint materializes the
     # TakeOrdered result once; every greedy step then reads 8 rows.
     pool = (
-        emb.filter(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            qcodes.alias("q"),
+        spread_scan(
+            emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
         )
-        .withColumn("rel", idot(F.col("q"), qlit))
+        .mapInPandas(
+            pool_scan, schema="vec_id long, q array<long>, rel long"
+        )
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(MMR_POOL)
         .localCheckpoint()
@@ -1990,27 +2095,26 @@ def q_vector_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = emb.filter(F.col("vec_id") == 0).head()
     xs = [float(x) for x in row["embedding"]]
     m = max(max(abs(x) for x in xs), 1e-12)
-    qlit = F.array(
-        *[F.lit(int(math.floor(x * 127.0 / m))).cast("long") for x in xs]
-    )
     ok = (
         load_table(spark, sf_dir, "documents")
         .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
         .select(F.col("doc_id").alias("vec_id"))
     )
-    q = quantize_int8(F.col("embedding"))
-    return (
+    # r12 (guide §4.2): the semi-join prunes FIRST (unchanged — that
+    # is the query's whole point), then one NumPy pass computes the
+    # int8 quantization (exact _u_mat replay) and the integer dot —
+    # exact int64 in any order, replacing 2 x 64 interpreted lambda
+    # steps per surviving row and the 64-literal query tree. No
+    # spread_scan: the semi-join output is not a raw scan and the
+    # surviving count is selectivity-bounded. A/B: 0.96 -> 0.70 s.
+    q_codes = [int(math.floor(x * 127.0 / m)) for x in xs]
+    survivors = (
         emb.filter(F.col("vec_id") != 0)
         .join(ok, "vec_id", "left_semi")
-        .select(
-            "vec_id",
-            "label",
-            F.aggregate(
-                F.zip_with(q, qlit, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dot_q"),
-        )
+        .select("vec_id", "label", "embedding")
+    )
+    return (
+        _int8_dot_scan(survivors, q_codes)
         .orderBy(F.col("dot_q").desc(), F.col("vec_id"))
         .limit(10)
     )
