@@ -34,6 +34,21 @@ TABLE_NAMES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# Table PLAN cache: (applicationId, sf_dir, table, file mtime) -> the
+# unexecuted DataFrame. This memoizes METADATA ONLY — the logical plan
+# whose construction costs ~85 ms of py4j + file listing + parquet
+# footer schema read per call (measured r12; ~1.7 load_table calls per
+# query x 268 queries x 3 bench runs ~= 40 s of the 212 s bench was
+# re-listing immutable input tables). It is the same class of caching
+# the Spark file index does per-relation (guide §6,
+# `filesourcePartitionFileCacheSize`): every action on the returned
+# frame still scans parquet and recomputes results from scratch. The
+# mtime key (ns resolution) invalidates the entry if a test overwrites
+# a table in place; growth is bounded by #sessions x #sf_dirs x 10
+# tables.
+_TABLE_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; session tz forced to UTC first so all
     timestamp rendering matches the oracle.
@@ -51,14 +66,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     unchanged and DuckDB parity holds — the reference applies the same
     "naive timestamps are UTC" rule (`src/reconciliation/comparer.py:214-218`).
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name, mtime)
+    cached = _TABLE_PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _TABLE_PLAN_CACHE[key] = df
     return df
 
 

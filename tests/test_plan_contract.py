@@ -46,10 +46,14 @@ BUDGETS = {
     "q_stratified_sample": (0, 0, 0, False),
     # TPC-H Q3: dims broadcast, one agg shuffle
     "q_tpch_q3": (1, 2, 0, True),
-    # 5-round label propagation: ONE broadcast join + min-agg per
-    # round (the union-form plan exploded to 96 shuffles — see
-    # q_graph_components docstring; this budget pins the fix)
-    "q_graph_components": (8, 5, 0, False),
+    # 5-round label propagation, r12 shape: the label frame joins by
+    # KEYED SHUFFLE (one reused me-by-src exchange + one label exchange
+    # per round), never per-round broadcasts — each broadcast was its
+    # own sequential materialize-collect-redistribute job wave, and a
+    # node-sized label frame outgrows any broadcast budget long before
+    # 100 TB (measured 2.66 -> 1.78 s at sf0.1). The union-form plan
+    # that exploded to 96 shuffles stays pinned out by the shuffle cap.
+    "q_graph_components": (13, 0, 5, False),
     # bloom prefilter: 2 broadcast word joins + broadcast semi-join,
     # never a shuffled probe side
     "q_bloom_semijoin": (3, 3, 0, True),
@@ -100,8 +104,13 @@ BUDGETS = {
     # and linear, NEVER the naive shared-shingle self-join shape
     "q_shingle_containment_scaled": (13, 5, 0, True),
     # banded candidates + prefix-filtered truth + ONE pair-key
-    # full-outer (the SMJ) + single-row metric agg
-    "q_lsh_precision_recall_scaled": (17, 6, 1, True),
+    # full-outer (the SMJ) + single-row metric agg. r12: +1 counted
+    # shuffle — the candidate dedup now IS the verify pin (one KEYED
+    # pair exchange, hash-counted here, replacing distinct + an
+    # uncounted round-robin repartition); total physical exchanges
+    # are unchanged and the round-robin's sort-before-repartition
+    # pass is gone (guide §2.5).
+    "q_lsh_precision_recall_scaled": (18, 6, 1, True),
     # vocabulary agg + <=40-row band rollup, no sorts
     "q_shingle_df_profile": (3, 0, 0, False),
     # asymmetric prefix blocking + keep-list join-back
@@ -109,8 +118,11 @@ BUDGETS = {
     # candidate-scoped calibration: sig joins + array verify, never
     # a naive shingle self-join
     "q_minhash_jaccard_calibration": (13, 6, 1, True),
-    # prefix confirm + two pair-keyed source joins + matrix rollup
-    "q_cross_source_dup_matrix": (13, 7, 0, True),
+    # prefix confirm + two pair-keyed source joins + matrix rollup.
+    # r12: +1 counted shuffle for the same dedup-as-pin merge as
+    # q_lsh_precision_recall_scaled above (keyed exchange replaces
+    # distinct + uncounted round-robin; total exchanges unchanged)
+    "q_cross_source_dup_matrix": (14, 7, 0, True),
     # narrow 4-col projection, ONE rollup shuffle
     "q_tokenizer_compression": (1, 0, 0, False),
     # <=168-cell heatmap: agg shuffle + COUNT DISTINCT expand
