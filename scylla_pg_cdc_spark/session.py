@@ -31,6 +31,18 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # r12 (guide §2.2/§5): let AQE re-plan INSIDE cached plans. With the
+    # default (false), persist() pins the cached subtree's physical plan
+    # so none of its exchanges get runtime coalescing — measured on the
+    # dedup composers (whose confirmed-pairs frame is persisted for the
+    # count-then-collect hybrid): q_dedup_funnel 3.62 -> 2.90 s median
+    # at sf0.1. The stability the default preserves only matters when a
+    # consumer relies on the cached plan's OUTPUT partitioning to skip
+    # a later shuffle; every persist here is counted + collected (or
+    # re-keyed downstream), so the trade is free at any scale.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     return spark
 
 
