@@ -372,7 +372,17 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     before trusting a benchmark number. Plan: eval shingles are the
     tiny side (2% hash slice) and join the training shingle stream;
     the per-(eval, train) hit pairs are bounded by shared shingles.
-    At 100 TB the eval side broadcasts, exactly like decontaminate."""
+    At 100 TB the eval side broadcasts, exactly like decontaminate.
+
+    r12 (guide §3.1/§2.3): ONE explicitly-ev-broadcast join feeds BOTH
+    counts as countDistincts — n_leaked = distinct matched ev shingles
+    (ev is already distinct per (doc, shingle), so this equals the old
+    semi-join row count) and n_train_docs = distinct matched train
+    docs (the old distinct-pair count). The old two-join form let the
+    planner BROADCAST THE TRAIN VOCABULARY for the semi join (build =
+    98% of the corpus — backwards at any scale) and paid the train
+    side twice; now the 2% eval side is the stated build side and the
+    train stream is scanned once, never aggregated corpus-wide."""
     from scylla_pg_cdc_spark.operators.text import shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -380,26 +390,16 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = shingles(bucketed.filter(F.col("bucket") >= 98), k=3)
     tr = shingles(bucketed.filter(F.col("bucket") < 98), k=3)
     tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    leaked = (
-        ev.join(tr.select("shingle").distinct(), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    m = F.broadcast(ev).join(
+        tr.select(F.col("shingle"), F.col("doc_id").alias("train_doc")),
+        "shingle",
     )
-    hits = (
-        ev.join(
-            tr.select(
-                F.col("shingle"), F.col("doc_id").alias("train_doc")
-            ),
-            "shingle",
-        )
-        .select("doc_id", "train_doc")
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_train_docs"))
+    counts = m.groupBy("doc_id").agg(
+        F.count_distinct("shingle").alias("n_leaked"),
+        F.count_distinct("train_doc").alias("n_train_docs"),
     )
     return (
-        tot.join(leaked, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        tot.join(counts, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
